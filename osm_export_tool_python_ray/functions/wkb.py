@@ -1,0 +1,102 @@
+"""Minimal WKB (ISO well-known binary, little-endian) encoder/decoder.
+
+Geometry values in the engine's Arrow tables are WKB ``binary`` columns
+(SURVEY.md §1.2), matching the reference's WKB interchange
+(reference tabular.py:13-14). Supported types: Point, LineString, Polygon,
+MultiLineString, MultiPolygon — exactly what the handler emits.
+
+Python-side geometry representation used across the engine:
+* point: ``(x, y)`` tuple
+* line: ``float64 ndarray (N, 2)``; multi-line: list of such arrays
+* polygon: list of rings (each ``(N, 2)`` ndarray, closed: first == last);
+  ring 0 = exterior, rest = holes
+* multipolygon: list of polygons
+"""
+
+import struct
+
+import numpy as np
+
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+
+_HDR = struct.Struct("<BI")
+_D2 = struct.Struct("<2d")
+_U4 = struct.Struct("<I")
+
+
+def point_wkb(x, y):
+    return _HDR.pack(1, POINT) + _D2.pack(x, y)
+
+
+def linestring_wkb(coords):
+    coords = np.asarray(coords, dtype=np.float64)
+    return _HDR.pack(1, LINESTRING) + _U4.pack(len(coords)) + coords.tobytes()
+
+
+def multilinestring_wkb(lines):
+    out = [_HDR.pack(1, MULTILINESTRING), _U4.pack(len(lines))]
+    for ln in lines:
+        out.append(linestring_wkb(ln))
+    return b"".join(out)
+
+
+def polygon_wkb(rings):
+    out = [_HDR.pack(1, POLYGON), _U4.pack(len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        out.append(_U4.pack(len(r)))
+        out.append(r.tobytes())
+    return b"".join(out)
+
+
+def multipolygon_wkb(polygons):
+    out = [_HDR.pack(1, MULTIPOLYGON), _U4.pack(len(polygons))]
+    for p in polygons:
+        out.append(polygon_wkb(p))
+    return b"".join(out)
+
+
+def decode(buf):
+    """→ (geom_type_code, python geometry as in the module docstring)."""
+    val, _ = _decode_at(buf, 0)
+    return val
+
+
+def _decode_at(buf, off):
+    endian, code = _HDR.unpack_from(buf, off)
+    if endian != 1:
+        raise ValueError("big-endian WKB not supported")
+    off += _HDR.size
+    if code == POINT:
+        x, y = _D2.unpack_from(buf, off)
+        return (POINT, (x, y)), off + 16
+    if code == LINESTRING:
+        (n,) = _U4.unpack_from(buf, off)
+        off += 4
+        arr = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+        return (LINESTRING, arr.copy()), off + 16 * n
+    if code == POLYGON:
+        (nr,) = _U4.unpack_from(buf, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = _U4.unpack_from(buf, off)
+            off += 4
+            rings.append(
+                np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2).copy()
+            )
+            off += 16 * n
+        return (POLYGON, rings), off
+    if code in (MULTILINESTRING, MULTIPOLYGON):
+        (n,) = _U4.unpack_from(buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            (sub, off) = _decode_at(buf, off)
+            parts.append(sub[1])
+        return (code, parts), off
+    raise ValueError("unsupported WKB type %d" % code)

@@ -1,0 +1,217 @@
+"""The flagship export pipeline: interleaved documents → themed features.
+
+Engine equivalent of ``cmd.main`` + ``tabular.Handler`` (reference
+cmd.py:11-66, tabular.py:251-339), re-expressed as a Ray Data DAG:
+
+    read docs → explode spans → dedup (shuffle: ekey)
+      ├─ nodes ──────────────────────────→ PointFeatures ─┐
+      ├─ ways → J1 join(node_id) + groupby(way_id%B) ─┐   │
+      │     └──→ join tags → WayFeatures ─────────────┤   ├─ union →
+      └─ relations → J2 join(way_id) + groupby(rel%B) │   │  ThemeRouter →
+            └──→ join tags → RelationAreaFeatures ────┘───┘  features
+                                                             (ckpt, theme-partitioned)
+
+Stage boundaries (elements, way_geoms, features) are durable parquet
+checkpoints when ``workdir`` is given — branch points that would otherwise
+re-execute lineage, and the resume-by-skip units (state/checkpoint.py).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm_export_tool_python_ray.stages.explode import dedup_elements, explode_osm
+from osm_export_tool_python_ray.stages.assemble import (
+    REL_GEOM_SCHEMA,
+    WAY_GEOM_SCHEMA,
+    assemble_relations,
+    assemble_ways,
+)
+from osm_export_tool_python_ray.stages.features import (
+    PointFeatures,
+    RelationAreaFeatures,
+    ThemeRouter,
+    WayFeatures,
+)
+from osm_export_tool_python_ray.stages.matcher_eval import (
+    closed_way_is_polygon_mask,
+    extract_tag_columns,
+    tag_count,
+)
+from osm_export_tool_python_ray.stages.joins import bucket_join
+from osm_export_tool_python_ray.state.checkpoint import materialize_or_checkpoint
+
+_TAGS_SIDE = lambda key: pa.schema(
+    [
+        (key, pa.int64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+_AREA_RELATION_TYPES = ("multipolygon", "boundary")
+
+
+def _kind_filter(kind, columns=None):
+    def fn(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.equal(t.column("kind"), kind))
+        if columns:
+            out = out.select(columns)
+        return out
+
+    return fn
+
+
+def _area_relation_filter(t: pa.Table) -> pa.Table:
+    """Relations the osmium area assembler would consider: tagged,
+    type=multipolygon/boundary, polygon-ish tags (reference
+    tabular.py:311-312 + libosmium assembler semantics)."""
+    t = t.filter(pc.equal(t.column("kind"), "relation"))
+    tags = t.column("tags")
+    if isinstance(tags, pa.ChunkedArray):
+        tags = tags.combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return t.select(["element_id", "tags", "members", "doc_id", "offset"])
+    cols = extract_tag_columns(tags, ["type"])
+    present, vals = cols["type"]
+    mask = present & np.isin(vals, list(_AREA_RELATION_TYPES))
+    mask &= tag_count(tags) > 0
+    mask &= closed_way_is_polygon_mask(tags)
+    return t.filter(pa.array(mask)).select(
+        ["element_id", "tags", "members", "doc_id", "offset"]
+    )
+
+
+def parse_elements(docs_ds, num_buckets=64):
+    """documents → deduped element table (explode + D4 exact dedup)."""
+    return dedup_elements(
+        docs_ds.map_batches(explode_osm, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    )
+
+
+def run_export(
+    docs_ds,
+    mapping,
+    aoi_polygons=None,
+    polygon_centroid=False,
+    workdir=None,
+    num_partitions=8,
+    num_buckets=64,
+):
+    """→ themed feature Dataset (FEATURE_SCHEMA + theme column), checkpointed
+    at ``workdir/features`` when a workdir is given.
+
+    Builder state (compiled themes + prepared AOI) is constructed ONCE on
+    the driver and shipped to stateless map_batches tasks by closure — the
+    broadcast-small-side pattern. Actor pools (``map_batches(Cls,
+    concurrency=N)``) are reserved for stages with genuinely heavy state:
+    with four light pools plus two hash-join aggregator groups the pools'
+    CPU reservations can deadlock a small cluster, and rebuilding this
+    state costs ~ms per task anyway."""
+    elements = materialize_or_checkpoint(
+        parse_elements(docs_ds, num_buckets=num_buckets), workdir, "elements"
+    )
+
+    nodes_loc = elements.map_batches(
+        _kind_filter("node", ["element_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+    ways = elements.map_batches(
+        _kind_filter("way", ["element_id", "refs"]), batch_format="pyarrow"
+    )
+
+    way_geoms = materialize_or_checkpoint(
+        assemble_ways(ways, nodes_loc, num_partitions=num_partitions, num_buckets=num_buckets),
+        workdir,
+        "way_geoms",
+    )
+
+    # ---- point features
+    nodes_full = elements.map_batches(
+        _kind_filter("node", ["element_id", "tags", "lon", "lat", "doc_id", "offset"]),
+        batch_format="pyarrow",
+    )
+    point_feats = nodes_full.map_batches(
+        PointFeatures(mapping, aoi_polygons), batch_format="pyarrow"
+    )
+
+    # ---- way features (lines + way-polygons): join tags onto geometry
+    way_tags = elements.map_batches(
+        lambda t: _kind_filter("way")(t)
+        .select(["element_id", "tags", "doc_id", "offset"])
+        .rename_columns(["way_id", "tags", "doc_id", "offset"]),
+        batch_format="pyarrow",
+    )
+    way_full = bucket_join(
+        way_geoms, way_tags, "way_id", num_buckets=num_buckets, how="inner",
+        left_schema=WAY_GEOM_SCHEMA, right_schema=_TAGS_SIDE("way_id"),
+    )
+    way_feats = way_full.map_batches(
+        WayFeatures(mapping, aoi_polygons, polygon_centroid), batch_format="pyarrow"
+    )
+
+    # ---- relation area features
+    rels = elements.map_batches(_area_relation_filter, batch_format="pyarrow")
+    rel_geoms = assemble_relations(
+        rels.map_batches(
+            lambda t: t.select(["element_id", "members"]), batch_format="pyarrow"
+        ),
+        way_geoms,
+        num_partitions=num_partitions,
+        num_buckets=max(4, num_buckets // 4),
+    )
+    rel_tags = rels.map_batches(
+        lambda t: t.select(["element_id", "tags", "doc_id", "offset"]).rename_columns(
+            ["relation_id", "tags", "doc_id", "offset"]
+        ),
+        batch_format="pyarrow",
+    )
+    rel_full = bucket_join(
+        rel_geoms, rel_tags, "relation_id", num_buckets=max(4, num_buckets // 4), how="inner",
+        left_schema=REL_GEOM_SCHEMA, right_schema=_TAGS_SIDE("relation_id"),
+    )
+    rel_feats = rel_full.map_batches(
+        RelationAreaFeatures(mapping, aoi_polygons, polygon_centroid),
+        batch_format="pyarrow",
+    )
+
+    features = point_feats.union(way_feats, rel_feats)
+    themed = features.map_batches(ThemeRouter(mapping), batch_format="pyarrow")
+    if workdir:
+        from osm_export_tool_python_ray.state.checkpoint import checkpoint
+        import os
+
+        themed = checkpoint(
+            themed, os.path.join(workdir, "features"), partition_cols=["theme"]
+        )
+    return themed
+
+
+def theme_counts(themed_ds):
+    """Per theme×geom_type feature counts (SURVEY.md A2) — partial counts
+    inside map_batches, tiny final groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(
+            zip(t.column("theme").to_pylist(), t.column("geom_type").to_pylist())
+        )
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "theme": pa.array([k[0] for k in ks], type=pa.string()),
+                "geom_type": pa.array([int(k[1]) for k in ks], type=pa.int32()),
+                "n_partial": pa.array([c[k] for k in ks], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        themed_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["theme", "geom_type"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )

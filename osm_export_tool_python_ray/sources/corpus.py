@@ -65,16 +65,33 @@ _SHARD_SPAN = 10**5  # max elements of one kind per shard
 _POI_TAG_POOL = [
     {"amenity": "bank", "name": "First Bank"},
     {"amenity": "parking"},
+    {"amenity": "school", "name": "North School"},
+    {"amenity": "hospital", "name": "General Hospital"},
+    {"amenity": "fuel"},
     {"amenity": "cafe", "name": "Corner Cafe"},
     {"shop": "bakery"},
     {"natural": "cliff"},
     {"highway": "bus_stop"},
+    {"barrier": "gate"},
+    {"aeroway": "helipad"},
     {"tourism": "hotel", "name": "Grand Hotel"},
     {"place": "village", "name": "Smallville", "population": "500"},
+    {"place": "town", "name": "Midtown", "population": "15000"},
     {"man_made": "tower"},  # not in CLOSED_WAY_KEYS and no theme usually
 ]
 
 _HIGHWAY_VALUES = ["primary", "secondary", "residential", "track", "path"]
+_WATERWAY_VALUES = ["river", "stream", "canal", "drain"]
+_BARRIER_VALUES = ["fence", "wall", "hedge"]
+_AREA_TAG_POOL = [
+    {"building": "yes"},
+    {"building": "yes"},
+    {"building": "school"},
+    {"landuse": "residential"},
+    {"landuse": "farmland"},
+    {"natural": "water"},
+    {"leisure": "park", "name": "City Park"},
+]
 
 _TEXT_POOL = [
     "The quick brown fox jumps over the lazy dog near the old bridge.",
@@ -177,7 +194,13 @@ class _ShardWorld:
             refs = []
             for j in range(npts):
                 refs.append(self._new_node(lon + j * 0.002, lat + rng.rand() * 0.002))
-            tags = {"highway": _HIGHWAY_VALUES[rng.randint(len(_HIGHWAY_VALUES))]}
+            roll = rng.rand()
+            if roll < 0.65:
+                tags = {"highway": _HIGHWAY_VALUES[rng.randint(len(_HIGHWAY_VALUES))]}
+            elif roll < 0.85:
+                tags = {"waterway": _WATERWAY_VALUES[rng.randint(len(_WATERWAY_VALUES))]}
+            else:
+                tags = {"barrier": _BARRIER_VALUES[rng.randint(len(_BARRIER_VALUES))]}
             if rng.rand() < 0.3:
                 tags["name"] = "Way %d-%d" % (self.shard_id, i)
             wid = self.next_way
@@ -195,7 +218,7 @@ class _ShardWorld:
                 self._new_node(lon, lat + s),
             ]
             refs.append(refs[0])
-            tags = {"building": "yes"}
+            tags = dict(_AREA_TAG_POOL[rng.randint(len(_AREA_TAG_POOL))])
             if rng.rand() < 0.5:
                 tags["height"] = str(int(rng.randint(3, 120)))
             if rng.rand() < 0.25:

@@ -1,0 +1,360 @@
+"""Geometry assembly: the explicit shuffles that pyosmium hides.
+
+J1 (way → node locations, reference cmd.py:58 ``locations=True``): explode
+way refs → hash join on node_id → bucketed groupby → vectorized per-bucket
+coordinate-list rebuild. Ways with any unresolved ref are kept with
+``complete=false`` and dropped downstream with a counter — parity with the
+"Incomplete way: {id}" print-and-drop (reference tabular.py:305-306).
+
+J2/J3 (relation → member ways → ring stitching, libosmium's area
+assembler): explode members → hash join on way_id → bucketed groupby →
+per-relation endpoint-matching ring stitcher with orientation + hole
+nesting. Relations whose rings cannot close are dropped with a counter —
+parity with "Invalid area: {id}" (reference tabular.py:338-339).
+
+Buckets (``way_id % B`` / ``relation_id % B``) keep ``map_groups`` calls
+coarse: each call receives thousands of entities and rebuilds them with
+NumPy reduceat/ListArray ops instead of per-entity Python. B is the shuffle
+fan-out knob — raise it with cluster size.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm_export_tool_python_ray.functions.kernels import ensure_closed, orient, signed_area
+
+
+WAY_GEOM_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("lons", pa.list_(pa.float64())),
+        ("lats", pa.list_(pa.float64())),
+        ("n_pts", pa.int32()),
+        ("complete", pa.bool_()),
+        ("is_closed", pa.bool_()),
+    ]
+)
+
+REL_GEOM_SCHEMA = pa.schema(
+    [
+        ("relation_id", pa.int64()),
+        ("wkb", pa.binary()),
+        ("minx", pa.float64()),
+        ("miny", pa.float64()),
+        ("maxx", pa.float64()),
+        ("maxy", pa.float64()),
+        ("valid", pa.bool_()),
+    ]
+)
+
+
+def explode_way_refs(batch: pa.Table) -> pa.Table:
+    """ways batch → (way_id, seq, node_id) rows, fully vectorized."""
+    refs = batch.column("refs")
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    parent = pc.list_parent_indices(refs)
+    node_id = pc.list_flatten(refs)
+    way_id = pc.take(batch.column("element_id"), parent)
+    counts = pc.list_value_length(refs).fill_null(0).to_numpy(zero_copy_only=False)
+    seq = (
+        np.concatenate([np.arange(c, dtype=np.int32) for c in counts])
+        if len(counts)
+        else np.array([], dtype=np.int32)
+    )
+    return pa.table(
+        {"way_id": way_id, "seq": pa.array(seq), "node_id": node_id}
+    )
+
+
+def make_bucketer(col, num_buckets):
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((v % num_buckets).astype(np.int32)))
+
+    return add_bucket
+
+
+def assemble_ways_bucket(group: pa.Table) -> pa.Table:
+    """One bucket of joined (way_id, seq, node_id, lon, lat) rows → one row
+    per way with list<float64> coordinate arrays. Vectorized: lexsort +
+    reduceat + ListArray.from_arrays."""
+    wid = group.column("way_id").to_numpy(zero_copy_only=False)
+    seq = group.column("seq").to_numpy(zero_copy_only=False)
+    lon = group.column("lon").to_numpy(zero_copy_only=False).astype(np.float64)
+    lat = group.column("lat").to_numpy(zero_copy_only=False).astype(np.float64)
+    nid = group.column("node_id").to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((seq, wid))
+    wid, seq, lon, lat, nid = wid[order], seq[order], lon[order], lat[order], nid[order]
+
+    boundary = np.empty(len(wid), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = wid[1:] != wid[:-1]
+    starts = np.nonzero(boundary)[0]
+    ends = np.append(starts[1:], len(wid))
+    counts = ends - starts
+
+    nan = np.isnan(lon)
+    incomplete = np.add.reduceat(nan.astype(np.int64), starts) > 0
+    closed = (nid[starts] == nid[ends - 1]) & (counts >= 4)
+
+    offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+    lons = pa.ListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
+    lats = pa.ListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
+    return pa.table(
+        {
+            "way_id": pa.array(wid[starts]),
+            "lons": lons,
+            "lats": lats,
+            "n_pts": pa.array(counts.astype(np.int32)),
+            "complete": pa.array(~incomplete),
+            "is_closed": pa.array(closed),
+        }
+    )
+
+
+def assemble_ways(ways_ds, nodes_ds, num_partitions=16, num_buckets=256):
+    """elements(way rows) × elements(node rows) → way geometry dataset.
+
+    Shuffle 1: hash join refs⋈nodes on node_id (Ray Dataset.join).
+    Shuffle 2: groupby(way_id % B) for the coordinate-list rebuild."""
+    refs = ways_ds.map_batches(explode_way_refs, batch_format="pyarrow")
+    locs = nodes_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node_id": t.column("element_id"),
+                "lon": t.column("lon"),
+                "lat": t.column("lat"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = refs.join(
+        locs,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("node_id",),
+    )
+    return (
+        joined.map_batches(make_bucketer("way_id", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: assemble_ways_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def explode_members(batch: pa.Table) -> pa.Table:
+    """relations batch → (relation_id, mseq, role, way_id) rows for
+    type='way' members (reference: osmium area assembler gathers way
+    members of multipolygon/boundary relations)."""
+    members = batch.column("members")
+    if isinstance(members, pa.ChunkedArray):
+        members = members.combine_chunks()
+    parent = pc.list_parent_indices(members)
+    flat = pc.list_flatten(members)
+    rel_id = pc.take(batch.column("element_id"), parent)
+    counts = pc.list_value_length(members).fill_null(0).to_numpy(zero_copy_only=False)
+    mseq = (
+        np.concatenate([np.arange(c, dtype=np.int32) for c in counts])
+        if len(counts)
+        else np.array([], dtype=np.int32)
+    )
+    t = pa.table(
+        {
+            "relation_id": rel_id,
+            "mseq": pa.array(mseq),
+            "mtype": flat.field("type"),
+            "role": flat.field("role"),
+            "way_id": flat.field("ref"),
+        }
+    )
+    return t.filter(pc.equal(t.column("mtype"), "way")).drop_columns(["mtype"])
+
+
+class InvalidArea(RuntimeError):
+    pass
+
+
+def stitch_rings(segments):
+    """Member way coordinate arrays → list of closed rings with roles.
+
+    ``segments``: list of (coords (N,2) ndarray, role str). Endpoint
+    matching on exact coordinates (shared nodes serialize identically).
+    Raises InvalidArea when any segment cannot be joined into a closed ring
+    — failure parity with libosmium's assembler (reference tabular.py:338).
+    """
+    pool = []
+    for coords, role in segments:
+        c = np.asarray(coords, dtype=np.float64)
+        if len(c) < 2 or np.isnan(c).any():
+            raise InvalidArea("degenerate or incomplete member way")
+        pool.append((c, role))
+
+    rings = []
+    while pool:
+        coords, role = pool.pop()
+        chain = coords
+        # already closed?
+        while not (len(chain) >= 4 and np.array_equal(chain[0], chain[-1])):
+            tail = chain[-1]
+            hit = None
+            for j, (c2, _r2) in enumerate(pool):
+                if np.array_equal(c2[0], tail):
+                    hit = (j, c2[1:])
+                    break
+                if np.array_equal(c2[-1], tail):
+                    hit = (j, c2[::-1][1:])
+                    break
+            if hit is None:
+                raise InvalidArea("open ring")
+            j, ext = hit
+            pool.pop(j)
+            chain = np.vstack([chain, ext])
+            if len(chain) > 100000:
+                raise InvalidArea("runaway ring")
+        if abs(signed_area(chain)) <= 0.0:
+            raise InvalidArea("zero-area ring")
+        rings.append((chain, role))
+
+    if not rings:
+        raise InvalidArea("no rings")
+    return rings
+
+
+def _ring_contains_point(ring, pt):
+    r = ensure_closed(ring)
+    ax, ay = r[:-1, 0], r[:-1, 1]
+    bx, by = r[1:, 0], r[1:, 1]
+    px, py = pt
+    cond = (ay > py) != (by > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (bx - ax) * (py - ay) / (by - ay) + ax
+    return int((cond & (px < xint)).sum()) % 2 == 1
+
+
+def nest_rings(rings):
+    """(ring, role) list → multipolygon [[exterior, *holes], ...]. Outers by
+    role, inners nested into the outer containing their first vertex;
+    orientation normalized (outer CCW, holes CW)."""
+    outers = [orient(r, ccw=True) for r, role in rings if role != "inner"]
+    inners = [orient(r, ccw=False) for r, role in rings if role == "inner"]
+    if not outers:
+        raise InvalidArea("no outer ring")
+    polys = [[o] for o in outers]
+    for h in inners:
+        placed = False
+        for poly in polys:
+            if _ring_contains_point(poly[0], tuple(h[0])):
+                poly.append(h)
+                placed = True
+                break
+        if not placed:
+            raise InvalidArea("hole outside every outer ring")
+    return polys
+
+
+def assemble_relations_bucket(group: pa.Table) -> pa.Table:
+    """One bucket of joined member rows (relation_id, mseq, role, lons,
+    lats, complete) → one row per relation: stitched multipolygon rings as
+    nested lists + validity flag."""
+    from osm_export_tool_python_ray.functions import wkb as wkbmod
+
+    rid = group.column("relation_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(rid, kind="stable")
+    g = group.take(pa.array(order))
+    rid = rid[order]
+    boundary = np.empty(len(rid), dtype=bool)
+    if len(rid):
+        boundary[0] = True
+        boundary[1:] = rid[1:] != rid[:-1]
+    starts = np.nonzero(boundary)[0]
+    ends = np.append(starts[1:], len(rid))
+
+    roles = g.column("role").to_pylist()
+    lons = g.column("lons").to_pylist()
+    lats = g.column("lats").to_pylist()
+    complete = g.column("complete").to_numpy(zero_copy_only=False)
+
+    out_id = []
+    out_wkb = []
+    out_bbox = []
+    out_valid = []
+    for s, e in zip(starts, ends):
+        relation_id = int(rid[s])
+        try:
+            segs = []
+            for i in range(s, e):
+                if lons[i] is None or not complete[i]:
+                    raise InvalidArea("missing member way")
+                segs.append(
+                    (np.stack([lons[i], lats[i]], axis=1), roles[i] or "outer")
+                )
+            polys = nest_rings(stitch_rings(segs))
+            buf = wkbmod.multipolygon_wkb(polys)
+            allpts = np.vstack([r for p in polys for r in p])
+            out_bbox.append(
+                (
+                    float(allpts[:, 0].min()),
+                    float(allpts[:, 1].min()),
+                    float(allpts[:, 0].max()),
+                    float(allpts[:, 1].max()),
+                )
+            )
+            out_wkb.append(buf)
+            out_valid.append(True)
+        except InvalidArea:
+            out_wkb.append(None)
+            out_bbox.append((None, None, None, None))
+            out_valid.append(False)
+        out_id.append(relation_id)
+
+    bbox = np.array(out_bbox, dtype=object)
+    return pa.table(
+        {
+            "relation_id": pa.array(out_id, type=pa.int64()),
+            "wkb": pa.array(out_wkb, type=pa.binary()),
+            "minx": pa.array([b[0] for b in out_bbox], type=pa.float64()),
+            "miny": pa.array([b[1] for b in out_bbox], type=pa.float64()),
+            "maxx": pa.array([b[2] for b in out_bbox], type=pa.float64()),
+            "maxy": pa.array([b[3] for b in out_bbox], type=pa.float64()),
+            "valid": pa.array(out_valid),
+        }
+    )
+
+
+def assemble_relations(rels_ds, way_geoms_ds, num_partitions=16, num_buckets=64):
+    """Filtered relation rows × assembled way geometries → per-relation
+    stitched multipolygons. Shuffles: bucketed join on way_id (coordinate
+    lists are nested → bucket_join, not acero), groupby relation bucket."""
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    members = rels_ds.map_batches(explode_members, batch_format="pyarrow")
+    geoms = way_geoms_ds.map_batches(
+        lambda t: t.select(["way_id", "lons", "lats", "complete"]),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        members,
+        geoms,
+        "way_id",
+        num_buckets=num_partitions * 4,
+        how="left",
+        left_schema=pa.schema(
+            [("relation_id", pa.int64()), ("mseq", pa.int32()), ("role", pa.string()), ("way_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("way_id", pa.int64()), ("lons", pa.list_(pa.float64())), ("lats", pa.list_(pa.float64())), ("complete", pa.bool_())]
+        ),
+    )
+    return (
+        joined.map_batches(make_bucketer("relation_id", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda grp: assemble_relations_bucket(grp.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )

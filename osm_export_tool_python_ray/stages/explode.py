@@ -1,0 +1,164 @@
+"""Span explode: interleaved documents → typed element/tile tables.
+
+The reference consumes a pre-parsed element stream from pyosmium
+(reference cmd.py:58); here the corpus is the input_hint document table and
+this stage is the parser. Stateless ``map_batches`` transforms, Arrow in /
+Arrow out. Per-row span-sequence order is preserved by carrying
+``(doc_id, offset)`` provenance on every exploded row and never reordering
+spans within a document (SURVEY.md §1.2 invariant).
+"""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm_export_tool_python_ray.sources.corpus import ELEMENT_SCHEMA, MEMBER_TYPE
+
+_KIND_CODE = {"node": 0, "way": 1, "relation": 2}
+
+
+def element_key(kind_codes, element_ids):
+    """Single int64 shuffle key for (kind, element_id) — OSM ids < 2^48."""
+    return (np.asarray(kind_codes, dtype=np.int64) << 48) | np.asarray(
+        element_ids, dtype=np.int64
+    )
+
+
+def _flatten_spans(batch):
+    """documents batch → (doc_id per span, span struct fields)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+    doc_ids = pc.take(batch.column("doc_id"), parent)
+    return doc_ids, flat
+
+
+def explode_osm(batch: pa.Table) -> pa.Table:
+    """documents → element rows (ELEMENT_SCHEMA + ekey). JSON payload parse
+    is per-osm-span Python (no vectorized JSON kernel in pyarrow 16), all
+    surrounding column work is Arrow compute."""
+    doc_ids, flat = _flatten_spans(batch)
+    kinds = flat.field("kind")
+    mask = pc.equal(kinds, "osm")
+    texts = pc.filter(flat.field("text"), mask).to_pylist()
+    osm_docs = pc.filter(doc_ids, mask).to_pylist()
+    offsets = pc.filter(flat.field("offset"), mask).to_pylist()
+
+    n = len(texts)
+    element_id = np.empty(n, dtype=np.int64)
+    kind_code = np.empty(n, dtype=np.int8)
+    kind = []
+    tags_col = []
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    refs_col = []
+    members_col = []
+    for i, txt in enumerate(texts):
+        e = json.loads(txt)
+        element_id[i] = e["id"]
+        k = e["type"]
+        kind.append(k)
+        kind_code[i] = _KIND_CODE[k]
+        tags_col.append(list((e.get("tags") or {}).items()))
+        if k == "node":
+            lon[i] = e["lon"]
+            lat[i] = e["lat"]
+            refs_col.append(None)
+            members_col.append(None)
+        elif k == "way":
+            refs_col.append(e.get("refs") or [])
+            members_col.append(None)
+        else:
+            refs_col.append(None)
+            members_col.append(e.get("members") or [])
+
+    return pa.table(
+        {
+            "ekey": pa.array(element_key(kind_code, element_id)),
+            "element_id": pa.array(element_id),
+            "kind": pa.array(kind, type=pa.string()),
+            "tags": pa.array(tags_col, type=pa.map_(pa.string(), pa.string())),
+            "lon": pa.array(lon, type=pa.float64()),
+            "lat": pa.array(lat, type=pa.float64()),
+            "refs": pa.array(refs_col, type=pa.list_(pa.int64())),
+            "members": pa.array(members_col, type=pa.list_(MEMBER_TYPE)),
+            "doc_id": pa.array(osm_docs, type=pa.string()),
+            "offset": pa.array(offsets, type=pa.int32()),
+        }
+    )
+
+
+def explode_tiles(batch: pa.Table) -> pa.Table:
+    """documents → tile payload rows (kind='tile' spans): doc_id, offset,
+    media_ref, z, x, y, tkey."""
+    doc_ids, flat = _flatten_spans(batch)
+    mask = pc.equal(flat.field("kind"), "tile")
+    refs = pc.filter(flat.field("media_ref"), mask)
+    docs = pc.filter(doc_ids, mask)
+    offs = pc.filter(flat.field("offset"), mask)
+    zxy = pc.split_pattern(refs, "/")
+    flatz = pc.list_flatten(zxy).to_numpy(zero_copy_only=False).astype(np.int64)
+    z, x, y = flatz[0::3], flatz[1::3], flatz[2::3]
+    tkey = (z << 58) | (x << 29) | y
+    return pa.table(
+        {
+            "doc_id": docs,
+            "offset": offs,
+            "media_ref": refs,
+            "tile_z": pa.array(z),
+            "tile_x": pa.array(x),
+            "tile_y": pa.array(y),
+            "tkey": pa.array(tkey),
+        }
+    )
+
+
+def span_sequence(batch: pa.Table) -> pa.Table:
+    """Flattened (doc_id, seq, kind, text, media_ref, offset) used to check
+    the per-row span-sequence equality invariant after any doc-level stage."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+    doc_ids = pc.take(batch.column("doc_id"), parent)
+    lengths = pc.list_value_length(spans).fill_null(0).to_numpy(zero_copy_only=False)
+    seq = np.concatenate([np.arange(l, dtype=np.int32) for l in lengths]) if len(lengths) else np.array([], dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "seq": pa.array(seq),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        }
+    )
+
+
+def dedup_elements(ds, num_buckets=64):
+    """Exact element dedup (SURVEY.md D4): hash-bucket the single int64
+    ekey, then keep the provenance-minimal row per ekey inside each bucket
+    — vectorized per group-of-buckets, one shuffle total. Tie-break:
+    min (doc_id, offset) so output is deterministic under any parallelism."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((ek % num_buckets).astype(np.int32)))
+
+    def first_per_key(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [("ekey", "ascending"), ("doc_id", "ascending"), ("offset", "ascending")]
+        )
+        ek = g.column("ekey").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ek), dtype=bool)
+        keep[1:] = ek[1:] != ek[:-1]
+        return g.filter(pa.array(keep)).drop_columns(["bucket"])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        first_per_key, batch_format="pyarrow"
+    )

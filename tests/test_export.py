@@ -1,0 +1,241 @@
+"""End-to-end export pipeline semantics (FIXTURES.md F2 required cases),
+each pinned to the reference handler branch it exercises."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_export_tool_python_ray.mapping import Mapping
+from osm_export_tool_python_ray.sources.corpus import DOCUMENT_SCHEMA
+from osm_export_tool_python_ray.functions import wkb as wkbmod
+
+MAPPING_YAML = """
+pts:
+  types:
+    - points
+  select:
+    - amenity
+    - name
+  where: amenity IS NOT NULL
+bld:
+  types:
+    - polygons
+  select:
+    - name
+  where:
+    - building IS NOT NULL
+    - natural = 'water'
+    - landuse IS NOT NULL
+rds:
+  types:
+    - lines
+  select:
+    - highway
+  where: highway IS NOT NULL
+"""
+
+
+def _el(d):
+    return {"kind": "osm", "text": json.dumps(d, sort_keys=True), "media_ref": ""}
+
+
+def _doc(doc_id, spans):
+    return {
+        "doc_id": doc_id,
+        "spans": [dict(s, offset=i) for i, s in enumerate(spans)],
+    }
+
+
+def node(i, lon, lat, tags=None):
+    d = {"id": i, "type": "node", "lon": lon, "lat": lat}
+    if tags:
+        d["tags"] = tags
+    return _el(d)
+
+
+def way(i, refs, tags=None):
+    d = {"id": i, "type": "way", "refs": refs}
+    if tags:
+        d["tags"] = tags
+    return _el(d)
+
+
+def rel(i, members, tags):
+    return _el({"id": i, "type": "relation", "members": members, "tags": tags})
+
+
+def build_docs():
+    spans0 = [
+        node(1, 1.0, 1.0, {"amenity": "bank", "name": "b1"}),   # matches pts
+        node(2, 2.0, 2.0),                                        # untagged: skipped
+        node(3, 3.0, 3.0, {"xyz": "1"}),                          # tagged, no theme
+        # open way: LINE (tabular.py:290-304)
+        node(10, 0.0, 0.0), node(11, 0.5, 0.0), node(12, 1.0, 0.0),
+        way(100, [10, 11, 12], {"highway": "residential"}),
+        # closed building way: POLYGON only (tabular.py:282-283)
+        node(20, 5.0, 5.0), node(21, 6.0, 5.0), node(22, 6.0, 6.0), node(23, 5.0, 6.0),
+        way(101, [20, 21, 22, 23, 20], {"building": "yes", "name": "house"}),
+        # closed highway ring: stays LINE (key list tabular.py:18-19)
+        node(30, 7.0, 7.0), node(31, 8.0, 7.0), node(32, 8.0, 8.0), node(33, 7.0, 8.0),
+        way(102, [30, 31, 32, 33, 30], {"highway": "primary"}),
+        # closed platform way: POLYGON via keyval rule (tabular.py:19)
+        node(40, 0.0, 5.0), node(41, 1.0, 5.0), node(42, 1.0, 6.0), node(43, 0.0, 6.0),
+        way(103, [40, 41, 42, 43, 40], {"highway": "platform"}),
+    ]
+    spans1 = [
+        # incomplete way (missing node 999): dropped (tabular.py:305-306)
+        way(104, [10, 999], {"highway": "service"}),
+        # multipolygon: outer split across 2 ways + inner hole; negative id
+        node(50, 0.0, 0.0), node(51, 4.0, 0.0), node(52, 4.0, 4.0), node(53, 0.0, 4.0),
+        way(105, [50, 51, 52]),          # arc 1 (untagged member)
+        way(106, [52, 53, 50]),          # arc 2
+        node(60, 1.0, 1.0), node(61, 2.0, 1.0), node(62, 2.0, 2.0), node(63, 1.0, 2.0),
+        way(107, [60, 61, 62, 63, 60]),  # hole
+        rel(200, [
+            {"type": "way", "ref": 105, "role": "outer"},
+            {"type": "way", "ref": 106, "role": "outer"},
+            {"type": "way", "ref": 107, "role": "inner"},
+        ], {"type": "multipolygon", "natural": "water"}),
+        # invalid relation: open ring (tabular.py:338-339)
+        way(108, [10, 11]),
+        rel(201, [{"type": "way", "ref": 108, "role": "outer"}],
+            {"type": "multipolygon", "landuse": "forest"}),
+        # duplicate of node 1 (exact dedup D4)
+        node(1, 1.0, 1.0, {"amenity": "bank", "name": "b1"}),
+    ]
+    return pa.Table.from_pylist(
+        [_doc("docA", spans0), _doc("docB", spans1)], schema=DOCUMENT_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def themed(ray_session):
+    import ray.data
+    from osm_export_tool_python_ray.pipelines.export import run_export
+
+    docs = ray.data.from_arrow(build_docs())
+    mapping = Mapping(MAPPING_YAML)
+    ds = run_export(docs, mapping, num_partitions=2, num_buckets=4)
+    rows = ds.take_all()
+    return rows
+
+
+def by_theme(rows, theme):
+    return sorted([r for r in rows if r["theme"] == theme], key=lambda r: r["osm_id"])
+
+
+class TestExportSemantics:
+    def test_point_features(self, themed):
+        pts = by_theme(themed, "pts")
+        # node 1 exactly once (dedup) — node 3 matches no theme
+        assert [r["osm_id"] for r in pts] == [1]
+        assert pts[0]["geom_type"] == 1
+        t, (x, y) = wkbmod.decode(pts[0]["wkb"])
+        assert (x, y) == (1.0, 1.0)
+
+    def test_line_features(self, themed):
+        rds = by_theme(themed, "rds")
+        # way 100 (open), way 102 (closed ring but not polygon-tagged);
+        # 103 is platform→polygon-only; 104 incomplete→dropped
+        assert [r["osm_id"] for r in rds] == [100, 102]
+        for r in rds:
+            assert r["geom_type"] == 2
+        t, coords = wkbmod.decode(rds[0]["wkb"])
+        np.testing.assert_allclose(coords, [(0.0, 0.0), (0.5, 0.0), (1.0, 0.0)])
+        # the closed ring keeps all 5 coordinate pairs
+        t, coords = wkbmod.decode(rds[1]["wkb"])
+        assert len(coords) == 5
+
+    def test_polygon_features(self, themed):
+        bld = by_theme(themed, "bld")
+        # -200 relation, 101 building, (103 platform has no bld-matching tags)
+        assert [r["osm_id"] for r in bld] == [-200, 101]
+        rel_feat = bld[0]
+        assert rel_feat["geom_type"] == 3
+        t, polys = wkbmod.decode(rel_feat["wkb"])
+        assert t == wkbmod.MULTIPOLYGON
+        assert len(polys) == 1
+        ext, holes = polys[0][0], polys[0][1:]
+        assert len(holes) == 1
+        from osm_export_tool_python_ray.functions.kernels import signed_area
+        assert abs(signed_area(ext)) == pytest.approx(16.0)
+        assert abs(signed_area(holes[0])) == pytest.approx(1.0)
+        # orientation: exterior CCW, hole CW
+        assert signed_area(ext) > 0
+        assert signed_area(holes[0]) < 0
+
+    def test_invalid_relation_dropped(self, themed):
+        assert not any(r["osm_id"] == -201 for r in themed)
+
+    def test_platform_polygon(self, themed):
+        # platform way produced no feature in bld (no matching tag) and no
+        # line in rds (closed_way_is_polygon keyval)
+        assert not any(r["osm_id"] == 103 for r in themed)
+
+
+class TestClipAndCentroid:
+    def test_clipping(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.pipelines.export import run_export
+
+        # AOI: square [0,4]x[0,4]
+        aoi = [[np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])]]
+        spans = [
+            node(1, 2.0, 2.0, {"amenity": "bank"}),      # inside: kept
+            node(2, 9.0, 9.0, {"amenity": "bank"}),      # outside: dropped
+            node(3, 4.0, 2.0, {"amenity": "bank"}),      # on boundary: DROPPED
+            node(10, 2.0, 1.0), node(11, 9.0, 1.0),
+            way(100, [10, 11], {"highway": "residential"}),   # crossing: clipped
+            node(20, 1.0, 1.0), node(21, 2.0, 1.5), node(22, 3.0, 1.0),
+            way(101, [20, 21, 22], {"highway": "track"}),     # inside: kept whole
+        ]
+        docs = ray.data.from_arrow(
+            pa.Table.from_pylist([_doc("d", spans)], schema=DOCUMENT_SCHEMA)
+        )
+        mapping = Mapping(MAPPING_YAML)
+        rows = run_export(docs, mapping, aoi_polygons=aoi, num_partitions=2, num_buckets=4).take_all()
+        pts = by_theme(rows, "pts")
+        assert [r["osm_id"] for r in pts] == [1]
+        rds = by_theme(rows, "rds")
+        assert [r["osm_id"] for r in rds] == [100, 101]
+        t, coords = wkbmod.decode(rds[0]["wkb"])
+        np.testing.assert_allclose(coords, [(2.0, 1.0), (4.0, 1.0)])
+
+    def test_centroid_mode(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.pipelines.export import run_export
+
+        spans = [
+            node(20, 5.0, 5.0), node(21, 7.0, 5.0), node(22, 7.0, 7.0), node(23, 5.0, 7.0),
+            way(101, [20, 21, 22, 23, 20], {"building": "yes"}),
+        ]
+        docs = ray.data.from_arrow(
+            pa.Table.from_pylist([_doc("d", spans)], schema=DOCUMENT_SCHEMA)
+        )
+        mapping = Mapping(MAPPING_YAML)
+        rows = run_export(docs, mapping, polygon_centroid=True, num_partitions=2, num_buckets=4).take_all()
+        bld = by_theme(rows, "bld")
+        assert len(bld) == 1
+        # matched as POLYGON but emitted as POINT centroid (tabular.py:330-334)
+        assert bld[0]["geom_type"] == 1 and bld[0]["match_geom_type"] == 3
+        t, (x, y) = wkbmod.decode(bld[0]["wkb"])
+        assert (x, y) == pytest.approx((6.0, 6.0))
+
+
+class TestDeterminism:
+    def test_two_runs_identical(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.pipelines.export import run_export
+
+        mapping = Mapping(MAPPING_YAML)
+
+        def run():
+            docs = ray.data.from_arrow(build_docs())
+            rows = run_export(docs, mapping, num_partitions=2, num_buckets=4).take_all()
+            return sorted(
+                [(r["theme"], r["osm_id"], r["geom_type"], r["wkb"]) for r in rows]
+            )
+
+        assert run() == run()

@@ -1,0 +1,217 @@
+"""Geometry kernel tests (FIXTURES.md F3 cases: boundary point dropped,
+line clipped, polygon contained/straddling/outside)."""
+
+import numpy as np
+import pytest
+
+from osm_export_tool_python_ray.functions.kernels import (
+    PreparedPolygon,
+    polygon_centroid,
+    ring_intersection,
+    signed_area,
+)
+from osm_export_tool_python_ray.functions import wkb
+from osm_export_tool_python_ray.functions.cells import cell_of, cell_bounds, k_ring, cover_polygon
+from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile, tile_bounds, tile_cover
+from osm_export_tool_python_ray.geometry import load_geometry, parse_poly, geometry_area
+
+SQUARE = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]
+# square with a hole in the middle
+HOLED = [
+    [
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0),
+    ],
+    [
+        (4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0),
+    ],
+]
+
+
+class TestPointInPolygon:
+    def test_inside_outside_boundary(self):
+        p = PreparedPolygon([SQUARE])
+        xs = np.array([5.0, 15.0, 0.0, 10.0, 5.0, -1.0])
+        ys = np.array([5.0, 5.0, 5.0, 10.0, 0.0, -1.0])
+        st = p.point_status(xs, ys)
+        assert list(st) == [1, 0, 2, 2, 2, 0]
+        # contains is STRICT: boundary dropped (reference tabular.py:271-274)
+        assert list(p.contains_points(xs, ys)) == [True, False, False, False, False, False]
+
+    def test_hole(self):
+        p = PreparedPolygon([HOLED])
+        st = p.point_status([5.0, 3.0, 4.0], [5.0, 3.0, 5.0])
+        assert list(st) == [0, 1, 2]  # in hole, in solid, on hole boundary
+
+    def test_multipolygon(self):
+        p = PreparedPolygon(
+            [SQUARE, [[(20.0, 20.0), (22.0, 20.0), (22.0, 22.0), (20.0, 22.0), (20.0, 20.0)]]]
+        )
+        assert list(p.contains_points([5.0, 21.0, 15.0], [5.0, 21.0, 15.0])) == [True, True, False]
+
+
+class TestLineClip:
+    def test_crossing_line_clipped(self):
+        p = PreparedPolygon([SQUARE])
+        line = np.array([(-5.0, 5.0), (15.0, 5.0)])
+        assert p.intersects_line(line)
+        assert not p.contains_properly_line(line)
+        parts = p.clip_line(line)
+        assert len(parts) == 1
+        np.testing.assert_allclose(parts[0], [(0.0, 5.0), (10.0, 5.0)])
+
+    def test_inside_line_kept(self):
+        p = PreparedPolygon([SQUARE])
+        line = np.array([(1.0, 1.0), (9.0, 9.0)])
+        assert p.contains_properly_line(line)
+
+    def test_outside_line_dropped(self):
+        p = PreparedPolygon([SQUARE])
+        line = np.array([(20.0, 20.0), (30.0, 30.0)])
+        assert not p.intersects_line(line)
+
+    def test_line_through_hole_becomes_multi(self):
+        p = PreparedPolygon([HOLED])
+        line = np.array([(1.0, 5.0), (9.0, 5.0)])
+        parts = p.clip_line(line)
+        assert len(parts) == 2
+        np.testing.assert_allclose(parts[0], [(1.0, 5.0), (4.0, 5.0)])
+        np.testing.assert_allclose(parts[1], [(6.0, 5.0), (9.0, 5.0)])
+
+
+class TestPolygonClip:
+    def test_fully_inside_no_clip(self):
+        p = PreparedPolygon([SQUARE])
+        inner = [[np.array([(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)])]]
+        assert p.contains_properly_polygon(inner)
+        assert p.intersects_polygon(inner)
+
+    def test_outside_dropped(self):
+        p = PreparedPolygon([SQUARE])
+        outer = [[np.array([(20.0, 20.0), (24.0, 20.0), (24.0, 24.0), (20.0, 24.0), (20.0, 20.0)])]]
+        assert not p.intersects_polygon(outer)
+
+    def test_straddle_clipped(self):
+        p = PreparedPolygon([SQUARE])
+        subj = [[np.array([(8.0, 2.0), (14.0, 2.0), (14.0, 4.0), (8.0, 4.0), (8.0, 2.0)])]]
+        assert p.intersects_polygon(subj)
+        assert not p.contains_properly_polygon(subj)
+        clipped = p.clip_polygon(subj)
+        assert len(clipped) == 1
+        area = abs(signed_area(clipped[0][0]))
+        assert area == pytest.approx(4.0)  # 2x2 remains inside
+
+    def test_ring_intersection_identity(self):
+        a = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])
+        out = ring_intersection(a, np.array(SQUARE[0]))
+        assert len(out) == 1
+        assert abs(signed_area(out[0])) == pytest.approx(16.0)
+
+    def test_centroid(self):
+        c = polygon_centroid([[np.array(SQUARE[0])]])
+        assert c == pytest.approx((5.0, 5.0))
+        # hole shifts nothing for symmetric hole
+        c = polygon_centroid([HOLED])
+        assert c == pytest.approx((5.0, 5.0))
+
+
+class TestWkb:
+    def test_roundtrip(self):
+        b = wkb.point_wkb(1.5, -2.5)
+        t, v = wkb.decode(b)
+        assert t == wkb.POINT and v == (1.5, -2.5)
+        line = np.array([(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)])
+        t, v = wkb.decode(wkb.linestring_wkb(line))
+        assert t == wkb.LINESTRING
+        np.testing.assert_allclose(v, line)
+        poly = [np.array(SQUARE[0]), np.array(HOLED[1])]
+        t, v = wkb.decode(wkb.multipolygon_wkb([poly]))
+        assert t == wkb.MULTIPOLYGON
+        np.testing.assert_allclose(v[0][0], SQUARE[0])
+        t, v = wkb.decode(wkb.multilinestring_wkb([line, line * 2]))
+        assert t == wkb.MULTILINESTRING and len(v) == 2
+
+
+class TestCells:
+    def test_cell_roundtrip(self):
+        c = cell_of([12.34], [45.67])[0]
+        minlon, minlat, maxlon, maxlat = cell_bounds(c)
+        assert minlon <= 12.34 <= maxlon
+        assert minlat <= 45.67 <= maxlat
+
+    def test_same_cell_for_nearby(self):
+        c = cell_of([10.0, 10.0001], [20.0, 20.0001])
+        assert c[0] == c[1]
+
+    def test_k_ring(self):
+        c = cell_of([5.0], [5.0])
+        ring = k_ring(c, 1)
+        assert len(ring) == 9
+
+    def test_cover_polygon(self):
+        prep_sq = PreparedPolygon([[[(0.0, 0.0), (0.1, 0.0), (0.1, 0.1), (0.0, 0.1), (0.0, 0.0)]]])
+        cells = cover_polygon(prep_sq, res=8)
+        assert len(cells) > 0
+        # every covered cell touches the AOI bbox
+        for c in cells:
+            lo_lon, lo_lat, hi_lon, hi_lat = cell_bounds(np.array([c]))
+            assert hi_lon >= -0.01 and lo_lon <= 0.11
+
+
+class TestTiles:
+    def test_known_tile(self):
+        # lon 0, lat 0 at z1 → tile (1, 1)
+        x, y = lonlat_to_tile([0.01], [-0.01], 1)
+        assert (x[0], y[0]) == (1, 1)
+
+    def test_bounds_roundtrip(self):
+        x, y = lonlat_to_tile([13.4], [52.5], 12)
+        w, s, e, n = tile_bounds(12, int(x[0]), int(y[0]))
+        assert w <= 13.4 <= e and s <= 52.5 <= n
+
+    def test_cover(self):
+        t = tile_cover(0.0, 0.0, 1.0, 1.0, 8, 9)
+        assert (t[:, 0] == 8).any() and (t[:, 0] == 9).any()
+
+
+class TestAoiLoaders:
+    def test_geojson_polygon(self):
+        txt = '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}'
+        polys = load_geometry(txt)
+        assert len(polys) == 1
+        assert geometry_area(polys) == pytest.approx(100.0)
+
+    def test_geojson_feature_collection_first(self, capsys):
+        txt = (
+            '{"type":"FeatureCollection","features":[{"type":"Feature","geometry":'
+            '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}}]}'
+        )
+        polys = load_geometry(txt)
+        assert geometry_area(polys) == pytest.approx(1.0)
+        assert "first feature" in capsys.readouterr().out
+
+    def test_poly_file(self):
+        txt = "\n".join(
+            [
+                "australia_v",
+                "first_area",
+                "  0.0 0.0",
+                "  10.0 0.0",
+                "  10.0 10.0",
+                "  0.0 10.0",
+                "END",
+                "!hole",
+                "  4.0 4.0",
+                "  6.0 4.0",
+                "  6.0 6.0",
+                "  4.0 6.0",
+                "END",
+                "END",
+            ]
+        )
+        polys = parse_poly(txt.split("\n"))
+        assert len(polys) == 1
+        assert len(polys[0]) == 2  # exterior + hole
+        assert geometry_area(polys) == pytest.approx(96.0)
+        # fallback through load_geometry (non-JSON input)
+        polys2 = load_geometry(txt)
+        assert geometry_area(polys2) == pytest.approx(96.0)
