@@ -1,0 +1,263 @@
+"""Embedding similarity search (training-data ops): brute-force cosine
+top-k (baseline, exact) and LSH-bucketed near-duplicate detection (the
+scale path for 10^12 rows).
+
+Brute force: the query matrix is small → ``ray.put`` ONCE on the driver,
+every task reads the broadcast ref and does one numpy matmul per batch
+(blocked exact search); per-batch partial top-k then a tiny final merge —
+no all-to-all shuffle at all.
+
+Near-dup at scale: random-hyperplane signs (seeded, deterministic) bucket
+vectors so only same-bucket pairs are compared — recall < 1 by design,
+documented; the exact variant is the brute-force path over buckets of the
+hash prefix."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(col)
+    return vals.reshape(n, -1) if n else vals.reshape(0, 0)
+
+
+def _normalize(m):
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(nrm, 1e-12)
+
+
+def ann_topk(embeddings_ds, query_matrix, query_ids, k=10):
+    """→ (query_id, vec_id, cos_sim, rank): exact top-k by cosine for each
+    query row. Broadcast queries; partial top-k per batch; final merge on
+    the (small) candidate set."""
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    qref = ray.put(qm)
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        m = _normalize(_to_matrix(t.column("embedding")))
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
+        sims = q @ m.T  # (Q, B)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qq = np.repeat(qids, kk)
+        vv = ids[part.ravel()]
+        ss = np.take_along_axis(sims, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qq),
+                "vec_id": pa.array(vv.astype(np.int64)),
+                "cos_sim": pa.array(ss.astype(np.float64)),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("query_id", "ascending"), ("cos_sim", "descending"), ("vec_id", "ascending")]
+        )
+        qid = g.column("query_id").to_numpy(zero_copy_only=False)
+        newq = np.concatenate([[True], qid[1:] != qid[:-1]]) if len(qid) else np.array([], dtype=bool)
+        starts = np.nonzero(newq)[0]
+        rank = np.arange(len(qid)) - np.repeat(starts, np.diff(np.append(starts, len(qid))))
+        keep = rank < k
+        out = g.filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep].astype(np.int32)))
+
+    # final merge: the candidate set is ≤ Q·k·num_blocks rows — tiny
+    return (
+        partials.map_batches(
+            lambda t: t.append_column(
+                "bucket",
+                pa.array((t.column("query_id").to_numpy(zero_copy_only=False) % 16).astype(np.int32)),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(lambda g: final(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+
+def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, num_buckets=64, max_group=2048):
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets:
+    vectors whose sign-signatures agree land in one bucket; within-bucket
+    exact cosine ≥ threshold. Misses cross-bucket pairs (recall < 1, by
+    design at scale); raise ``num_planes`` ↓collisions / ↑recall-loss."""
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t.column("embedding")))
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "bkey": pa.array([], type=pa.uint64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": t.column("embedding"),
+                }
+            )
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(m.shape[1], num_planes).astype(np.float32)
+        signs = (m @ planes) > 0
+        key = (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "bkey": pa.array(key, type=pa.uint64()),
+                "vec_id": pa.array(ids),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        keys = g.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(g.column("embedding")))
+        order = np.lexsort((ids, keys))
+        keys, ids, m = keys[order], ids[order], m[order]
+        first = np.concatenate([[True], keys[1:] != keys[:-1]]) if len(keys) else np.array([], dtype=bool)
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(keys))
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            nloc = e - s
+            if nloc < 2 or nloc > max_group:
+                continue
+            sub = m[s:e]
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(nloc, k=1)
+            sv = sims[iu, ju]
+            keep = sv >= threshold
+            ga = ids[s:e][iu[keep]]
+            gb = ids[s:e][ju[keep]]
+            out_a.append(np.minimum(ga, gb))
+            out_b.append(np.maximum(ga, gb))
+            out_s.append(sv[keep])
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "similarity": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "doc_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "similarity": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        v = t.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bucket", pa.array((v % np.uint64(num_buckets)).astype(np.int32)))
+
+    from osm_export_tool_python_ray.stages.dedup import dedup_pairs
+
+    pairs = (
+        embeddings_ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .map_batches(bucketer, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+    return dedup_pairs(pairs, num_buckets=num_buckets)
+
+
+def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, nprobe=8, seed=42, sample_size=2048):
+    """IVF-style ANN: k-means-ish centroids from a deterministic sample,
+    vectors assigned to nearest centroid (one groupby key), queries probe
+    the ``nprobe`` nearest centroids only. The scale path when the corpus
+    is too large for full brute force; recall < 1 by design."""
+    import ray
+
+    sample = embeddings_ds.limit(sample_size).to_pandas()
+    sm = _normalize(np.vstack(sample["embedding"].to_numpy()).astype(np.float32))
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sm), size=min(num_centroids, len(sm)), replace=False)
+    cents = sm[idx]
+    for _ in range(5):  # few Lloyd iterations on the sample
+        assign = (sm @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sm[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    cref = ray.put(cents)
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_ref = ray.put(probe)
+    qref = ray.put(qm)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        q = ray.get(qref)
+        pr = ray.get(probe_ref)
+        m = _normalize(_to_matrix(t.column("embedding")))
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()), "cos_sim": pa.array([], type=pa.float64())}
+            )
+        assign = (m @ c.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        sims = q @ m.T
+        for qi in range(len(q)):
+            cand = np.isin(assign, pr[qi])
+            if not cand.any():
+                continue
+            sv = sims[qi][cand]
+            vids = ids[cand]
+            kk = min(k, len(sv))
+            part = np.argpartition(-sv, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_v.append(vids[part])
+            out_s.append(sv[part])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()), "cos_sim": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "cos_sim": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("query_id", "ascending"), ("cos_sim", "descending"), ("vec_id", "ascending")])
+        qid = g.column("query_id").to_numpy(zero_copy_only=False)
+        newq = np.concatenate([[True], qid[1:] != qid[:-1]]) if len(qid) else np.array([], dtype=bool)
+        starts = np.nonzero(newq)[0]
+        rank = np.arange(len(qid)) - np.repeat(starts, np.diff(np.append(starts, len(qid))))
+        keep = rank < k
+        return g.filter(pa.array(keep)).append_column("rank", pa.array(rank[keep].astype(np.int32)))
+
+    return (
+        partials.map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.array((t.column("query_id").to_numpy(zero_copy_only=False) % 16).astype(np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(lambda g: final(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )

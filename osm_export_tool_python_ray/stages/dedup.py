@@ -1,0 +1,406 @@
+"""Document deduplication family (training-data ops, SURVEY.md mandate):
+exact, MinHash-LSH, SimHash, n-gram Jaccard. All shuffles are bucketed
+groupbys on int64 keys; signatures/shingles are computed once per doc in
+vectorized ``map_batches`` and carried through the shuffle (no re-compute).
+
+Scale notes (10^12-doc design point):
+* exact dedup: one shuffle on the 64-bit content-hash bucket; per-group
+  work is a vectorized sort+mask.
+* MinHash-LSH: band rows are (band_key, doc_id) — 16 rows/doc; hot bands
+  (boilerplate text) are CAPPED at ``max_group`` candidates with a counter,
+  the standard guard against quadratic blowup on degenerate buckets.
+* pair outputs are canonical (a < b) and deduped, so results are
+  deterministic under any parallelism.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.functions.text import (
+    char_shingles,
+    fingerprint,
+    hash_bytes,
+    minhash_params,
+    minhash_signature,
+    simhash,
+    word_ngrams,
+)
+
+PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("similarity", pa.float64())]
+)
+
+
+def _bucket_on(col, num_buckets):
+    def fn(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((v % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    return fn
+
+
+def exact_dedup(docs_ds, num_buckets=64):
+    """→ (doc_id, n_dups): one row per distinct raw text, keeping the
+    minimal doc_id (deterministic winner). Oracle: GROUP BY md5(text)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        import hashlib
+
+        h = np.array(
+            [int.from_bytes(hashlib.md5((x or "").encode()).digest()[:8], "little") for x in texts],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "h": pa.array(h, type=pa.uint64())}
+        )
+
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], h[1:] != h[:-1]]) if len(h) else np.array([], dtype=bool)
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(h)))
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)[starts]
+        return pa.table(
+            {"doc_id": pa.array(ids), "n_dups": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        docs_ds.map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(_bucket_on("h", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: first_per_hash(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+
+class _SignatureStage:
+    """doc batch → (doc_id, sig list<uint64>) — MinHash signatures; the
+    permutation seeds are built once per stage instance (broadcast)."""
+
+    def __init__(self, num_perm=64, shingle_k=5, seed=42):
+        self.seeds = minhash_params(num_perm, seed)
+        self.k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        sigs = [minhash_signature(char_shingles(x, self.k), self.seeds) for x in texts]
+        arr = np.vstack(sigs) if sigs else np.zeros((0, len(self.seeds)), dtype=np.uint64)
+        n, p = arr.shape
+        offsets = pa.array(np.arange(0, (n + 1) * p, p, dtype=np.int32))
+        vals = pa.array(arr.reshape(-1), type=pa.uint64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "sig": pa.ListArray.from_arrays(offsets, vals),
+            }
+        )
+
+
+def _pairs_from_groups(keys, ids, payload=None, max_group=256):
+    """Sorted candidate groups → canonical unique pair arrays."""
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    pl = payload[order] if payload is not None else None
+    first = np.concatenate([[True], keys[1:] != keys[:-1]]) if len(keys) else np.array([], dtype=bool)
+    starts = np.nonzero(first)[0]
+    ends = np.append(starts[1:], len(keys))
+    out_a, out_b, pl_a, pl_b = [], [], [], []
+    skipped = 0
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > max_group:
+            skipped += 1
+            continue
+        gi = ids[s:e]
+        iu, ju = np.triu_indices(m, k=1)
+        out_a.append(gi[iu])
+        out_b.append(gi[ju])
+        if pl is not None:
+            gp = pl[s:e]
+            pl_a.append(gp[iu])
+            pl_b.append(gp[ju])
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, (z, z) if payload is not None else None, skipped
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pls = (np.concatenate(pl_a), np.concatenate(pl_b)) if payload is not None else None
+    return lo, hi, pls, skipped
+
+
+def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, threshold=0.5, shingle_k=5, num_buckets=64, max_group=256):
+    """Near-duplicate pairs by MinHash-LSH: signature → band rows →
+    groupby(band key) → candidate pairs → similarity = matching-permutation
+    fraction (the unbiased Jaccard estimator) ≥ threshold → global pair
+    dedup. Carries the full signature on band rows (num_perm·8 B) so
+    verification happens inside the same shuffle — no second join."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig_stage = _SignatureStage(num_perm, shingle_k)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        st = sig_stage(t)
+        ids = st.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig = np.asarray(st.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, num_perm)
+        keys = []
+        for b in range(bands):
+            chunk = np.ascontiguousarray(sig[:, b * rows_per_band : (b + 1) * rows_per_band])
+            kb = chunk.view(np.uint8).reshape(n, -1)
+            import hashlib
+
+            key = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(bytes([b]) + kb[i].tobytes()).digest()[:8], "little")
+                    for i in range(n)
+                ),
+                dtype=np.uint64,
+                count=n,
+            )
+            keys.append(key)
+        bk = np.concatenate(keys) if keys else np.array([], dtype=np.uint64)
+        rep_ids = np.tile(ids, bands)
+        rep_sig = np.tile(sig, (bands, 1))
+        offsets = pa.array(np.arange(0, (len(rep_ids) + 1) * num_perm, num_perm, dtype=np.int32))
+        return pa.table(
+            {
+                "band_key": pa.array(bk, type=pa.uint64()),
+                "doc_id": pa.array(rep_ids),
+                "sig": pa.ListArray.from_arrays(offsets, pa.array(rep_sig.reshape(-1), type=pa.uint64())),
+            }
+        )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        keys = g.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig = np.asarray(g.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, num_perm)
+        idx = np.arange(n)
+        lo, hi, pls, _sk = _pairs_from_groups(keys, idx, payload=idx, max_group=max_group)
+        if len(lo) == 0:
+            return pa.table({n_: pa.array([], type=t_) for n_, t_ in zip(PAIR_SCHEMA.names, PAIR_SCHEMA.types)})
+        ia, ib = pls
+        sim = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = sim >= threshold
+        a = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        b = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pa.table(
+            {
+                "doc_a": pa.array(a.astype(np.int64)),
+                "doc_b": pa.array(b.astype(np.int64)),
+                "similarity": pa.array(sim[keep]),
+            }
+        )
+
+    candidates = (
+        docs_ds.map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(_bucket_on("band_key", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+    return dedup_pairs(candidates, num_buckets=num_buckets)
+
+
+def dedup_pairs(pairs_ds, num_buckets=64):
+    """Canonical pair dedup: groupby hash(doc_a,doc_b), keep first."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return t.append_column("pkey", pa.array(key, type=pa.uint64()))
+
+    def first(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) if len(a) else np.array([], dtype=bool)
+        return g.filter(pa.array(keep)).drop_columns(["bucket", "pkey"])
+
+    return (
+        pairs_ds.map_batches(add_key, batch_format="pyarrow")
+        .map_batches(_bucket_on("pkey", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first, batch_format="pyarrow")
+    )
+
+
+def simhash_pairs(docs_ds, max_hamming=3, num_buckets=64, max_group=512):
+    """Near-dup pairs by 64-bit SimHash: 4 16-bit bands (any pair within
+    Hamming ≤ 3 shares at least one exact band), candidates verified by
+    exact Hamming distance inline (the 8-byte sig rides the band rows)."""
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = np.array(
+            [simhash(list(word_ngrams(x, 1))) for x in texts], dtype=np.uint64
+        )
+        n = len(ids)
+        keys, rid, rsig = [], [], []
+        for b in range(4):
+            band_val = (sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keys.append((np.uint64(b) << np.uint64(16)) | band_val)
+            rid.append(ids)
+            rsig.append(sigs)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys), type=pa.uint64()),
+                "doc_id": pa.array(np.concatenate(rid)),
+                "sig": pa.array(np.concatenate(rsig), type=pa.uint64()),
+            }
+        )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        keys = g.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = g.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.arange(len(ids))
+        lo, hi, pls, _sk = _pairs_from_groups(keys, idx, payload=idx, max_group=max_group)
+        if len(lo) == 0:
+            return pa.table({n_: pa.array([], type=t_) for n_, t_ in zip(PAIR_SCHEMA.names, PAIR_SCHEMA.types)})
+        ia, ib = pls
+        x = sigs[ia] ^ sigs[ib]
+        hd = np.array([bin(int(v)).count("1") for v in x])
+        keep = hd <= max_hamming
+        a = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        b = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pa.table(
+            {
+                "doc_a": pa.array(a.astype(np.int64)),
+                "doc_b": pa.array(b.astype(np.int64)),
+                "similarity": pa.array(1.0 - hd[keep] / 64.0),
+            }
+        )
+
+    candidates = (
+        docs_ds.map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(_bucket_on("band_key", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+    return dedup_pairs(candidates, num_buckets=num_buckets)
+
+
+def ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, num_buckets=64, max_gram_docs=64):
+    """EXACT n-gram Jaccard similarity join: explode (gram, doc) rows →
+    groupby(gram) emits co-occurrence pairs → groupby(pair) counts |A∩B| →
+    join doc gram-set sizes → J = ∩/(|A|+|B|−∩) ≥ threshold.
+
+    ``max_gram_docs`` caps degenerate grams (stopword phrases) — the
+    documented approximation at scale; below the cap the result is exact."""
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        gs, ds_, sizes = [], [], np.empty(len(ids), dtype=np.int64)
+        for i, x in enumerate(texts):
+            grams = word_ngrams(x, n)
+            sizes[i] = len(grams)
+            gs.extend(grams)
+            ds_.extend([ids[i]] * len(grams))
+        return pa.table(
+            {
+                "gram": pa.array(np.array(gs, dtype=np.uint64), type=pa.uint64()),
+                "doc_id": pa.array(np.array(ds_, dtype=np.int64)),
+            }
+        )
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "set_size": pa.array(
+                    np.array([len(word_ngrams(x, n)) for x in texts], dtype=np.int64)
+                ),
+            }
+        )
+
+    def gram_group_pairs(g: pa.Table) -> pa.Table:
+        keys = g.column("gram").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        lo, hi, _pl, _sk = _pairs_from_groups(keys, ids, max_group=max_gram_docs)
+        return pa.table(
+            {"doc_a": pa.array(lo.astype(np.int64)), "doc_b": pa.array(hi.astype(np.int64))}
+        )
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) if len(a) else np.array([], dtype=bool)
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[starts]),
+                "doc_b": pa.array(b[starts]),
+                "n_common": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    grams = docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+    pair_rows = (
+        grams.map_batches(_bucket_on("gram", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: gram_group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return t.append_column("pkey", pa.array(key, type=pa.uint64()))
+
+    counted = (
+        pair_rows.map_batches(add_pkey, batch_format="pyarrow")
+        .map_batches(_bucket_on("pkey", num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: count_pairs(g.drop_columns(["bucket", "pkey"])), batch_format="pyarrow"
+        )
+    )
+
+    sizes = docs_ds.map_batches(size_rows, batch_format="pyarrow")
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    ca = bucket_join(
+        counted, sizes.map_batches(lambda t: t.rename_columns(["doc_a", "size_a"]), batch_format="pyarrow"),
+        "doc_a", num_buckets=num_buckets, how="inner",
+        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64())]),
+        right_schema=pa.schema([("doc_a", pa.int64()), ("size_a", pa.int64())]),
+    )
+    cab = bucket_join(
+        ca, sizes.map_batches(lambda t: t.rename_columns(["doc_b", "size_b"]), batch_format="pyarrow"),
+        "doc_b", num_buckets=num_buckets, how="inner",
+        left_schema=pa.schema([("doc_b", pa.int64()), ("doc_a", pa.int64()), ("n_common", pa.int64()), ("size_a", pa.int64())]),
+        right_schema=pa.schema([("doc_b", pa.int64()), ("size_b", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = t.column("size_a").to_numpy(zero_copy_only=False)
+        sb = t.column("size_b").to_numpy(zero_copy_only=False)
+        union = sa + sb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "similarity": pa.array(j[keep]),
+            }
+        )
+
+    return cab.map_batches(finish, batch_format="pyarrow")

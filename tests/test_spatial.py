@@ -1,0 +1,161 @@
+"""Tile-assignment (J5) and kNN (J6) pipelines vs driver-side brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile, tile_key
+
+
+def make_features(n=200, seed=7):
+    rng = np.random.RandomState(seed)
+    lon = rng.rand(n) * 0.5
+    lat = rng.rand(n) * 0.5
+    w = rng.rand(n) * 0.01
+    return pa.table(
+        {
+            "osm_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "minx": pa.array(lon),
+            "miny": pa.array(lat),
+            "maxx": pa.array(lon + w),
+            "maxy": pa.array(lat + w),
+        }
+    )
+
+
+class TestTileAssignment:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles
+
+        feats = make_features()
+        z = 12
+        # tile table: all tiles covering [0,0.5]^2 at z12
+        x0, y1 = lonlat_to_tile([0.0], [0.0], z)
+        x1, y0 = lonlat_to_tile([0.52], [0.52], z)
+        xs = np.arange(x0[0], x1[0] + 1)
+        ys = np.arange(y0[0], y1[0] + 1)
+        gx, gy = np.meshgrid(xs, ys)
+        tiles = pa.table(
+            {
+                "tkey": pa.array(tile_key(np.full(gx.size, z), gx.ravel(), gy.ravel())),
+                "media_ref": pa.array(["%d/%d/%d" % (z, a, b) for a, b in zip(gx.ravel(), gy.ravel())]),
+                "doc_id": pa.array(["d"] * gx.size),
+                "offset": pa.array(np.zeros(gx.size, dtype=np.int32)),
+            }
+        )
+        out = assign_features_to_tiles(
+            ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [z], num_buckets=8
+        ).take_all()
+        got = {
+            (r["tile_z"], r["tile_x"], r["tile_y"]): list(r["feature_ids"]) for r in out if r["n_features"]
+        }
+
+        # brute force oracle
+        expect = {}
+        f = feats.to_pydict()
+        for i in range(len(f["osm_id"])):
+            tx0, ty1 = lonlat_to_tile([f["minx"][i]], [f["miny"][i]], z)
+            tx1, ty0 = lonlat_to_tile([f["maxx"][i]], [f["maxy"][i]], z)
+            for a in range(tx0[0], tx1[0] + 1):
+                for b in range(ty0[0], ty1[0] + 1):
+                    expect.setdefault((z, a, b), []).append(f["osm_id"][i])
+        expect = {k: sorted(v) for k, v in expect.items() if k[1] in xs and k[2] in ys}
+        assert got == expect
+
+    def test_only_existing_tiles_emitted(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles
+
+        feats = make_features(20)
+        tiles = pa.table(
+            {
+                "tkey": pa.array([tile_key(np.array([12]), np.array([2048]), np.array([2047]))[0]]),
+                "media_ref": pa.array(["12/2048/2047"]),
+                "doc_id": pa.array(["d"]),
+                "offset": pa.array(np.array([0], dtype=np.int32)),
+            }
+        )
+        out = assign_features_to_tiles(
+            ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [12], num_buckets=4
+        ).take_all()
+        assert len(out) == 1
+        assert out[0]["tile_x"] == 2048
+
+
+class TestKnn:
+    def test_matches_global_bruteforce_when_ring_covers(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.knn import knn_nearest_features
+
+        feats = make_features(150, seed=3)
+        rng = np.random.RandomState(11)
+        qn = 25
+        queries = pa.table(
+            {
+                "query_id": pa.array(np.arange(qn, dtype=np.int64)),
+                "lon": pa.array(rng.rand(qn) * 0.5),
+                "lat": pa.array(rng.rand(qn) * 0.5),
+            }
+        )
+        # res=0 → cell ≈ 2.8°; ring=1 covers everything in [0,0.5]^2
+        out = knn_nearest_features(
+            ray.data.from_arrow(feats),
+            ray.data.from_arrow(queries),
+            k=5,
+            res=0,
+            ring=1,
+            num_buckets=4,
+        ).take_all()
+
+        fx = (feats.column("minx").to_numpy() + feats.column("maxx").to_numpy()) / 2
+        fy = (feats.column("miny").to_numpy() + feats.column("maxy").to_numpy()) / 2
+        ids = feats.column("osm_id").to_numpy()
+        for q in range(qn):
+            qx = queries.column("lon")[q].as_py()
+            qy = queries.column("lat")[q].as_py()
+            d2 = (fx - qx) ** 2 + (fy - qy) ** 2
+            order = np.lexsort((ids, d2))[:5]
+            expect = list(ids[order])
+            got = [r["osm_id"] for r in sorted((r for r in out if r["query_id"] == q), key=lambda r: r["rank"])]
+            assert got == expect, "query %d" % q
+
+    def test_ring_limits_candidates(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.knn import knn_nearest_features
+
+        # one feature near the query, one far away (outside the ring at res 8)
+        feats = pa.table(
+            {
+                "osm_id": pa.array([1, 2], type=pa.int64()),
+                "minx": pa.array([0.1, 5.0]),
+                "miny": pa.array([0.1, 5.0]),
+                "maxx": pa.array([0.1, 5.0]),
+                "maxy": pa.array([0.1, 5.0]),
+            }
+        )
+        queries = pa.table(
+            {
+                "query_id": pa.array([7], type=pa.int64()),
+                "lon": pa.array([0.1]),
+                "lat": pa.array([0.1]),
+            }
+        )
+        out = knn_nearest_features(
+            ray.data.from_arrow(feats), ray.data.from_arrow(queries), k=5, res=8, ring=1, num_buckets=2
+        ).take_all()
+        assert [r["osm_id"] for r in out] == [1]
+
+
+class TestCellCounts:
+    def test_counts(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.knn import cell_counts
+        from osm_export_tool_python_ray.functions.cells import cell_of
+
+        lon = np.array([0.1, 0.1, 0.1, 5.0])
+        lat = np.array([0.1, 0.1, 0.1, 5.0])
+        feats = pa.table({"cell": pa.array(cell_of(lon, lat), type=pa.uint64())})
+        out = cell_counts(ray.data.from_arrow(feats)).take_all()
+        ns = sorted(r["n"] for r in out)
+        assert ns == [1, 3]

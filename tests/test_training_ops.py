@@ -1,0 +1,237 @@
+"""Training-data ops: dedup family, embedding ANN, text analysis, media
+plumbing — checked against driver-side brute force / planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def doc_table(texts, start_id=0):
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(start_id, start_id + len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the miller grinds "
+    "wheat by the river and the baker sells fresh bread in the market square"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs():
+    texts = []
+    # 0,1: exact dups; 2: near-dup of 0; 3,4: unrelated
+    texts.append(BASE)
+    texts.append(BASE)
+    texts.append(BASE.replace("lazy dog", "sleepy dog"))
+    texts.append("completely different content about spark batches and arrow tables " * 3)
+    texts.append("numbers and symbols 123 456 789 !!! ??? ;;; ,,, ... :::")
+    # 5..24 distinct filler
+    for i in range(5, 25):
+        texts.append("filler document number %d with unique words alpha%d beta%d gamma%d" % (i, i, i * 7, i * 13))
+    return doc_table(texts)
+
+
+class TestExactDedup:
+    def test_exact(self, ray_session, planted_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(ray.data.from_arrow(planted_docs), num_buckets=8).take_all()
+        m = {r["doc_id"]: r["n_dups"] for r in out}
+        assert m[0] == 2          # doc 0+1 collapsed, min doc_id kept
+        assert 1 not in m
+        assert m[2] == 1
+        assert len(m) == planted_docs.num_rows - 1
+
+
+class TestMinHash:
+    def test_near_dups_found(self, ray_session, planted_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(
+            ray.data.from_arrow(planted_docs), threshold=0.5, num_buckets=8
+        ).take_all()
+        pairs = {(r["doc_a"], r["doc_b"]): r["similarity"] for r in out}
+        assert pairs[(0, 1)] == 1.0            # exact dup: all perms match
+        assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_deterministic(self, ray_session, planted_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import minhash_lsh_pairs
+
+        def run():
+            return sorted(
+                (r["doc_a"], r["doc_b"], r["similarity"])
+                for r in minhash_lsh_pairs(ray.data.from_arrow(planted_docs), num_buckets=8).take_all()
+            )
+
+        assert run() == run()
+
+
+class TestSimhashAndJaccard:
+    def test_simhash(self, ray_session, planted_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import simhash_pairs
+
+        out = simhash_pairs(ray.data.from_arrow(planted_docs), max_hamming=3, num_buckets=8).take_all()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+        assert (0, 1) in pairs            # identical → hamming 0
+        # (0,2) has hamming 5 > 3: must be filtered even if banding
+        # surfaced it as a candidate
+        assert (0, 2) not in pairs
+        # widen the radius: now (0,2) is within range (hamming ≤ 6) — the
+        # 4×16-bit bands only GUARANTEE recall ≤3, so check via pairs only
+        out6 = simhash_pairs(ray.data.from_arrow(planted_docs), max_hamming=8, num_buckets=8).take_all()
+        assert (0, 1) in {(r["doc_a"], r["doc_b"]) for r in out6}
+
+    def test_ngram_jaccard_exact(self, ray_session, planted_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import ngram_jaccard_pairs
+        from osm_export_tool_python_ray.functions.text import word_ngrams
+
+        out = ngram_jaccard_pairs(
+            ray.data.from_arrow(planted_docs), n=3, threshold=0.3, num_buckets=8
+        ).take_all()
+        got = {(r["doc_a"], r["doc_b"]): r["similarity"] for r in out}
+        # brute-force oracle over all pairs
+        texts = planted_docs.column("text").to_pylist()
+        sets = [word_ngrams(t, 3) for t in texts]
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 0.0
+                if jac >= 0.3:
+                    assert got.get((i, j)) == pytest.approx(jac), (i, j)
+                else:
+                    assert (i, j) not in got
+
+
+def embedding_table(n=120, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim).astype(np.float32)
+    # plant near-dups: 1 ≈ 0, 11 ≈ 10
+    m[1] = m[0] + rng.randn(dim).astype(np.float32) * 0.01
+    m[11] = m[10] + rng.randn(dim).astype(np.float32) * 0.01
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    return (
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(offsets, pa.array(m.reshape(-1))),
+            }
+        ),
+        m,
+    )
+
+
+class TestAnn:
+    def test_topk_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.ann import ann_topk
+
+        tbl, m = embedding_table()
+        q = m[:4]
+        out = ann_topk(ray.data.from_arrow(tbl), q, [100, 101, 102, 103], k=5).take_all()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for qi, qid in enumerate([100, 101, 102, 103]):
+            order = np.lexsort((np.arange(len(m)), -sims[qi]))[:5]
+            got = [r["vec_id"] for r in sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])]
+            assert got == list(order), qid
+
+    def test_near_dup(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.ann import embedding_near_dup
+
+        tbl, m = embedding_table()
+        out = embedding_near_dup(ray.data.from_arrow(tbl), threshold=0.98, num_planes=6, num_buckets=8).take_all()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+        assert (0, 1) in pairs
+        assert (10, 11) in pairs
+
+    def test_ivf_recall(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.ann import ivf_topk
+
+        tbl, m = embedding_table(300)
+        q = m[:3]
+        out = ivf_topk(
+            ray.data.from_arrow(tbl), q, [0, 1, 2], k=5, num_centroids=8, nprobe=4
+        ).take_all()
+        # query 0's own vector must be rank 0 (it probes its own cell)
+        r0 = [r for r in out if r["query_id"] == 0 and r["rank"] == 0]
+        assert r0 and r0[0]["vec_id"] == 0
+
+
+class TestTextStages:
+    def test_stats_and_fp(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.textstages import doc_stats, doc_fingerprint, quality_score
+
+        t = doc_table(["hello world!  two  spaces", "", "a b c d e f."])
+        ds = ray.data.from_arrow(t)
+        stats = {r["doc_id"]: r for r in ds.map_batches(doc_stats, batch_format="pyarrow").take_all()}
+        assert stats[0]["n_tokens"] == 4
+        assert stats[1]["n_tokens"] == 0
+        assert stats[2]["n_tokens"] == 6
+        fps = {r["doc_id"]: r["fp"] for r in ds.map_batches(doc_fingerprint, batch_format="pyarrow").take_all()}
+        import hashlib
+        assert fps[0] == hashlib.md5(b"hello world! two spaces").hexdigest()
+        qs = {r["doc_id"]: r["quality"] for r in ds.map_batches(quality_score, batch_format="pyarrow").take_all()}
+        assert 0.0 <= qs[1] <= 1.0
+
+    def test_langid(self, ray_session):
+        from osm_export_tool_python_ray.functions.text import lang_id
+
+        preds = lang_id(
+            [
+                "the cat sat on the mat and it was happy to be in the house",
+                "der hund ist ein guter freund und die katze auch",
+                "le chat est dans la maison et il est content pour le moment",
+                "el perro es un buen amigo y la casa es grande para todos",
+                "",
+            ]
+        )
+        assert preds == ["en", "de", "fr", "es", "und"]
+
+
+class TestMedia:
+    def test_pipeline_plumbing(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.media import (
+            DecodeStage,
+            FrameSampleStage,
+            make_fake_media_table,
+            media_pipeline,
+        )
+
+        tbl = make_fake_media_table(["12/100/200", "12/100/201", "12/101/200"])
+        out = media_pipeline(ray.data.from_arrow(tbl), concurrency=1).take_all()
+        assert len(out) == 3
+        assert all(len(r["embedding"]) == 16 for r in out)
+        # determinism of the fake feature extractor
+        out2 = media_pipeline(ray.data.from_arrow(tbl), concurrency=1).take_all()
+        assert sorted(map(str, out)) == sorted(map(str, out2))
+
+    def test_strict_decode_raises(self):
+        from osm_export_tool_python_ray.stages.media import DecodeStage, make_fake_media_table
+
+        with pytest.raises(NotImplementedError):
+            DecodeStage(strict=True)(make_fake_media_table(["a"]))
+
+    def test_frame_sampler(self):
+        from osm_export_tool_python_ray.stages.media import FrameSampleStage, make_fake_media_table
+
+        t = make_fake_media_table(["v1"], media_type="video")
+        out = FrameSampleStage(every_n=5)(t)
+        assert out.num_rows >= 1
+        assert out.column("frame_idx")[0].as_py() == 0
