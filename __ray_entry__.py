@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver's verify calls ``entry()`` as a smoke check (Ray already
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares against ``oracle_sql()[name]`` via DuckDB (row-count + schema
++ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or in the library (Ray Data
+auto-initialises standalone; only bench.py, the CLI and the test fixture
+own a session).
 """
 
 from __future__ import annotations
@@ -20,25 +17,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: exact-dedup + quality over the driver
+    documents table, and the OSM export (explode → assemble → clip → theme
+    route) over the deterministic interleaved corpus; returns the
+    per-theme×geomtype feature counts (stable schema, ≥0 rows)."""
+    from osm_export_tool_python_ray.pipelines.queries import (
+        q_exact_dedup,
+        q_export_theme_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    q_exact_dedup(sf_dir).materialize()  # touch the driver tables
+    return q_export_theme_counts(sf_dir).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_export_tool_python_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_export_tool_python_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,650 @@
+"""Driver-contract query implementations (one per operator family from
+SURVEY.md §2 + the training-data ops) with matching DuckDB oracle SQL.
+
+Every SQL-expressible query names its computed columns identically in the
+Ray pipeline and the oracle (the driver sorts columns by name and
+value-hashes). Floating-point aggregates are rounded to 6 decimals on BOTH
+sides so double-summation order cannot flip the hash. Ops that SQL cannot
+express (LSH pipelines, heuristic lang-ID, the OSM export itself) have no
+oracle — the driver records a rows-only check and pytest carries their
+brute-force verification.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from osm_export_tool_python_ray.functions.cells import cell_of
+from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile
+
+_CORPUS_CACHE = "/tmp/graft_corpus"
+
+
+def _read(sf_dir, table, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, table + ".parquet"), columns=columns
+    )
+
+
+def corpus_path(n_shards, density=1.0):
+    """Deterministic cached corpus parquet (generated once per config)."""
+    os.makedirs(_CORPUS_CACHE, exist_ok=True)
+    path = os.path.join(_CORPUS_CACHE, "corpus_s%d_d%g.parquet" % (n_shards, density))
+    if not os.path.exists(path):
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path + ".tmp", n_shards=n_shards, density=density)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+# ---------------------------------------------------------------- documents
+
+def q_exact_dedup(sf_dir):
+    from osm_export_tool_python_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), num_buckets=16)
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_stats(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import doc_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(doc_stats, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("punct_ratio"),
+            "punct_ratio",
+            pc.round(t.column("punct_ratio"), 6),
+        ).set_column(
+            t.schema.get_field_index("mean_token_len"),
+            "mean_token_len",
+            pc.round(t.column("mean_token_len"), 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[.!?,;:]')) * 1.0 / length(text)
+             ELSE 0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+             THEN (length(text) - greatest(len(regexp_extract_all(text, '\S+')) - 1, 0)) * 1.0
+                  / len(regexp_extract_all(text, '\S+'))
+             ELSE 0 END, 6) AS mean_token_len
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import doc_fingerprint
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_fingerprint, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_quality_score(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_score, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("quality"), "quality", pc.round(t.column("quality"), 6)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS toks,
+         length(text) AS chars,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+  FROM documents
+), d AS (
+  SELECT doc_id, toks,
+         CASE WHEN chars > 0 THEN punct * 1.0 / chars ELSE 0 END AS pr,
+         CASE WHEN toks > 0 THEN (chars - greatest(toks - 1, 0)) * 1.0 / toks ELSE 0 END AS mtl
+  FROM s
+)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN toks >= 5 AND toks <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 15.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM d
+"""
+
+
+def q_lang_counts(sf_dir):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_theme_filter(sf_dir):
+    """Matcher semantics over a tags map built from document columns —
+    exercises the vectorized matcher hot path. WHERE (with the reference's
+    right-associative no-precedence quirk):
+        lang = 'en' AND n_chars > '200' OR source IN ('src1','src2')
+    parses as AND(lang='en', OR(n_chars>'200', source IN (...))) and the
+    ordering op compares LEXICOGRAPHICALLY."""
+    from osm_export_tool_python_ray.sql import Matcher
+    from osm_export_tool_python_ray.stages.matcher_eval import eval_expr, extract_tag_columns
+
+    matcher = Matcher.from_sql("lang = 'en' AND n_chars > '200' OR source IN ('src1','src2')")
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tags = pa.array(
+            [
+                [("lang", l), ("source", s), ("n_chars", str(c))]
+                for l, s, c in zip(
+                    t.column("lang").to_pylist(),
+                    t.column("source").to_pylist(),
+                    t.column("n_chars").to_pylist(),
+                )
+            ],
+            type=pa.map_(pa.string(), pa.string()),
+        )
+        cols = extract_tag_columns(tags, ["lang", "source", "n_chars"])
+        mask = eval_expr(matcher.expr, cols, n)
+        return t.filter(pa.array(mask)).select(["doc_id", "lang", "source", "n_chars"])
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_THEME_FILTER = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang = 'en' AND (CAST(n_chars AS VARCHAR) > '200' OR source IN ('src1','src2'))
+"""
+
+
+def q_lang_id(sf_dir):
+    """Heuristic language-ID (rows-only: not SQL-expressible)."""
+    from osm_export_tool_python_ray.stages.textstages import doc_lang
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_lang, batch_format="pyarrow"
+    )
+
+
+def q_minhash_pairs(sf_dir):
+    from osm_export_tool_python_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, num_buckets=16
+    )
+
+
+def q_simhash_pairs(sf_dir):
+    from osm_export_tool_python_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3, num_buckets=16
+    )
+
+
+def q_ngram_jaccard(sf_dir):
+    from osm_export_tool_python_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, threshold=0.4, num_buckets=16
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("similarity"), "similarity", pc.round(t.column("similarity"), 6)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------- embeddings
+
+def _query_vectors(sf_dir, n=4):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    m = np.array(t.column("embedding").to_pylist()[:n], dtype=np.float64)
+    ids = t.column("vec_id").to_pylist()[:n]
+    return m, ids
+
+
+def q_ann_topk(sf_dir):
+    from osm_export_tool_python_ray.stages.ann import ann_topk
+
+    qm, qids = _query_vectors(sf_dir, 4)
+    out = ann_topk(_read(sf_dir, "embeddings"), qm, qids, k=10)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("cos_sim"), "cos_sim", pc.round(t.column("cos_sim"), 6)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3)),
+ranked AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim,
+         row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+         ) - 1 AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank < 10
+"""
+
+
+def q_embedding_near_dup(sf_dir):
+    from osm_export_tool_python_ray.stages.ann import embedding_near_dup
+
+    out = embedding_near_dup(
+        _read(sf_dir, "embeddings"), threshold=0.4, num_planes=4, num_buckets=16
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("similarity"), "similarity", pc.round(t.column("similarity"), 5)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_ivf_topk(sf_dir):
+    from osm_export_tool_python_ray.stages.ann import ivf_topk
+
+    qm, qids = _query_vectors(sf_dir, 4)
+    return ivf_topk(_read(sf_dir, "embeddings"), qm, qids, k=5)
+
+
+# ------------------------------------------------------------- relational
+
+def q_q1_lineitem(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="revenue"),
+            Count(alias_name="n"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t.column("revenue"), 2)
+        ).set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty", pc.round(t.column("sum_qty"), 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_Q1_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # deterministic top-k: sort by (price desc, key asc)
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_customer_orders_join(sf_dir):
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return j.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+SQL_CUSTOMER_ORDERS_JOIN = """
+SELECT c_mktsegment, count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_window(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour_ts", pc.floor_temporal(t.column("ts"), unit="hour"))
+
+    out = (
+        ds.map_batches(hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour_ts"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t.column("sum_value"), 4)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# ----------------------------------------------------------------- spatial
+
+def _customer_points(t: pa.Table) -> pa.Table:
+    """Deterministic synthetic lon/lat from c_custkey (shared with the SQL
+    oracle formula verbatim)."""
+    k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.float64)
+    lon = np.mod(k, 100.0) * 0.01
+    lat = np.mod(np.floor(k / 7.0), 100.0) * 0.01
+    return pa.table(
+        {
+            "c_custkey": t.column("c_custkey"),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+
+
+def q_cell_counts(sf_dir):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _customer_points, batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells = cell_of(
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False),
+            res=8,
+        ).astype(np.int64)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+
+# scale at res 8: 2^(8+7)/360 cells per degree; id = 8·2^58 + ix·2^29 + iy
+SQL_CELL_COUNTS = """
+WITH pts AS (
+  SELECT (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), cells AS (
+  SELECT CAST(8 AS BIGINT) * 288230376151711744
+       + CAST(floor((lon + 180.0) * 32768.0 / 360.0) AS BIGINT) * 536870912
+       + CAST(floor((lat + 90.0) * 32768.0 / 360.0) AS BIGINT) AS cell
+  FROM pts
+)
+SELECT cell, count(*) AS n FROM cells GROUP BY cell
+"""
+
+
+def q_tile_counts(sf_dir):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _customer_points, batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = lonlat_to_tile(
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False),
+            12,
+        )
+        key = x * (1 << 22) + y
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tile_x": pa.array((u // (1 << 22)).astype(np.int64)),
+                "tile_y": pa.array((u % (1 << 22)).astype(np.int64)),
+                "n_partial": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+
+SQL_TILE_COUNTS = """
+WITH pts AS (
+  SELECT (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), tiles AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS tile_y
+  FROM pts
+)
+SELECT tile_x, tile_y, count(*) AS n FROM tiles GROUP BY tile_x, tile_y
+"""
+
+
+def q_knn(sf_dir):
+    """Cell-local kNN over the synthetic customer points; queries are the
+    5 smallest custkeys. res=0/ring=1 cells (~2.8°) cover the whole 1°×1°
+    point field, so the result equals global kNN — which the SQL oracle
+    computes with a window function."""
+    from osm_export_tool_python_ray.stages.knn import knn_nearest_features
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _customer_points, batch_format="pyarrow"
+    )
+
+    def as_features(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "osm_id": t.column("c_custkey"),
+                "minx": t.column("lon"),
+                "miny": t.column("lat"),
+                "maxx": t.column("lon"),
+                "maxy": t.column("lat"),
+            }
+        )
+
+    def as_queries(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.less_equal(t.column("c_custkey"), 5))
+        return pa.table(
+            {
+                "query_id": tt.column("c_custkey"),
+                "lon": tt.column("lon"),
+                "lat": tt.column("lat"),
+            }
+        )
+
+    feats = pts.map_batches(as_features, batch_format="pyarrow")
+    queries = pts.map_batches(as_queries, batch_format="pyarrow")
+    out = knn_nearest_features(feats, queries, k=3, res=0, ring=1, num_buckets=8)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("dist2"), "dist2", pc.round(t.column("dist2"), 10)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KNN = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), q AS (
+  SELECT c_custkey AS query_id, lon AS qlon, lat AS qlat FROM pts WHERE c_custkey <= 5
+), ranked AS (
+  SELECT q.query_id, p.c_custkey AS osm_id,
+         round((q.qlon - p.lon) * (q.qlon - p.lon) + (q.qlat - p.lat) * (q.qlat - p.lat), 10) AS dist2,
+         row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (q.qlon - p.lon) * (q.qlon - p.lon) + (q.qlat - p.lat) * (q.qlat - p.lat), p.c_custkey
+         ) - 1 AS rank
+  FROM q CROSS JOIN pts p
+)
+SELECT query_id, osm_id, dist2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank < 3
+"""
+
+
+# -------------------------------------------------------------- OSM export
+
+def q_export_theme_counts(sf_dir):
+    """Flagship export over the deterministic interleaved corpus (the
+    input_hint shape) with the reference's default.yml: per-theme counts.
+    Not SQL-expressible (geometry assembly) → rows-only + pytest goldens."""
+    import ray.data
+
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export, theme_counts
+
+    docs = ray.data.read_parquet(corpus_path(n_shards=4))
+    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
+        mapping = Mapping(f.read())
+    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    return theme_counts(themed).sort(["theme", "geom_type"])
+
+
+def q_tile_assignment(sf_dir):
+    """Raster↔vector assignment over the corpus: features × tile spans.
+    Rows-only (geometry assembly upstream)."""
+    import ray.data
+
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.stages.explode import explode_tiles
+    from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles, dedup_tiles
+
+    docs = ray.data.read_parquet(corpus_path(n_shards=4))
+    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
+        mapping = Mapping(f.read())
+    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    feats = themed.map_batches(
+        lambda t: t.select(["osm_id", "minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+    )
+    tiles = dedup_tiles(
+        ray.data.read_parquet(corpus_path(n_shards=4)).map_batches(
+            explode_tiles, batch_format="pyarrow"
+        ),
+        num_buckets=8,
+    )
+    out = assign_features_to_tiles(feats, tiles, zooms=[12], num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["tile_z", "tile_x", "tile_y", "media_ref", "n_features"]),
+        batch_format="pyarrow",
+    ).sort(["tile_z", "tile_x", "tile_y"])
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "doc_stats": q_doc_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_score": q_quality_score,
+    "lang_counts": q_lang_counts,
+    "theme_filter": q_theme_filter,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ivf_topk": q_ivf_topk,
+    "q1_lineitem": q_q1_lineitem,
+    "top_orders": q_top_orders,
+    "customer_orders_join": q_customer_orders_join,
+    "events_window": q_events_window,
+    "cell_counts": q_cell_counts,
+    "tile_counts": q_tile_counts,
+    "knn": q_knn,
+    "export_theme_counts": q_export_theme_counts,
+    "tile_assignment": q_tile_assignment,
+}
+
+ORACLES = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "doc_stats": SQL_DOC_STATS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_counts": SQL_LANG_COUNTS,
+    "theme_filter": SQL_THEME_FILTER,
+    "ann_topk": SQL_ANN_TOPK,
+    "q1_lineitem": SQL_Q1_LINEITEM,
+    "top_orders": SQL_TOP_ORDERS,
+    "customer_orders_join": SQL_CUSTOMER_ORDERS_JOIN,
+    "events_window": SQL_EVENTS_WINDOW,
+    "cell_counts": SQL_CELL_COUNTS,
+    "tile_counts": SQL_TILE_COUNTS,
+    "knn": SQL_KNN,
+}

@@ -16,10 +16,10 @@ import numpy as np
 import pyarrow as pa
 
 
-def _to_matrix(col):
+def _to_matrix(col, dtype=np.float32):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     n = len(col)
     return vals.reshape(n, -1) if n else vals.reshape(0, 0)
 
@@ -35,13 +35,14 @@ def ann_topk(embeddings_ds, query_matrix, query_ids, k=10):
     the (small) candidate set."""
     import ray
 
-    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
-    qref = ray.put(qm)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qref = ray.put((qm, qnorm))
     qids = np.asarray(query_ids, dtype=np.int64)
 
     def partial(t: pa.Table) -> pa.Table:
-        q = ray.get(qref)
-        m = _normalize(_to_matrix(t.column("embedding")))
+        q, qn = ray.get(qref)
+        m = _to_matrix(t.column("embedding"), np.float64)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table(
@@ -51,7 +52,10 @@ def ann_topk(embeddings_ds, query_matrix, query_ids, k=10):
                     "cos_sim": pa.array([], type=pa.float64()),
                 }
             )
-        sims = q @ m.T  # (Q, B)
+        # dot/(|a||b|) — the exact arithmetic of DuckDB list_cosine_similarity
+        # over DOUBLE[] (oracle parity)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (q @ m.T) / np.maximum(qn * mn.T, 1e-300)  # (Q, B)
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         qq = np.repeat(qids, kk)

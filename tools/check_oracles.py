@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf and diff against its oracle_sql() via DuckDB
+(row count + sorted-column value comparison). Usage:
+
+    python tools/check_oracles.py [sf_dir] [name ...]
+"""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(result):
+    import ray.data
+    import pyarrow as pa
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) in ("int32", "int16", "int8"):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    return df
+
+
+def main():
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    import logging
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')" % (t, sf_dir, t)
+        )
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = normalize(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print("%-24s ERROR %s: %s" % (name, type(e).__name__, e))
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print("%-24s rows-only: %d rows, cols=%s" % (name, len(mine), list(mine.columns)))
+            continue
+        theirs = normalize(con.execute(oracles[name]).df())
+        status = []
+        if list(mine.columns) != list(theirs.columns):
+            status.append("SCHEMA mine=%s oracle=%s" % (list(mine.columns), list(theirs.columns)))
+        if len(mine) != len(theirs):
+            status.append("ROWS mine=%d oracle=%d" % (len(mine), len(theirs)))
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            except AssertionError as e:
+                status.append("VALUES %s" % str(e).split("\n")[0])
+        if status:
+            print("%-24s MISMATCH: %s" % (name, "; ".join(status)))
+            failures.append(name)
+        else:
+            print("%-24s OK (%d rows)" % (name, len(mine)))
+    ray.shutdown()
+    if failures:
+        print("\nFAILED:", failures)
+        sys.exit(1)
+    print("\nall oracle checks passed")
+
+
+if __name__ == "__main__":
+    main()
