@@ -1,0 +1,228 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+        "throughput": {features_per_sec, tiles_per_sec, ...}}
+
+--scaling: runs the HEADLINE pipeline (export + tile assignment over the
+big deterministic corpus) twice in fresh subprocesses at num_cpus=8 and 32
+on the SAME input and reports both times + scaling efficiency — the
+sandbox stand-in for the N vs 4N node criterion (BASELINE.md). Partition /
+bucket counts are FIXED across both levels so only parallelism varies.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+# fixed across parallelism levels: only the worker count may vary
+NUM_PARTITIONS = 32
+NUM_BUCKETS = 128
+
+
+def _infer_sf(sf_dir):
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return None
+
+
+def _init_ray(num_cpus):
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _corpus(sf):
+    from osm_export_tool_python_ray.pipelines import queries as Q
+
+    # sized so per-block compute dominates per-task overhead (~1M elements
+    # at sf0.1); generation is parallel and cached. --scaling uses a larger
+    # corpus (BENCH_SCALE_SHARDS) so the scalable fraction dwarfs the fixed
+    # per-stage scheduling floor.
+    n_shards = int(os.environ.get("BENCH_SCALE_SHARDS", "0")) or max(
+        64, int(round(10240 * sf))
+    )
+    return Q.corpus_path(n_shards=n_shards, density=4.0)
+
+
+def run_headline(sf_dir, num_cpus):
+    """Export + tiling over the big corpus; returns (timings, counters)."""
+    import ray.data
+
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.stages.explode import explode_tiles
+    from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles, dedup_tiles
+
+    sf = _infer_sf(sf_dir) or 0.1
+    corpus = _corpus(sf)
+    # warm page cache AND worker processes (untimed): every worker imports
+    # the package + numpy once, so timed stages measure compute, not
+    # first-task import cost
+    ray.data.read_parquet(corpus).count()
+
+    def _warm(batch):
+        import osm_export_tool_python_ray.stages.features  # noqa: F401
+        return batch
+
+    ray.data.range(num_cpus * 64, override_num_blocks=num_cpus * 8).map_batches(
+        _warm, batch_format="pyarrow"
+    ).count()
+
+    def read_corpus():
+        # pinned block count: identical task granularity at every
+        # parallelism level (the scaling knob is workers, not task count)
+        return ray.data.read_parquet(corpus, override_num_blocks=NUM_PARTITIONS)
+
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "osm_export_tool_python_ray", "mappings", "default.yml")
+    ) as f:
+        mapping = Mapping(f.read())
+
+    timings = {}
+    counters = {}
+
+    t0 = time.perf_counter()
+    docs = read_corpus()
+    themed = run_export(
+        docs, mapping, num_partitions=NUM_PARTITIONS, num_buckets=NUM_BUCKETS
+    ).materialize()
+    counters["features"] = themed.count()
+    timings["export"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    feats = themed.map_batches(
+        lambda t: t.select(["osm_id", "minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+    )
+    tiles = dedup_tiles(
+        read_corpus().map_batches(explode_tiles, batch_format="pyarrow"),
+        num_buckets=32,
+    )
+    out = assign_features_to_tiles(feats, tiles, zooms=[12], num_buckets=NUM_BUCKETS)
+    counters["tiles"] = out.count()
+    timings["tile_assignment"] = round(time.perf_counter() - t0, 3)
+    counters["docs"] = ray.data.read_parquet(corpus).count()
+    return timings, counters
+
+
+def run_query_suite(sf_dir):
+    from osm_export_tool_python_ray.pipelines import queries as Q
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn().count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed("exact_dedup", lambda: Q.q_exact_dedup(sf_dir))
+    timed("minhash_pairs", lambda: Q.q_minhash_pairs(sf_dir))
+    timed("doc_stats", lambda: Q.q_doc_stats(sf_dir))
+    timed("ann_topk", lambda: Q.q_ann_topk(sf_dir))
+    timed("q1_lineitem", lambda: Q.q_q1_lineitem(sf_dir))
+    timed("events_window", lambda: Q.q_events_window(sf_dir))
+    timed("cell_counts", lambda: Q.q_cell_counts(sf_dir))
+    timed("knn", lambda: Q.q_knn(sf_dir))
+    return timings
+
+
+def run_bench(sf_dir, num_cpus, headline_only=False):
+    import ray
+
+    _init_ray(num_cpus)
+    sf = _infer_sf(sf_dir) or 0.1
+    timings, counters = run_headline(sf_dir, num_cpus)
+    if not headline_only:
+        timings.update(run_query_suite(sf_dir))
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline pipelines wall time (export + tiling%s)"
+        % ("" if headline_only else " + training ops"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "throughput": {
+            "features_per_sec": round(counters.get("features", 0) / max(timings.get("export", 1e-9), 1e-9), 1),
+            "tiles_per_sec": round(counters.get("tiles", 0) / max(timings.get("tile_assignment", 1e-9), 1e-9), 1),
+            "corpus_docs": counters.get("docs", 0),
+            "features": counters.get("features", 0),
+            "tiles": counters.get("tiles", 0),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu, headline_only=False):
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if headline_only:
+        env["BENCH_HEADLINE_ONLY"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        os.environ.setdefault("BENCH_SCALE_SHARDS", "5120")
+        lo = run_subprocess(lo_cpus, headline_only=True)
+        hi = run_subprocess(hi_cpus, headline_only=True)
+        t_lo, t_hi = lo["value"], hi["value"]
+        speedup = t_lo / t_hi if t_hi > 0 else 0.0
+        eff = speedup / (hi_cpus / lo_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency %d→%d cpus (headline export+tiling)" % (lo_cpus, hi_cpus),
+                    "sec_%d" % lo_cpus: t_lo,
+                    "sec_%d" % hi_cpus: t_hi,
+                    "speedup": round(speedup, 3),
+                    "scaling_efficiency": round(eff, 3),
+                    "features_per_sec_%d" % lo_cpus: lo["throughput"]["features_per_sec"],
+                    "features_per_sec_%d" % hi_cpus: hi["throughput"]["features_per_sec"],
+                    "queries_%d" % lo_cpus: lo["queries"],
+                    "queries_%d" % hi_cpus: hi["queries"],
+                    "sf": lo.get("sf"),
+                }
+            )
+        )
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+    print(json.dumps(run_bench(sf_dir, ncpu, headline_only=headline_only)))
+
+
+if __name__ == "__main__":
+    main()

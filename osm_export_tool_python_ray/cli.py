@@ -1,0 +1,109 @@
+"""CLI mirroring ``bin/osm-export-tool`` (reference cmd.py:11-66):
+
+    python -m osm_export_tool_python_ray.cli CORPUS.parquet OUTPUT_NAME \
+        [-m MAPPING.yml] [-f gpkg shp kml mgpkg] [--clip AOI] [-v] \
+        [--omit-osm-ids] [--centroid] [--workdir DIR] [--num-cpus N]
+
+CORPUS is a parquet file/dir of interleaved documents (input_hint shape).
+This module owns a Ray session (scripts do; library code does not).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Ray-Data OSM export engine")
+    parser.add_argument("corpus", help="interleaved-document parquet path")
+    parser.add_argument("output_name", help="output path base name")
+    parser.add_argument("-m", "--mapping", help="YAML mapping file")
+    parser.add_argument(
+        "-f",
+        "--formats",
+        nargs="+",
+        default=["gpkg"],
+        choices=["gpkg", "shp", "kml", "mgpkg"],
+    )
+    parser.add_argument("--clip", help="GeoJSON or POLY file to clip to")
+    parser.add_argument("--omit-osm-ids", action="store_true")
+    parser.add_argument("--centroid", action="store_true", help="polygon centroids as points")
+    parser.add_argument("--workdir", help="checkpoint dir (resumable)")
+    parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    parser.add_argument("-v", "--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR" if not args.verbose else "INFO",
+        )
+    import logging
+
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = bool(args.verbose)
+    if not args.verbose:
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from osm_export_tool_python_ray.geometry import load_geometry
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.sinks import Geopackage, Kml, MultiGeopackage, Shapefile
+
+    if args.mapping:
+        with open(args.mapping) as f:
+            mapping_txt = f.read()
+    else:
+        with open(
+            os.path.join(os.path.dirname(__file__), "mappings", "default.yml")
+        ) as f:
+            mapping_txt = f.read()
+    mapping, errors = Mapping.validate(mapping_txt, default_osm_id=not args.omit_osm_ids)
+    if errors:
+        for e in errors:
+            print(e, file=sys.stderr)
+        return 1
+
+    aoi = None
+    if args.clip:
+        with open(args.clip) as f:
+            aoi = load_geometry(f.read())
+
+    start = time.time()
+    docs = ray.data.read_parquet(args.corpus)
+    workdir = args.workdir or (args.output_name + ".work")
+    themed = run_export(
+        docs,
+        mapping,
+        aoi_polygons=aoi,
+        polygon_centroid=args.centroid,
+        workdir=workdir,
+        num_partitions=max(4, args.num_cpus),
+        num_buckets=max(16, args.num_cpus * 4),
+    )
+
+    sink_cls = {"gpkg": Geopackage, "shp": Shapefile, "kml": Kml, "mgpkg": MultiGeopackage}
+    files = []
+    features_path = os.path.join(workdir, "features")
+    for fmt in args.formats:
+        sink = sink_cls[fmt](args.output_name, mapping, omit_osm_ids=args.omit_osm_ids)
+        files.extend(sink.write_from(features_path))
+        sink.finalize()
+
+    print("Elapsed: {0}".format(time.time() - start))
+    for f in files:
+        print(f)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

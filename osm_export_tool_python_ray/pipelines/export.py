@@ -4,12 +4,12 @@ Engine equivalent of ``cmd.main`` + ``tabular.Handler`` (reference
 cmd.py:11-66, tabular.py:251-339), re-expressed as a Ray Data DAG:
 
     read docs → explode spans → dedup (shuffle: ekey)
-      ├─ nodes ──────────────────────────→ PointFeatures ─┐
-      ├─ ways → J1 join(node_id) + groupby(way_id%B) ─┐   │
-      │     └──→ join tags → WayFeatures ─────────────┤   ├─ union →
-      └─ relations → J2 join(way_id) + groupby(rel%B) │   │  ThemeRouter →
-            └──→ join tags → RelationAreaFeatures ────┘───┘  features
-                                                             (ckpt, theme-partitioned)
+      ├─ nodes ─────────────────────────────→ PointFeatures ──┐
+      ├─ ways → J1 cogroup(node_id) → groupby(way_id%B)       ├─ union →
+      │     (tags ride seq==0 rows) → WayFeatures ────────────┤  ThemeRouter
+      └─ relations → J2 cogroup(way_id) → groupby(rel%B)      │  → features
+            (tags ride min-mseq rows) → RelationAreaFeatures ─┘  (ckpt,
+                                                         theme-partitioned)
 
 Stage boundaries (elements, way_geoms, features) are durable parquet
 checkpoints when ``workdir`` is given — branch points that would otherwise
@@ -21,12 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from osm_export_tool_python_ray.stages.explode import dedup_elements, explode_osm
-from osm_export_tool_python_ray.stages.assemble import (
-    REL_GEOM_SCHEMA,
-    WAY_GEOM_SCHEMA,
-    assemble_relations,
-    assemble_ways,
-)
+from osm_export_tool_python_ray.stages.assemble import assemble_relations, assemble_ways
 from osm_export_tool_python_ray.stages.features import (
     PointFeatures,
     RelationAreaFeatures,
@@ -38,17 +33,7 @@ from osm_export_tool_python_ray.stages.matcher_eval import (
     extract_tag_columns,
     tag_count,
 )
-from osm_export_tool_python_ray.stages.joins import bucket_join
 from osm_export_tool_python_ray.state.checkpoint import materialize_or_checkpoint
-
-_TAGS_SIDE = lambda key: pa.schema(
-    [
-        (key, pa.int64()),
-        ("tags", pa.map_(pa.string(), pa.string())),
-        ("doc_id", pa.string()),
-        ("offset", pa.int32()),
-    ]
-)
 
 _AREA_RELATION_TYPES = ("multipolygon", "boundary")
 
@@ -118,8 +103,11 @@ def run_export(
     nodes_loc = elements.map_batches(
         _kind_filter("node", ["element_id", "lon", "lat"]), batch_format="pyarrow"
     )
+    # way tags/provenance ride the refs explode (seq==0 rows) through the
+    # assembly shuffles — no separate tags join afterwards
     ways = elements.map_batches(
-        _kind_filter("way", ["element_id", "refs"]), batch_format="pyarrow"
+        _kind_filter("way", ["element_id", "refs", "tags", "doc_id", "offset"]),
+        batch_format="pyarrow",
     )
 
     way_geoms = materialize_or_checkpoint(
@@ -137,42 +125,20 @@ def run_export(
         PointFeatures(mapping, aoi_polygons), batch_format="pyarrow"
     )
 
-    # ---- way features (lines + way-polygons): join tags onto geometry
-    way_tags = elements.map_batches(
-        lambda t: _kind_filter("way")(t)
-        .select(["element_id", "tags", "doc_id", "offset"])
-        .rename_columns(["way_id", "tags", "doc_id", "offset"]),
-        batch_format="pyarrow",
-    )
-    way_full = bucket_join(
-        way_geoms, way_tags, "way_id", num_buckets=num_buckets, how="inner",
-        left_schema=WAY_GEOM_SCHEMA, right_schema=_TAGS_SIDE("way_id"),
-    )
-    way_feats = way_full.map_batches(
+    # ---- way features (lines + way-polygons) straight off the geometry
+    way_feats = way_geoms.map_batches(
         WayFeatures(mapping, aoi_polygons, polygon_centroid), batch_format="pyarrow"
     )
 
-    # ---- relation area features
+    # ---- relation area features (relation tags ride the member explode)
     rels = elements.map_batches(_area_relation_filter, batch_format="pyarrow")
     rel_geoms = assemble_relations(
-        rels.map_batches(
-            lambda t: t.select(["element_id", "members"]), batch_format="pyarrow"
-        ),
+        rels,
         way_geoms,
         num_partitions=num_partitions,
         num_buckets=max(4, num_buckets // 4),
     )
-    rel_tags = rels.map_batches(
-        lambda t: t.select(["element_id", "tags", "doc_id", "offset"]).rename_columns(
-            ["relation_id", "tags", "doc_id", "offset"]
-        ),
-        batch_format="pyarrow",
-    )
-    rel_full = bucket_join(
-        rel_geoms, rel_tags, "relation_id", num_buckets=max(4, num_buckets // 4), how="inner",
-        left_schema=REL_GEOM_SCHEMA, right_schema=_TAGS_SIDE("relation_id"),
-    )
-    rel_feats = rel_full.map_batches(
+    rel_feats = rel_geoms.map_batches(
         RelationAreaFeatures(mapping, aoi_polygons, polygon_centroid),
         batch_format="pyarrow",
     )

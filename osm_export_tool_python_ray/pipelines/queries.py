@@ -32,14 +32,26 @@ def _read(sf_dir, table, columns=None):
 
 
 def corpus_path(n_shards, density=1.0):
-    """Deterministic cached corpus parquet (generated once per config)."""
+    """Deterministic cached corpus parquet (generated once per config).
+    Large corpora are generated in parallel with Ray (one task per shard
+    range — generation is a pure function of shard id)."""
     os.makedirs(_CORPUS_CACHE, exist_ok=True)
     path = os.path.join(_CORPUS_CACHE, "corpus_s%d_d%g.parquet" % (n_shards, density))
     if not os.path.exists(path):
-        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+        tmp = path + ".tmp"
+        if n_shards >= 32:
+            import shutil
 
-        write_corpus_parquet(path + ".tmp", n_shards=n_shards, density=density)
-        os.replace(path + ".tmp", path)
+            from osm_export_tool_python_ray.sources.corpus import corpus_dataset
+
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            corpus_dataset(n_shards, density=density).write_parquet(tmp)
+        else:
+            from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+            write_corpus_parquet(tmp, n_shards=n_shards, density=density)
+        os.replace(tmp, path)
     return path
 
 

@@ -1,0 +1,255 @@
+"""Output sinks: theme-projected partitioned Parquet layouts mirroring the
+reference's OGR sinks (reference tabular.py:32-249), plus zip / POSM-bundle
+packaging (reference package.py:10-67).
+
+Layout semantics preserved per sink:
+* Geopackage  — ONE dataset, one layer (subdir) per theme, geometry types
+  mixed in a layer (wkbUnknown, reference tabular.py:149).
+* Shapefile   — one layer per theme×geomtype with field names laundered
+  ``re.sub(r'[^a-zA-Z0-9_]','',col)[0:10]`` (reference tabular.py:89-90).
+* Kml         — one layer per theme×geomtype, unlaundered names.
+* MultiGeopackage — one dataset per theme (legacy, reference tabular.py:199).
+
+Deviation from the reference's duck-type: sinks here consume the themed
+feature checkpoint (a Dataset/parquet dir) instead of per-row ``write()``
+calls — per-row writes don't exist in Ray Data; the projection itself is a
+vectorized ``map_batches``. Layer schema parity: ``osm_id:int64?`` +
+selected keys as nullable strings (reference tabular.py:41-50), ordered by
+sorted(theme.keys) for determinism (the reference iterates a Python set).
+Writes are staged + atomically renamed with ``_SUCCESS`` (T4 transaction
+analog).
+"""
+
+import json
+import os
+import re
+import shutil
+import tarfile
+import zipfile
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray import File, make_filename
+from osm_export_tool_python_ray.stages.matcher_eval import extract_tag_columns
+
+_GEOM_NAMES = {1: "points", 2: "lines", 3: "polygons"}
+
+
+def launder_name(col):
+    """Shapefile field-name laundering (reference tabular.py:89-90)."""
+    return re.sub(r"[^a-zA-Z0-9_]", "", col)[0:10]
+
+
+class ThemeProjector:
+    """features batch → layer schema: osm_id? + selected tag keys as
+    string columns (absent tag ⇒ null; reference tabular.py:182-191),
+    + the WKB geometry column."""
+
+    def __init__(self, theme, omit_osm_id=False, launder=False):
+        self.keys = sorted(theme.keys)
+        self.osm_id = theme.osm_id and not omit_osm_id
+        self.launder = launder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tags = t.column("tags")
+        if isinstance(tags, pa.ChunkedArray):
+            tags = tags.combine_chunks()
+        cols = {}
+        if self.osm_id:
+            cols["osm_id"] = t.column("osm_id")
+        extracted = extract_tag_columns(tags, self.keys)
+        for k in self.keys:
+            present, vals = extracted[k]
+            vals = np.where(present, vals, None)
+            name = launder_name(k) if self.launder else k
+            cols[name] = pa.array(vals.tolist(), type=pa.string())
+        cols["geom_type"] = t.column("geom_type")
+        cols["wkb"] = t.column("wkb")
+        return pa.table(cols)
+
+
+def _theme_ds(features, theme_name):
+    """One theme's rows from the themed feature checkpoint (hive-partitioned
+    dir → partition-pruned read) or an in-memory Dataset (filtered)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    if isinstance(features, str):
+        part = os.path.join(features, "theme=%s" % theme_name)
+        if not os.path.isdir(part):
+            return None
+        return ray.data.read_parquet(part)
+    return features.map_batches(
+        lambda t: t.filter(pc.equal(t.column("theme"), theme_name)),
+        batch_format="pyarrow",
+    )
+
+
+def _atomic_write(ds, path):
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    ds.write_parquet(staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)
+
+
+class Geopackage:
+    """gpkg analog: ``<output_name>.gpkg.d/<theme>/part-*.parquet`` — one
+    layer per theme, geometry classes mixed (reference tabular.py:146-196)."""
+
+    suffix = ".gpkg.d"
+    launder = False
+    split_geom = False
+
+    def __init__(self, output_name, mapping, omit_osm_ids=False):
+        self.output_name = output_name
+        self.mapping = mapping
+        self.omit = omit_osm_ids
+        self.files = []
+
+    def write_from(self, features):
+        root = self.output_name + self.suffix
+        os.makedirs(root, exist_ok=True)
+        for theme in self.mapping.themes:
+            ds = _theme_ds(features, theme.name)
+            if ds is None:
+                continue
+            if self.split_geom:
+                for gt, gname in _GEOM_NAMES.items():
+                    if gt == 1 and not theme.points:
+                        continue
+                    if gt == 2 and not theme.lines:
+                        continue
+                    if gt == 3 and not theme.polygons:
+                        continue
+                    import pyarrow.compute as pc
+
+                    sub = ds.map_batches(
+                        lambda t, gt=gt: t.filter(pc.equal(t.column("geom_type"), gt)),
+                        batch_format="pyarrow",
+                    ).map_batches(
+                        ThemeProjector(theme, self.omit, self.launder), batch_format="pyarrow"
+                    )
+                    name = "%s_%s_%s" % (
+                        os.path.basename(self.output_name),
+                        make_filename(theme.name),
+                        gname,
+                    )
+                    path = os.path.join(root, name)
+                    _atomic_write(sub, path)
+                    self.files.append(
+                        File(self.format_name, [path], {"theme": theme.name})
+                    )
+            else:
+                proj = ds.map_batches(
+                    ThemeProjector(theme, self.omit, self.launder), batch_format="pyarrow"
+                )
+                path = os.path.join(root, make_filename(theme.name))
+                _atomic_write(proj, path)
+                self.files.append(File(self.format_name, [path], {"theme": theme.name}))
+        return self.files
+
+    format_name = "gpkg"
+
+    def finalize(self):
+        pass
+
+
+class MultiGeopackage(Geopackage):
+    """One dataset per theme (reference tabular.py:199-249)."""
+
+    suffix = ".mgpkg.d"
+    format_name = "gpkg"
+
+
+class Shapefile(Geopackage):
+    """Per theme×geomtype with laundered 10-char field names
+    (reference tabular.py:86-144)."""
+
+    suffix = ".shp.d"
+    launder = True
+    split_geom = True
+    format_name = "shp"
+
+
+class Kml(Geopackage):
+    """Per theme×geomtype, full field names (reference tabular.py:32-84)."""
+
+    suffix = ".kml.d"
+    launder = False
+    split_geom = True
+    format_name = "kml"
+
+
+def create_package(destination, files, boundary_geom=None, output_name="zip"):
+    """Zip all file parts + clipping_boundary.geojson
+    (reference package.py:10-18). Directory parts are zipped recursively."""
+    with zipfile.ZipFile(destination, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in files:
+            for part in f.parts:
+                if os.path.isdir(part):
+                    for root, _d, fns in os.walk(part):
+                        for fn in fns:
+                            p = os.path.join(root, fn)
+                            z.write(p, os.path.relpath(p, os.path.dirname(part)))
+                elif os.path.exists(part):
+                    z.write(part, os.path.basename(part))
+        if boundary_geom is not None:
+            z.writestr("clipping_boundary.geojson", json.dumps(_geom_to_geojson(boundary_geom)))
+    return destination
+
+
+def _geom_to_geojson(polygons):
+    return {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [np.asarray(r).tolist() for r in rings] for rings in polygons
+        ],
+    }
+
+
+def _bbox_of_polygons(polygons):
+    pts = np.vstack([np.asarray(r) for rings in polygons for r in rings])
+    return [
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    ]
+
+
+def create_posm_bundle(destination, files, title, name, description, geom):
+    """tar.gz with manifest.json (title, name, bbox, typed contents —
+    reference package.py:20-67)."""
+    contents = {}
+    with tarfile.open(destination, "w:gz") as t:
+        for f in files:
+            for part in f.parts:
+                if os.path.isdir(part):
+                    for root, _d, fns in os.walk(part):
+                        for fn in fns:
+                            p = os.path.join(root, fn)
+                            arc = os.path.relpath(p, os.path.dirname(part))
+                            t.add(p, arcname=arc)
+                            contents[arc] = {"type": f.output_name, **f.extra}
+                elif os.path.exists(part):
+                    t.add(part, arcname=os.path.basename(part))
+                    contents[os.path.basename(part)] = {"type": f.output_name, **f.extra}
+        manifest = {
+            "title": title,
+            "name": name,
+            "description": description,
+            "bbox": _bbox_of_polygons(geom) if geom is not None else None,
+            "contents": contents,
+        }
+        data = json.dumps(manifest, indent=2).encode()
+        import io
+
+        info = tarfile.TarInfo("manifest.json")
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    return destination

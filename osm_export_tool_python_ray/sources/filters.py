@@ -122,6 +122,120 @@ class OsmiumTool:
         return filters_set
 
 
+class Galaxy:
+    """HOT raw-data-API filter compiler (reference sources.py:341-512).
+    Only the mapping→JSON-filter compilation is kept — the HTTP snapshot
+    orchestration (POST + poll + 429 retries, reference sources.py:660-719)
+    is replaced by the parquet scan, with Ray task retries standing in for
+    the app-level retry loop.
+
+    Note: the reference's ``parts(cls, expr, and_clause=[])`` uses a
+    MUTABLE DEFAULT that accumulates and-clauses across calls; this
+    reimplementation is per-call (the accumulation is an untested bug, not
+    a semantic)."""
+
+    @classmethod
+    def parts(cls, expr):
+        and_clause = []
+
+        def _parts(prefix):
+            op = prefix[0]
+            if op == "=":
+                return [""" "{0}":["{1}"] """.format(prefix[1], prefix[2])]
+            if op == "!=":  # raw-data API cannot express negation
+                return []
+            if op in ("<", ">", "<=", ">=", "notnull"):
+                return [""" "{0}":[] """.format(prefix[1])]
+            if op == "in":
+                return [""" "{0}":["{1}"]""".format(prefix[1], """ "," """.join(prefix[2]))]
+            if op == "and":
+                both = _parts(prefix[1]) + _parts(prefix[2])
+                and_clause.append(both)
+                return both
+            if op == "or":
+                return _parts(prefix[1]) + _parts(prefix[2])
+
+        return _parts(expr), and_clause
+
+    @classmethod
+    def attribute_filter(cls, theme):
+        columns = theme.keys
+        if "*" in columns or "all" in columns:
+            return []
+        return list(columns)
+
+    @classmethod
+    def remove_duplicates(cls, entries_dict):
+        for key, value in entries_dict.items():
+            entries_dict[key] = list(dict.fromkeys(value))
+        return entries_dict
+
+    @classmethod
+    def where_filter(cls, parts, filter_dict):
+        import json
+
+        for part in parts:
+            part_dict = json.loads("{" + part.strip() + "}")
+            for key, value in part_dict.items():
+                if key not in filter_dict:
+                    filter_dict[key] = value
+                elif filter_dict.get(key) != []:
+                    if value == []:
+                        # incoming notnull wildcard wins over listed values
+                        filter_dict[key] = value
+                    else:
+                        filter_dict[key] += value
+        return filter_dict
+
+    @classmethod
+    def _theme_filters(cls, themes):
+        geometry_type = []
+        or_filter = {}
+        and_filter = {}
+        point_filter = line_filter = poly_filter = {}
+        point_columns = line_columns = poly_columns = []
+        for t in themes:
+            parts, and_clause = cls.parts(t.matcher.expr)
+            if and_clause:
+                flat = [c for clause in and_clause for c in clause]
+                for cl in flat:
+                    if cl in parts:
+                        parts.remove(cl)
+                and_filter = cls.remove_duplicates(cls.where_filter(flat, and_filter))
+            or_filter = cls.remove_duplicates(cls.where_filter(parts, or_filter))
+            if t.points:
+                point_columns = cls.attribute_filter(t)
+                geometry_type.append("point")
+                point_filter = {"join_or": or_filter, "join_and": and_filter}
+            if t.lines:
+                line_columns = cls.attribute_filter(t)
+                geometry_type.append("line")
+                line_filter = {"join_or": or_filter, "join_and": and_filter}
+            if t.polygons:
+                poly_columns = cls.attribute_filter(t)
+                geometry_type.append("polygon")
+                poly_filter = {"join_or": or_filter, "join_and": and_filter}
+        return (
+            point_filter,
+            line_filter,
+            poly_filter,
+            geometry_type,
+            point_columns,
+            line_columns,
+            poly_columns,
+        )
+
+    @classmethod
+    def filters(cls, mapping):
+        """All themes merged (reference sources.py:396-452)."""
+        return cls._theme_filters(mapping.themes)
+
+    @classmethod
+    def hdx_filters(cls, theme):
+        """Per-theme variant (reference sources.py:341-394)."""
+        return cls._theme_filters([theme])
+
+
 def mapping_referenced_keys(mapping):
     """All tag keys any theme selects or filters on — drives scan-side
     column/shred pruning for the tags map column."""

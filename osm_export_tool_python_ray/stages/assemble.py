@@ -33,6 +33,9 @@ WAY_GEOM_SCHEMA = pa.schema(
         ("n_pts", pa.int32()),
         ("complete", pa.bool_()),
         ("is_closed", pa.bool_()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
     ]
 )
 
@@ -45,12 +48,19 @@ REL_GEOM_SCHEMA = pa.schema(
         ("maxx", pa.float64()),
         ("maxy", pa.float64()),
         ("valid", pa.bool_()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
     ]
 )
 
 
 def explode_way_refs(batch: pa.Table) -> pa.Table:
-    """ways batch → (way_id, seq, node_id) rows, fully vectorized."""
+    """ways batch → (way_id, seq, node_id [, payload]) rows, fully
+    vectorized. Payload columns (tags, doc_id, offset) ride ONLY the
+    seq==0 row of each way (null elsewhere) so they survive the assembly
+    shuffles without being re-joined afterwards — one less all-to-all over
+    the assembled-geometry table."""
     refs = batch.column("refs")
     if isinstance(refs, pa.ChunkedArray):
         refs = refs.combine_chunks()
@@ -63,9 +73,18 @@ def explode_way_refs(batch: pa.Table) -> pa.Table:
         if len(counts)
         else np.array([], dtype=np.int32)
     )
-    return pa.table(
-        {"way_id": way_id, "seq": pa.array(seq), "node_id": node_id}
-    )
+    cols = {"way_id": way_id, "seq": pa.array(seq), "node_id": node_id}
+    payload_names = [n for n in ("tags", "doc_id", "offset") if n in batch.schema.names]
+    if payload_names:
+        parent_np = parent.to_numpy(zero_copy_only=False)
+        # masked take: payload only where seq == 0
+        masked = pa.array(parent_np.astype(np.int64), mask=(seq != 0))
+        for name in payload_names:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(masked)
+    return pa.table(cols)
 
 
 def make_bucketer(col, num_buckets):
@@ -77,9 +96,10 @@ def make_bucketer(col, num_buckets):
 
 
 def assemble_ways_bucket(group: pa.Table) -> pa.Table:
-    """One bucket of joined (way_id, seq, node_id, lon, lat) rows → one row
-    per way with list<float64> coordinate arrays. Vectorized: lexsort +
-    reduceat + ListArray.from_arrays."""
+    """One bucket of joined (way_id, seq, node_id, lon, lat [, payload])
+    rows → one row per way with list<float64> coordinate arrays.
+    Vectorized: lexsort + reduceat + ListArray.from_arrays; payload columns
+    (riding the seq==0 rows) are gathered with one ``take``."""
     wid = group.column("way_id").to_numpy(zero_copy_only=False)
     seq = group.column("seq").to_numpy(zero_copy_only=False)
     lon = group.column("lon").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -103,23 +123,34 @@ def assemble_ways_bucket(group: pa.Table) -> pa.Table:
     offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
     lons = pa.ListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
     lats = pa.ListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
-    return pa.table(
-        {
-            "way_id": pa.array(wid[starts]),
-            "lons": lons,
-            "lats": lats,
-            "n_pts": pa.array(counts.astype(np.int32)),
-            "complete": pa.array(~incomplete),
-            "is_closed": pa.array(closed),
-        }
-    )
+    cols = {
+        "way_id": pa.array(wid[starts]),
+        "lons": lons,
+        "lats": lats,
+        "n_pts": pa.array(counts.astype(np.int32)),
+        "complete": pa.array(~incomplete),
+        "is_closed": pa.array(closed),
+    }
+    first_orig = pa.array(order[starts].astype(np.int64))
+    for name in ("tags", "doc_id", "offset"):
+        if name in group.schema.names:
+            col = group.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(first_orig)
+    return pa.table(cols)
 
 
-def assemble_ways(ways_ds, nodes_ds, num_partitions=16, num_buckets=256):
+def assemble_ways(ways_ds, nodes_ds, num_partitions=16, num_buckets=256, carry_payload=True):
     """elements(way rows) × elements(node rows) → way geometry dataset.
 
-    Shuffle 1: hash join refs⋈nodes on node_id (Ray Dataset.join).
-    Shuffle 2: groupby(way_id % B) for the coordinate-list rebuild."""
+    Shuffle 1: bucketed cogroup refs⋈nodes on node_id (bucket_join — the
+    map-typed payload riding seq==0 rows rules out the acero hash join).
+    Shuffle 2: groupby(way_id % B) for the coordinate-list rebuild.
+    With ``carry_payload`` the way tags/provenance arrive WITH the
+    geometry — no third shuffle to re-attach them."""
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
     refs = ways_ds.map_batches(explode_way_refs, batch_format="pyarrow")
     locs = nodes_ds.map_batches(
         lambda t: pa.table(
@@ -131,11 +162,23 @@ def assemble_ways(ways_ds, nodes_ds, num_partitions=16, num_buckets=256):
         ),
         batch_format="pyarrow",
     )
-    joined = refs.join(
+    left_fields = [("node_id", pa.int64()), ("way_id", pa.int64()), ("seq", pa.int32())]
+    if carry_payload:
+        left_fields += [
+            ("tags", pa.map_(pa.string(), pa.string())),
+            ("doc_id", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    joined = bucket_join(
+        refs,
         locs,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("node_id",),
+        "node_id",
+        num_buckets=num_buckets,
+        how="left",
+        left_schema=pa.schema(left_fields),
+        right_schema=pa.schema(
+            [("node_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
+        ),
     )
     return (
         joined.map_batches(make_bucketer("way_id", num_buckets), batch_format="pyarrow")
@@ -148,9 +191,11 @@ def assemble_ways(ways_ds, nodes_ds, num_partitions=16, num_buckets=256):
 
 
 def explode_members(batch: pa.Table) -> pa.Table:
-    """relations batch → (relation_id, mseq, role, way_id) rows for
-    type='way' members (reference: osmium area assembler gathers way
-    members of multipolygon/boundary relations)."""
+    """relations batch → (relation_id, mseq, role, way_id [, payload]) rows
+    for type='way' members (reference: osmium area assembler gathers way
+    members of multipolygon/boundary relations). Relation tags/provenance
+    ride the first emitted member row of each relation (same carry trick
+    as ``explode_way_refs``)."""
     members = batch.column("members")
     if isinstance(members, pa.ChunkedArray):
         members = members.combine_chunks()
@@ -163,16 +208,35 @@ def explode_members(batch: pa.Table) -> pa.Table:
         if len(counts)
         else np.array([], dtype=np.int32)
     )
-    t = pa.table(
-        {
-            "relation_id": rel_id,
-            "mseq": pa.array(mseq),
-            "mtype": flat.field("type"),
-            "role": flat.field("role"),
-            "way_id": flat.field("ref"),
-        }
-    )
-    return t.filter(pc.equal(t.column("mtype"), "way")).drop_columns(["mtype"])
+    cols = {
+        "relation_id": rel_id,
+        "mseq": pa.array(mseq),
+        "mtype": flat.field("type"),
+        "role": flat.field("role"),
+        "way_id": flat.field("ref"),
+    }
+    payload_names = [n for n in ("tags", "doc_id", "offset") if n in batch.schema.names]
+    parent_np = parent.to_numpy(zero_copy_only=False)
+    t = pa.table(cols)
+    keep = pc.equal(t.column("mtype"), "way").to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(keep)).drop_columns(["mtype"])
+    if payload_names and len(parent_np):
+        kept_parent = parent_np[keep]
+        # first kept row per relation carries the payload
+        first = np.concatenate([[True], kept_parent[1:] != kept_parent[:-1]])
+        masked = pa.array(kept_parent.astype(np.int64), mask=~first)
+        for name in payload_names:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = t.append_column(name, col.take(masked))
+    elif payload_names:
+        for name in payload_names:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = t.append_column(name, col.slice(0, 0).take(pa.array([], type=pa.int64())))
+    return t
 
 
 class InvalidArea(RuntimeError):
@@ -259,12 +323,13 @@ def nest_rings(rings):
 
 def assemble_relations_bucket(group: pa.Table) -> pa.Table:
     """One bucket of joined member rows (relation_id, mseq, role, lons,
-    lats, complete) → one row per relation: stitched multipolygon rings as
-    nested lists + validity flag."""
+    lats, complete [, payload on the min-mseq row]) → one row per
+    relation: stitched multipolygon + validity flag + carried payload."""
     from osm_export_tool_python_ray.functions import wkb as wkbmod
 
     rid = group.column("relation_id").to_numpy(zero_copy_only=False)
-    order = np.argsort(rid, kind="stable")
+    mseq = group.column("mseq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((mseq, rid))
     g = group.take(pa.array(order))
     rid = rid[order]
     boundary = np.empty(len(rid), dtype=bool)
@@ -312,18 +377,23 @@ def assemble_relations_bucket(group: pa.Table) -> pa.Table:
             out_valid.append(False)
         out_id.append(relation_id)
 
-    bbox = np.array(out_bbox, dtype=object)
-    return pa.table(
-        {
-            "relation_id": pa.array(out_id, type=pa.int64()),
-            "wkb": pa.array(out_wkb, type=pa.binary()),
-            "minx": pa.array([b[0] for b in out_bbox], type=pa.float64()),
-            "miny": pa.array([b[1] for b in out_bbox], type=pa.float64()),
-            "maxx": pa.array([b[2] for b in out_bbox], type=pa.float64()),
-            "maxy": pa.array([b[3] for b in out_bbox], type=pa.float64()),
-            "valid": pa.array(out_valid),
-        }
-    )
+    cols = {
+        "relation_id": pa.array(out_id, type=pa.int64()),
+        "wkb": pa.array(out_wkb, type=pa.binary()),
+        "minx": pa.array([b[0] for b in out_bbox], type=pa.float64()),
+        "miny": pa.array([b[1] for b in out_bbox], type=pa.float64()),
+        "maxx": pa.array([b[2] for b in out_bbox], type=pa.float64()),
+        "maxy": pa.array([b[3] for b in out_bbox], type=pa.float64()),
+        "valid": pa.array(out_valid),
+    }
+    first_rows = pa.array(starts.astype(np.int64))
+    for name in ("tags", "doc_id", "offset"):
+        if name in g.schema.names:
+            col = g.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(first_rows)
+    return pa.table(cols)
 
 
 def assemble_relations(rels_ds, way_geoms_ds, num_partitions=16, num_buckets=64):
@@ -344,7 +414,15 @@ def assemble_relations(rels_ds, way_geoms_ds, num_partitions=16, num_buckets=64)
         num_buckets=num_partitions * 4,
         how="left",
         left_schema=pa.schema(
-            [("relation_id", pa.int64()), ("mseq", pa.int32()), ("role", pa.string()), ("way_id", pa.int64())]
+            [
+                ("relation_id", pa.int64()),
+                ("mseq", pa.int32()),
+                ("role", pa.string()),
+                ("way_id", pa.int64()),
+                ("tags", pa.map_(pa.string(), pa.string())),
+                ("doc_id", pa.string()),
+                ("offset", pa.int32()),
+            ]
         ),
         right_schema=pa.schema(
             [("way_id", pa.int64()), ("lons", pa.list_(pa.float64())), ("lats", pa.list_(pa.float64())), ("complete", pa.bool_())]

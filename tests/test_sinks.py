@@ -1,0 +1,185 @@
+"""Sink layouts, packaging, CLI, and the span-sequence invariant."""
+
+import json
+import os
+import tarfile
+import zipfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osm_export_tool_python_ray.mapping import Mapping
+from osm_export_tool_python_ray.sinks import (
+    Geopackage,
+    Kml,
+    Shapefile,
+    create_package,
+    create_posm_bundle,
+    launder_name,
+)
+
+MAPPING_YAML = """
+buildings:
+  types:
+    - polygons
+  select:
+    - name
+    - addr:housenumber
+  where: building IS NOT NULL
+roads:
+  types:
+    - lines
+  select:
+    - highway
+"""
+
+
+@pytest.fixture(scope="module")
+def export_workdir(ray_session, tmp_path_factory):
+    import ray.data
+
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+
+    wd = str(tmp_path_factory.mktemp("exportwd"))
+    docs = ray.data.from_arrow(generate_corpus_table(n_shards=1))
+    mapping = Mapping(MAPPING_YAML)
+    run_export(docs, mapping, workdir=wd, num_partitions=2, num_buckets=4)
+    return wd, mapping
+
+
+class TestSinks:
+    def test_geopackage_layout(self, export_workdir, tmp_path):
+        wd, mapping = export_workdir
+        out = str(tmp_path / "demo")
+        sink = Geopackage(out, mapping)
+        files = sink.write_from(os.path.join(wd, "features"))
+        assert os.path.isdir(out + ".gpkg.d/buildings")
+        t = pq.read_table(out + ".gpkg.d/buildings")
+        # schema parity: osm_id + sorted select keys as strings + geometry
+        assert t.schema.names == ["osm_id", "addr:housenumber", "name", "geom_type", "wkb"]
+        assert t.num_rows > 0
+        assert {f.extra["theme"] for f in files} <= {"buildings", "roads"}
+
+    def test_shapefile_laundering(self, export_workdir, tmp_path):
+        wd, mapping = export_workdir
+        out = str(tmp_path / "demo")
+        Shapefile(out, mapping).write_from(os.path.join(wd, "features"))
+        t = pq.read_table(out + ".shp.d/demo_buildings_polygons")
+        assert "addrhousen" in t.schema.names  # laundered to 10 chars
+        assert launder_name("addr:housenumber") == "addrhousen"
+        # polygons dir contains only polygons
+        assert set(t.column("geom_type").to_pylist()) <= {3}
+
+    def test_omit_osm_ids(self, export_workdir, tmp_path):
+        wd, mapping = export_workdir
+        out = str(tmp_path / "noid")
+        Geopackage(out, mapping, omit_osm_ids=True).write_from(os.path.join(wd, "features"))
+        t = pq.read_table(out + ".gpkg.d/buildings")
+        assert "osm_id" not in t.schema.names
+
+    def test_packaging(self, export_workdir, tmp_path):
+        wd, mapping = export_workdir
+        out = str(tmp_path / "pkg")
+        sink = Kml(out, mapping)
+        files = sink.write_from(os.path.join(wd, "features"))
+        aoi = [[np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])]]
+        zpath = str(tmp_path / "out.zip")
+        create_package(zpath, files, boundary_geom=aoi)
+        with zipfile.ZipFile(zpath) as z:
+            names = z.namelist()
+            assert "clipping_boundary.geojson" in names
+            assert any("buildings" in n for n in names)
+        tpath = str(tmp_path / "out.tar.gz")
+        create_posm_bundle(tpath, files, "Title", "name", "desc", aoi)
+        with tarfile.open(tpath) as t:
+            m = json.load(t.extractfile("manifest.json"))
+            assert m["title"] == "Title"
+            assert m["bbox"] == [0.0, 0.0, 1.0, 1.0]
+            assert m["contents"]
+
+
+class TestSpanSequenceInvariant:
+    """FIXTURES.md F1: per-row span-sequence equality on
+    (kind, text, media_ref, order) must hold through the explode stage."""
+
+    def test_explode_preserves_order(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+        from osm_export_tool_python_ray.stages.explode import span_sequence
+
+        docs = generate_corpus_table(n_shards=2)
+        seq = (
+            ray.data.from_arrow(docs)
+            .map_batches(span_sequence, batch_format="pyarrow")
+            .take_all()
+        )
+        # rebuild per-doc ordered span lists from the exploded rows
+        rebuilt = {}
+        for r in seq:
+            rebuilt.setdefault(r["doc_id"], []).append(
+                (r["seq"], r["kind"], r["text"], r["media_ref"], r["offset"])
+            )
+        orig = docs.to_pydict()
+        for doc_id, spans in zip(orig["doc_id"], orig["spans"]):
+            got = [x[1:] for x in sorted(rebuilt.get(doc_id, []))]
+            want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+            assert got == want, doc_id
+
+    def test_feature_provenance_resolves(self, ray_session):
+        """Every emitted feature's (doc_id, offset) points at an 'osm' span
+        whose payload has the feature's source element id."""
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import run_export
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+
+        docs_tbl = generate_corpus_table(n_shards=1)
+        mapping = Mapping(MAPPING_YAML)
+        rows = run_export(
+            ray.data.from_arrow(docs_tbl), mapping, num_partitions=2, num_buckets=4
+        ).take_all()
+        span_index = {}
+        for doc_id, spans in zip(
+            docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("spans").to_pylist()
+        ):
+            for s in spans:
+                span_index[(doc_id, s["offset"])] = s
+        assert rows
+        for r in rows:
+            s = span_index[(r["doc_id"], r["offset"])]
+            assert s["kind"] == "osm"
+            el = json.loads(s["text"])
+            assert abs(r["osm_id"]) == el["id"]
+
+
+class TestCli:
+    def test_cli_end_to_end(self, ray_session, tmp_path):
+        # in-process main() (ray already initialised by the fixture)
+        from osm_export_tool_python_ray.cli import main
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+        corpus = str(tmp_path / "c.parquet")
+        write_corpus_parquet(corpus, n_shards=1)
+        mp = str(tmp_path / "m.yml")
+        with open(mp, "w") as f:
+            f.write(MAPPING_YAML)
+        out = str(tmp_path / "cliout")
+        rc = main([corpus, out, "-m", mp, "-f", "gpkg", "--workdir", str(tmp_path / "wd")])
+        assert rc == 0
+        assert os.path.isdir(out + ".gpkg.d")
+
+    def test_cli_invalid_mapping(self, ray_session, tmp_path, capsys):
+        from osm_export_tool_python_ray.cli import main
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+        corpus = str(tmp_path / "c.parquet")
+        write_corpus_parquet(corpus, n_shards=1)
+        mp = str(tmp_path / "bad.yml")
+        with open(mp, "w") as f:
+            f.write("t:\n  select:\n    - a\n  where: drop table x\n")
+        rc = main([corpus, str(tmp_path / "o"), "-m", mp])
+        assert rc == 1
