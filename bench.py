@@ -69,10 +69,12 @@ def run_headline(sf_dir, num_cpus):
     """Export + tiling over the big corpus; returns (timings, counters)."""
     import ray.data
 
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
     from osm_export_tool_python_ray.mapping import Mapping
     from osm_export_tool_python_ray.pipelines.export import run_export
-    from osm_export_tool_python_ray.stages.explode import explode_tiles
-    from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles, dedup_tiles
+    from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles
 
     sf = _infer_sf(sf_dir) or 0.1
     corpus = _corpus(sf)
@@ -105,9 +107,15 @@ def run_headline(sf_dir, num_cpus):
 
     t0 = time.perf_counter()
     docs = read_corpus()
-    themed = run_export(
-        docs, mapping, num_partitions=NUM_PARTITIONS, num_buckets=NUM_BUCKETS
-    ).materialize()
+    themed, elements, _way_geoms = run_export(
+        docs,
+        mapping,
+        num_partitions=NUM_PARTITIONS,
+        num_buckets=NUM_BUCKETS,
+        include_tiles=True,
+        return_parts=True,
+    )
+    themed = themed.materialize()
     counters["features"] = themed.count()
     timings["export"] = round(time.perf_counter() - t0, 3)
 
@@ -116,9 +124,16 @@ def run_headline(sf_dir, num_cpus):
         lambda t: t.select(["osm_id", "minx", "miny", "maxx", "maxy"]),
         batch_format="pyarrow",
     )
-    tiles = dedup_tiles(
-        read_corpus().map_batches(explode_tiles, batch_format="pyarrow"),
-        num_buckets=32,
+    # tile payload rows come deduped out of the SAME scan/shuffle as the
+    # elements (kind='tile'); no second corpus pass
+    tiles = elements.map_batches(
+        lambda t: pa.table(
+            {
+                "tkey": t.filter(pc_.equal(t.column("kind"), "tile")).column("element_id"),
+                "media_ref": t.filter(pc_.equal(t.column("kind"), "tile")).column("media_ref"),
+            }
+        ),
+        batch_format="pyarrow",
     )
     out = assign_features_to_tiles(feats, tiles, zooms=[12], num_buckets=NUM_BUCKETS)
     counters["tiles"] = out.count()
@@ -196,7 +211,7 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         lo_cpus, hi_cpus = 8, 32
-        os.environ.setdefault("BENCH_SCALE_SHARDS", "5120")
+        os.environ.setdefault("BENCH_SCALE_SHARDS", "24576")
         lo = run_subprocess(lo_cpus, headline_only=True)
         hi = run_subprocess(hi_cpus, headline_only=True)
         t_lo, t_hi = lo["value"], hi["value"]

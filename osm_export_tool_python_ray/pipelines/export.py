@@ -69,10 +69,15 @@ def _area_relation_filter(t: pa.Table) -> pa.Table:
     )
 
 
-def parse_elements(docs_ds, num_buckets=64):
-    """documents → deduped element table (explode + D4 exact dedup)."""
+def parse_elements(docs_ds, num_buckets=64, include_tiles=False):
+    """documents → deduped element table (explode + D4 exact dedup).
+    With ``include_tiles`` the same scan+shuffle also dedups tile payload
+    rows (kind='tile'), so the raster side needs no second corpus pass."""
+    import functools
+
+    fn = functools.partial(explode_osm, include_tiles=include_tiles)
     return dedup_elements(
-        docs_ds.map_batches(explode_osm, batch_format="pyarrow"),
+        docs_ds.map_batches(fn, batch_format="pyarrow"),
         num_buckets=num_buckets,
     )
 
@@ -85,6 +90,8 @@ def run_export(
     workdir=None,
     num_partitions=8,
     num_buckets=64,
+    include_tiles=False,
+    return_parts=False,
 ):
     """→ themed feature Dataset (FEATURE_SCHEMA + theme column), checkpointed
     at ``workdir/features`` when a workdir is given.
@@ -97,7 +104,9 @@ def run_export(
     CPU reservations can deadlock a small cluster, and rebuilding this
     state costs ~ms per task anyway."""
     elements = materialize_or_checkpoint(
-        parse_elements(docs_ds, num_buckets=num_buckets), workdir, "elements"
+        parse_elements(docs_ds, num_buckets=num_buckets, include_tiles=include_tiles),
+        workdir,
+        "elements",
     )
 
     nodes_loc = elements.map_batches(
@@ -152,6 +161,8 @@ def run_export(
         themed = checkpoint(
             themed, os.path.join(workdir, "features"), partition_cols=["theme"]
         )
+    if return_parts:
+        return themed, elements, way_geoms
     return themed
 
 

@@ -619,6 +619,53 @@ def q_tile_assignment(sf_dir):
     ).sort(["tile_z", "tile_x", "tile_y"])
 
 
+def q_aoi_extract(sf_dir):
+    """AOI spatial semi-join (J4 — the OsmExpress region-extract analog):
+    features of the corpus restricted to a 1°×1° AOI. Rows-only."""
+    import ray.data
+
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.stages.spatial_filter import aoi_semi_join
+
+    docs = ray.data.read_parquet(corpus_path(n_shards=4))
+    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
+        mapping = Mapping(f.read())
+    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    aoi = [[np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])]]
+    out = aoi_semi_join(themed, aoi)
+    return out.map_batches(
+        lambda t: t.select(["theme", "osm_id", "geom_type"]), batch_format="pyarrow"
+    ).sort(["theme", "osm_id", "geom_type"])
+
+
+def q_media_features(sf_dir):
+    """Multimodal plumbing demo: deterministic fake media payloads keyed by
+    the corpus tile refs → actor-pool decode → feature extraction.
+    Rows-only (codec is a stub; see stages/media.py)."""
+    import ray.data
+
+    from osm_export_tool_python_ray.stages.explode import explode_tiles
+    from osm_export_tool_python_ray.stages.media import make_fake_media_table, media_pipeline
+    from osm_export_tool_python_ray.stages.tiling import dedup_tiles
+
+    tiles = dedup_tiles(
+        ray.data.read_parquet(corpus_path(n_shards=4)).map_batches(
+            explode_tiles, batch_format="pyarrow"
+        ),
+        num_buckets=8,
+    )
+    refs = sorted(r["media_ref"] for r in tiles.select_columns(["media_ref"]).take_all())
+    media = ray.data.from_arrow(make_fake_media_table(refs))
+    out = media_pipeline(media, concurrency=2, batch_size=256)
+    return out.map_batches(
+        lambda t: t.select(["media_ref"]).append_column(
+            "dim", pa.array([16] * t.num_rows, type=pa.int32())
+        ),
+        batch_format="pyarrow",
+    ).sort("media_ref")
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -642,6 +689,8 @@ QUERIES = {
     "knn": q_knn,
     "export_theme_counts": q_export_theme_counts,
     "tile_assignment": q_tile_assignment,
+    "aoi_extract": q_aoi_extract,
+    "media_features": q_media_features,
 }
 
 ORACLES = {

@@ -53,6 +53,7 @@ ELEMENT_SCHEMA = pa.schema(
         ("members", pa.list_(MEMBER_TYPE)),
         ("doc_id", pa.string()),
         ("offset", pa.int32()),
+        ("media_ref", pa.string()),
     ]
 )
 

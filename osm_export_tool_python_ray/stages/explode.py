@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 from osm_export_tool_python_ray.sources.corpus import ELEMENT_SCHEMA, MEMBER_TYPE
 
-_KIND_CODE = {"node": 0, "way": 1, "relation": 2}
+_KIND_CODE = {"node": 0, "way": 1, "relation": 2, "tile": 3}
 
 
 def element_key(kind_codes, element_ids):
@@ -37,10 +37,14 @@ def _flatten_spans(batch):
     return doc_ids, flat
 
 
-def explode_osm(batch: pa.Table) -> pa.Table:
+def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
     """documents → element rows (ELEMENT_SCHEMA + ekey). JSON payload parse
     is per-osm-span Python (no vectorized JSON kernel in pyarrow 16), all
-    surrounding column work is Arrow compute."""
+    surrounding column work is Arrow compute.
+
+    ``include_tiles`` also emits kind='tile' rows (element_id = packed
+    tkey, media_ref carried) so ONE corpus scan + ONE dedup shuffle feeds
+    both the feature pipeline and the raster side."""
     doc_ids, flat = _flatten_spans(batch)
     kinds = flat.field("kind")
     mask = pc.equal(kinds, "osm")
@@ -76,7 +80,7 @@ def explode_osm(batch: pa.Table) -> pa.Table:
             refs_col.append(None)
             members_col.append(e.get("members") or [])
 
-    return pa.table(
+    out = pa.table(
         {
             "ekey": pa.array(element_key(kind_code, element_id)),
             "element_id": pa.array(element_id),
@@ -88,8 +92,40 @@ def explode_osm(batch: pa.Table) -> pa.Table:
             "members": pa.array(members_col, type=pa.list_(MEMBER_TYPE)),
             "doc_id": pa.array(osm_docs, type=pa.string()),
             "offset": pa.array(offsets, type=pa.int32()),
+            "media_ref": pa.nulls(n, type=pa.string()),
         }
     )
+    if not include_tiles:
+        return out
+    tmask = pc.equal(kinds, "tile")
+    refs = pc.filter(flat.field("media_ref"), tmask)
+    tdocs = pc.filter(doc_ids, tmask)
+    toffs = pc.filter(flat.field("offset"), tmask)
+    m = len(refs)
+    if m == 0:
+        return out
+    zxy = pc.split_pattern(refs, "/")
+    flatz = pc.list_flatten(zxy).to_numpy(zero_copy_only=False).astype(np.int64)
+    z, x, y = flatz[0::3], flatz[1::3], flatz[2::3]
+    tkey = (z << 58) | (x << 29) | y
+    tiles = pa.table(
+        {
+            # tiles dedup in the NEGATIVE ekey space: tkey uses bits ≥48 so
+            # the (kind << 48) packing would collide with x/z bits
+            "ekey": pa.array(-(tkey + 1)),
+            "element_id": pa.array(tkey),
+            "kind": pa.array(["tile"] * m, type=pa.string()),
+            "tags": pa.nulls(m, type=pa.map_(pa.string(), pa.string())),
+            "lon": pa.nulls(m, type=pa.float64()),
+            "lat": pa.nulls(m, type=pa.float64()),
+            "refs": pa.nulls(m, type=pa.list_(pa.int64())),
+            "members": pa.nulls(m, type=pa.list_(MEMBER_TYPE)),
+            "doc_id": tdocs,
+            "offset": toffs,
+            "media_ref": refs,
+        }
+    )
+    return pa.concat_tables([out, tiles])
 
 
 def explode_tiles(batch: pa.Table) -> pa.Table:

@@ -42,11 +42,18 @@ def cell_counts(features_ds):
 
 
 class QueryExpander:
-    """query batch (query_id, lon, lat) → one row per k-ring cell."""
+    """query batch (query_id, lon, lat) → one row per (k-ring cell, salt).
 
-    def __init__(self, res=DEFAULT_RES, ring=1):
+    ``salt_factor`` > 1 is the hot-cell skew split (SURVEY.md §4): feature
+    cells are subdivided by hash(osm_id) % s, so a dense urban cell's
+    candidate matrix splits into s independent groups; queries replicate to
+    every salt. The final per-query merge makes salting semantically
+    invisible (global top-k over partial top-ks)."""
+
+    def __init__(self, res=DEFAULT_RES, ring=1, salt_factor=1):
         self.res = res
         self.ring = ring
+        self.salt = max(1, int(salt_factor))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qid = batch.column("query_id").to_numpy(zero_copy_only=False)
@@ -66,26 +73,38 @@ class QueryExpander:
         nx = np.clip(ix[:, None] + dx.ravel()[None, :], 0, lim)
         ny = np.clip(iy[:, None] + dy.ravel()[None, :], 0, lim)
         ring_cells = res_bits | (nx.astype(np.uint64) << np.uint64(29)) | ny.astype(np.uint64)
+        salted = (
+            ring_cells.ravel()[:, None] * np.uint64(self.salt)
+            + np.arange(self.salt, dtype=np.uint64)[None, :]
+        ).ravel()
+        reps_s = reps * self.salt
         return pa.table(
             {
-                "cell": pa.array(ring_cells.ravel(), type=pa.uint64()),
-                "query_id": pa.array(np.repeat(qid, reps)),
-                "lon": pa.array(np.repeat(lon, reps)),
-                "lat": pa.array(np.repeat(lat, reps)),
-                "osm_id": pa.nulls(n * reps, type=pa.int64()),
-                "side": pa.array(np.zeros(n * reps, dtype=np.int8)),
+                "cell": pa.array(salted, type=pa.uint64()),
+                "query_id": pa.array(np.repeat(qid, reps_s)),
+                "lon": pa.array(np.repeat(lon, reps_s)),
+                "lat": pa.array(np.repeat(lat, reps_s)),
+                "osm_id": pa.nulls(n * reps_s, type=pa.int64()),
+                "side": pa.array(np.zeros(n * reps_s, dtype=np.int8)),
             }
         )
 
 
-def _feature_side(res):
+def _feature_side(res, salt_factor=1):
+    salt = max(1, int(salt_factor))
+
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         lon = (batch.column("minx").to_numpy(zero_copy_only=False) + batch.column("maxx").to_numpy(zero_copy_only=False)) / 2
         lat = (batch.column("miny").to_numpy(zero_copy_only=False) + batch.column("maxy").to_numpy(zero_copy_only=False)) / 2
+        osm_id = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        cells = cell_of(lon, lat, res)
+        with np.errstate(over="ignore"):
+            salts = (osm_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(salt)
+        salted = cells * np.uint64(salt) + salts
         return pa.table(
             {
-                "cell": pa.array(cell_of(lon, lat, res), type=pa.uint64()),
+                "cell": pa.array(salted, type=pa.uint64()),
                 "query_id": pa.nulls(n, type=pa.int64()),
                 "lon": pa.array(lon),
                 "lat": pa.array(lat),
@@ -147,14 +166,15 @@ def _topk_group(group: pa.Table, k) -> pa.Table:
     )
 
 
-def knn_nearest_features(features_ds, queries_ds, k=5, res=DEFAULT_RES, ring=1, num_buckets=64):
+def knn_nearest_features(features_ds, queries_ds, k=5, res=DEFAULT_RES, ring=1, num_buckets=64, salt_factor=1):
     """→ (query_id, osm_id, dist2, rank) — the k nearest features per query
     within its (2·ring+1)² cell neighborhood.
 
     Shuffles: 1 groupby(cell bucket) cogroup + 1 groupby(query bucket)
-    final merge (both bucketed to keep groups coarse)."""
-    q = queries_ds.map_batches(QueryExpander(res, ring), batch_format="pyarrow")
-    f = features_ds.map_batches(_feature_side(res), batch_format="pyarrow")
+    final merge (both bucketed to keep groups coarse). ``salt_factor``
+    splits hot cells (see QueryExpander)."""
+    q = queries_ds.map_batches(QueryExpander(res, ring, salt_factor), batch_format="pyarrow")
+    f = features_ds.map_batches(_feature_side(res, salt_factor), batch_format="pyarrow")
 
     def bucketer_cell(t: pa.Table) -> pa.Table:
         c = t.column("cell").to_numpy(zero_copy_only=False)

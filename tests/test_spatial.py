@@ -159,3 +159,30 @@ class TestCellCounts:
         out = cell_counts(ray.data.from_arrow(feats)).take_all()
         ns = sorted(r["n"] for r in out)
         assert ns == [1, 3]
+
+
+class TestKnnSalting:
+    def test_salted_equals_unsalted(self, ray_session):
+        """salt_factor must be semantically invisible (global top-k merge)."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.knn import knn_nearest_features
+
+        feats = make_features(150, seed=3)
+        rng = np.random.RandomState(11)
+        queries = pa.table(
+            {
+                "query_id": pa.array(np.arange(10, dtype=np.int64)),
+                "lon": pa.array(rng.rand(10) * 0.5),
+                "lat": pa.array(rng.rand(10) * 0.5),
+            }
+        )
+
+        def run(salt):
+            out = knn_nearest_features(
+                ray.data.from_arrow(feats),
+                ray.data.from_arrow(queries),
+                k=5, res=0, ring=1, num_buckets=4, salt_factor=salt,
+            ).take_all()
+            return sorted((r["query_id"], r["rank"], r["osm_id"]) for r in out)
+
+        assert run(1) == run(4)
