@@ -211,7 +211,7 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         lo_cpus, hi_cpus = 8, 32
-        os.environ.setdefault("BENCH_SCALE_SHARDS", "24576")
+        os.environ.setdefault("BENCH_SCALE_SHARDS", "12288")
         lo = run_subprocess(lo_cpus, headline_only=True)
         hi = run_subprocess(hi_cpus, headline_only=True)
         t_lo, t_hi = lo["value"], hi["value"]
