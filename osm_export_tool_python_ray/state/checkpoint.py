@@ -63,12 +63,20 @@ def checkpoint(ds, path, lineage=None, partition_cols=None):
     wall = time.perf_counter() - t0
 
     _rows, size = _dir_stats(staging)
+    try:
+        import pyarrow.dataset as pads
+
+        rows = pads.dataset(staging, format="parquet").count_rows()
+    except Exception:
+        rows = None
     with open(os.path.join(staging, _MANIFEST), "w") as f:
         json.dump(
             {
                 "lineage": lineage or {},
+                "rows": rows,
                 "bytes": size,
                 "wall_sec": round(wall, 3),
+                "rows_per_sec": round(rows / wall, 1) if rows and wall > 0 else None,
                 "partition_cols": partition_cols or [],
             },
             f,
