@@ -377,6 +377,58 @@ GROUP BY c_mktsegment
 """
 
 
+def q_supplier_nation_region(sf_dir):
+    """Two-level dimension join (supplier⋈nation⋈region) + groupby —
+    exercises chained primitive hash joins."""
+    from ray.data.aggregate import Count
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    def widen(t: pa.Table) -> pa.Table:  # align int32 keys for the join
+        cols = {}
+        for name in t.schema.names:
+            col = t.column(name)
+            cols[name] = col.cast(pa.int64()) if pa.types.is_integer(col.type) else col
+        return pa.table(cols)
+
+    sup, nat, reg = (d.map_batches(widen, batch_format="pyarrow") for d in (sup, nat, reg))
+    j = sup.join(nat, join_type="inner", num_partitions=4, on=("s_nationkey",), right_on=("n_nationkey",))
+    j = j.join(reg, join_type="inner", num_partitions=4, on=("n_regionkey",), right_on=("r_regionkey",))
+    return j.groupby("r_name").aggregate(Count(alias_name="n"))
+
+
+SQL_SUPPLIER_NATION_REGION = """
+SELECT r_name, count(*) AS n
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_part_stats(sf_dir):
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n"), Mean("p_retailprice", alias_name="avg_price"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("avg_price"), "avg_price", pc.round(t.column("avg_price"), 4)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PART_STATS = """
+SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
 def q_events_window(sf_dir):
     from ray.data.aggregate import Count, Sum
 
@@ -683,6 +735,8 @@ QUERIES = {
     "q1_lineitem": q_q1_lineitem,
     "top_orders": q_top_orders,
     "customer_orders_join": q_customer_orders_join,
+    "supplier_nation_region": q_supplier_nation_region,
+    "part_stats": q_part_stats,
     "events_window": q_events_window,
     "cell_counts": q_cell_counts,
     "tile_counts": q_tile_counts,
@@ -704,6 +758,8 @@ ORACLES = {
     "q1_lineitem": SQL_Q1_LINEITEM,
     "top_orders": SQL_TOP_ORDERS,
     "customer_orders_join": SQL_CUSTOMER_ORDERS_JOIN,
+    "supplier_nation_region": SQL_SUPPLIER_NATION_REGION,
+    "part_stats": SQL_PART_STATS,
     "events_window": SQL_EVENTS_WINDOW,
     "cell_counts": SQL_CELL_COUNTS,
     "tile_counts": SQL_TILE_COUNTS,

@@ -53,6 +53,8 @@ def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
     offsets = pc.filter(flat.field("offset"), mask).to_pylist()
 
     n = len(texts)
+    # single-pass loop: per-column comprehensions over pre-parsed dicts
+    # measured SLOWER (1M dicts alive at once kills cache locality)
     element_id = np.empty(n, dtype=np.int64)
     kind_code = np.empty(n, dtype=np.int8)
     kind = []
@@ -61,24 +63,31 @@ def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
     lat = np.full(n, np.nan)
     refs_col = []
     members_col = []
+    loads = json.loads
+    kc = _KIND_CODE
+    kind_append = kind.append
+    tags_append = tags_col.append
+    refs_append = refs_col.append
+    members_append = members_col.append
     for i, txt in enumerate(texts):
-        e = json.loads(txt)
+        e = loads(txt)
         element_id[i] = e["id"]
         k = e["type"]
-        kind.append(k)
-        kind_code[i] = _KIND_CODE[k]
-        tags_col.append(list((e.get("tags") or {}).items()))
+        kind_append(k)
+        kind_code[i] = kc[k]
+        t = e.get("tags")
+        tags_append(list(t.items()) if t else [])
         if k == "node":
             lon[i] = e["lon"]
             lat[i] = e["lat"]
-            refs_col.append(None)
-            members_col.append(None)
+            refs_append(None)
+            members_append(None)
         elif k == "way":
-            refs_col.append(e.get("refs") or [])
-            members_col.append(None)
+            refs_append(e.get("refs") or [])
+            members_append(None)
         else:
-            refs_col.append(None)
-            members_col.append(e.get("members") or [])
+            refs_append(None)
+            members_append(e.get("members") or [])
 
     out = pa.table(
         {
