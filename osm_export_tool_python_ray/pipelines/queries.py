@@ -231,6 +231,17 @@ def q_simhash_pairs(sf_dir):
     )
 
 
+def q_dedup_clusters(sf_dir):
+    """Near-dup connected components over the MinHash pair graph
+    (rows-only; pytest covers union-find vs propagation equivalence)."""
+    from osm_export_tool_python_ray.stages.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, num_buckets=16
+    )
+    return dedup_clusters(pairs, num_buckets=16).sort("doc_id")
+
+
 def q_ngram_jaccard(sf_dir):
     from osm_export_tool_python_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -729,6 +740,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,

@@ -233,6 +233,166 @@ def dedup_pairs(pairs_ds, num_buckets=64):
     )
 
 
+def dedup_clusters(pairs_ds, num_buckets=64, max_rounds=16, driver_limit=2_000_000):
+    """Near-duplicate pair list → connected components: (doc_id,
+    cluster_id) with cluster_id = min doc_id of the component.
+
+    Pair sets are tiny relative to the corpus (LSH output), so when the
+    count is provably small (≤ ``driver_limit``) a vectorized union-find
+    runs on the driver — the guide-sanctioned shortcut. Larger pair sets
+    fall back to distributed min-label propagation: each round every node
+    takes the min label in its neighborhood (one bucketed groupby over
+    edge+label rows), converging in O(component diameter) rounds with
+    ``max_rounds`` bounding pathological chains; labels never land on the
+    driver in that path."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    n_pairs = pairs_ds.count()
+    if n_pairs <= driver_limit:
+        tbl = pa.concat_tables(
+            [b for b in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(batch_format="pyarrow")]
+        ) if n_pairs else pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([a, b])) if len(a) else np.array([], dtype=np.int64)
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        parent = np.arange(len(nodes))
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for x, y in zip(a, b):
+            rx, ry = find(idx[int(x)]), find(idx[int(y)])
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.array([find(i) for i in range(len(nodes))])
+        labels_np = nodes[roots]
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(labels_np)})
+        )
+
+    # edges both directions + self labels
+    def seed(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        peer = np.concatenate([b, a])
+        return pa.table({"node": pa.array(node), "peer": pa.array(peer)})
+
+    edges = pairs_ds.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        u = np.unique(n)
+        return pa.table({"node": pa.array(u), "label": pa.array(u)})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    labels = _dedup_label_rows(labels, num_buckets)
+
+    for _round in range(max_rounds):
+        # join labels onto edges by node, emit (peer, node_label) proposals,
+        # then per node take min(own, proposals)
+        from osm_export_tool_python_ray.stages.joins import bucket_join
+
+        lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+        edge_schema = pa.schema([("node", pa.int64()), ("peer", pa.int64())])
+        with_lbl = bucket_join(
+            edges, labels, "node", num_buckets=num_buckets, how="inner",
+            left_schema=edge_schema, right_schema=lbl_schema,
+        )
+
+        def proposals(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("peer"),
+                    "label": t.column("label"),
+                    "own": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def own_rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": t.column("label"),
+                    "own": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def reduce_min(g: pa.Table) -> pa.Table:
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            lbl = g.column("label").to_numpy(zero_copy_only=False)
+            own = g.column("own").to_numpy(zero_copy_only=False)
+            order = np.lexsort((lbl, node))
+            node, lbl, own = node[order], lbl[order], own[order]
+            first = np.concatenate([[True], node[1:] != node[:-1]]) if len(node) else np.array([], dtype=bool)
+            starts = np.nonzero(first)[0]
+            new_lbl = lbl[starts]  # min label per node (sorted)
+            # previous own label for change detection
+            own_lbl = np.full(len(starts), -1, dtype=np.int64)
+            ends = np.append(starts[1:], len(node))
+            for j, (s, e) in enumerate(zip(starts, ends)):
+                o = np.nonzero(own[s:e])[0]
+                if len(o):
+                    own_lbl[j] = lbl[s + o[0]]
+            changed = (own_lbl != new_lbl).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(node[starts]),
+                    "label": pa.array(new_lbl),
+                    "changed": pa.array(changed),
+                }
+            )
+
+        def bucketer(t: pa.Table) -> pa.Table:
+            v = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return t.append_column("bucket", pa.array((v % np.uint64(num_buckets)).astype(np.int32)))
+
+        merged = (
+            with_lbl.map_batches(proposals, batch_format="pyarrow")
+            .union(labels.map_batches(own_rows, batch_format="pyarrow"))
+            .map_batches(bucketer, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: reduce_min(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        ).materialize()
+
+        n_changed = merged.sum("changed")
+        labels = merged.map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+        )
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _dedup_label_rows(labels_ds, num_buckets):
+    def bucketer(t: pa.Table) -> pa.Table:
+        v = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bucket", pa.array((v % np.uint64(num_buckets)).astype(np.int32)))
+
+    def first(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("node", "ascending"), ("label", "ascending")])
+        n = g.column("node").to_numpy(zero_copy_only=False)
+        keep = np.concatenate([[True], n[1:] != n[:-1]]) if len(n) else np.array([], dtype=bool)
+        return g.filter(pa.array(keep)).drop_columns(["bucket"])
+
+    return labels_ds.map_batches(bucketer, batch_format="pyarrow").groupby("bucket").map_groups(
+        first, batch_format="pyarrow"
+    )
+
+
 def simhash_pairs(docs_ds, max_hamming=3, num_buckets=64, max_group=512):
     """Near-dup pairs by 64-bit SimHash: 4 16-bit bands (any pair within
     Hamming ≤ 3 shares at least one exact band), candidates verified by

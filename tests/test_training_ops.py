@@ -235,3 +235,43 @@ class TestMedia:
         out = FrameSampleStage(every_n=5)(t)
         assert out.num_rows >= 1
         assert out.column("frame_idx")[0].as_py() == 0
+
+
+class TestDedupClusters:
+    def test_connected_components(self, ray_session):
+        import ray.data
+        import pyarrow as pa
+        from osm_export_tool_python_ray.stages.dedup import dedup_clusters
+
+        # components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; singleton 99 absent
+        pairs = pa.table(
+            {
+                "doc_a": pa.array([1, 2, 3, 10], type=pa.int64()),
+                "doc_b": pa.array([2, 3, 7, 11], type=pa.int64()),
+                "similarity": pa.array([1.0, 1.0, 1.0, 1.0]),
+            }
+        )
+        # driver union-find path (default) and the distributed label
+        # propagation path (driver_limit=0) must agree
+        for kwargs in ({}, {"driver_limit": 0}):
+            out = dedup_clusters(ray.data.from_arrow(pairs), num_buckets=4, **kwargs).take_all()
+            got = {r["doc_id"]: r["cluster_id"] for r in out}
+            assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}, kwargs
+
+    def test_long_chain_converges(self, ray_session):
+        import ray.data
+        import pyarrow as pa
+        import numpy as np
+        from osm_export_tool_python_ray.stages.dedup import dedup_clusters
+
+        n = 12  # chain 0-1-2-...-11 (diameter 11 > default-ish rounds check)
+        pairs = pa.table(
+            {
+                "doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+                "doc_b": pa.array(np.arange(1, n, dtype=np.int64)),
+                "similarity": pa.array(np.ones(n - 1)),
+            }
+        )
+        out = dedup_clusters(ray.data.from_arrow(pairs), num_buckets=4).take_all()
+        assert all(r["cluster_id"] == 0 for r in out)
+        assert len(out) == n
