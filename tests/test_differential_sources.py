@@ -1,0 +1,102 @@
+"""DIFFERENTIAL test for the filter compilers: load the ACTUAL reference
+sources.py (stubbing requests/shapely/deepdiff, which only matter for the
+HTTP paths we don't reproduce) and compare Overpass / OsmiumTool / Galaxy
+filter compilation on randomized mappings."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from osm_export_tool_python_ray.mapping import Mapping as MyMapping
+from osm_export_tool_python_ray.sources.filters import (
+    Galaxy as MyGalaxy,
+    Overpass as MyOverpass,
+    OsmiumTool as MyOsmiumTool,
+)
+
+pytest.importorskip("pyparsing")
+from tests.refload import ref_mapping as _rm, ref_sources as _rs
+
+ref_sources, ref_mapping = _rs(), _rm()
+
+WHERES = [
+    "building = 'yes'",
+    "amenity IN ('bank','school')",
+    "height > 20",
+    "natural IS NOT NULL",
+    "building = 'yes' AND amenity = 'bank'",
+    "building = 'yes' OR amenity = 'bank'",
+]
+
+theme_dicts = st.fixed_dictionaries(
+    {"select": st.lists(st.sampled_from(["name", "building", "col:x"]), min_size=1, max_size=3)},
+    optional={
+        "types": st.lists(
+            st.sampled_from(["points", "lines", "polygons"]), min_size=1, max_size=3
+        ),
+        "where": st.sampled_from(WHERES),
+    },
+)
+
+mappings = st.dictionaries(
+    st.sampled_from(["t1", "t2", "t3"]), theme_dicts, min_size=1, max_size=3
+)
+
+
+def _yaml(doc):
+    import yaml
+
+    return yaml.safe_dump(doc)
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc=mappings)
+def test_overpass_filters_identical(doc):
+    y = _yaml(doc)
+    mine = MyOverpass.filters(MyMapping(y))
+    theirs = ref_sources.Overpass.filters(ref_mapping.Mapping(y))
+    assert tuple(sorted(s) for s in mine) == tuple(sorted(s) for s in theirs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(sql=st.sampled_from(WHERES))
+def test_overpass_sql_identical(sql):
+    assert MyOverpass.sql(sql) == ref_sources.Overpass.sql(sql)
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc=mappings)
+def test_osmium_filters_identical(doc):
+    y = _yaml(doc)
+    mine_m, ref_m = MyMapping(y), ref_mapping.Mapping(y)
+    try:
+        theirs = ref_sources.OsmiumTool.filters(ref_m)
+        failed = False
+    except ValueError:
+        failed = True
+    if failed:
+        with pytest.raises(ValueError):
+            MyOsmiumTool.filters(mine_m)
+    else:
+        assert MyOsmiumTool.filters(mine_m) == theirs
+
+
+def test_galaxy_filters_on_fixture():
+    """Galaxy compile parity on a representative mapping. NOTE: the
+    reference ``Galaxy.parts`` has a mutable-default ``and_clause=[]`` that
+    leaks state ACROSS calls; this test must run its baseline call before
+    other Galaxy.parts invocations in the shared module (it is the only
+    one)."""
+    y = _yaml(
+        {
+            "b": {"select": ["name"], "types": ["polygons"], "where": "building = 'yes' AND amenity = 'bank'"},
+            "p": {"select": ["amenity"], "types": ["points"], "where": "amenity IN ('bank','fuel')"},
+        }
+    )
+    theirs = ref_sources.Galaxy.filters(ref_mapping.Mapping(y))
+    mine = MyGalaxy.filters(MyMapping(y))
+    # same 7-tuple: point/line/poly filters, geometry types, columns
+    assert mine[3] == theirs[3]
+    assert mine[0] == theirs[0]
+    assert mine[2] == theirs[2]
+    assert sorted(mine[4]) == sorted(theirs[4])
+    assert sorted(mine[6]) == sorted(theirs[6])
