@@ -30,6 +30,13 @@ def main(argv=None):
     parser.add_argument("--omit-osm-ids", action="store_true")
     parser.add_argument("--centroid", action="store_true", help="polygon centroids as points")
     parser.add_argument("--workdir", help="checkpoint dir (resumable)")
+    parser.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="run per-input-partition with skip-completed resume (requires "
+        "locality-closed partitions; see pipelines/partitioned.py)",
+    )
     parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -78,25 +85,49 @@ def main(argv=None):
             aoi = load_geometry(f.read())
 
     start = time.time()
-    docs = ray.data.read_parquet(args.corpus)
     workdir = args.workdir or (args.output_name + ".work")
-    themed = run_export(
-        docs,
-        mapping,
-        aoi_polygons=aoi,
-        polygon_centroid=args.centroid,
-        workdir=workdir,
-        num_partitions=max(4, args.num_cpus),
-        num_buckets=max(16, args.num_cpus * 4),
-    )
-
     sink_cls = {"gpkg": Geopackage, "shp": Shapefile, "kml": Kml, "mgpkg": MultiGeopackage}
     files = []
-    features_path = os.path.join(workdir, "features")
-    for fmt in args.formats:
-        sink = sink_cls[fmt](args.output_name, mapping, omit_osm_ids=args.omit_osm_ids)
-        files.extend(sink.write_from(features_path))
-        sink.finalize()
+    if args.partitions > 0:
+        from osm_export_tool_python_ray.pipelines.partitioned import run_export_partitioned
+
+        feature_dirs, metrics = run_export_partitioned(
+            args.corpus,
+            mapping,
+            workdir,
+            num_partitions=args.partitions,
+            aoi_polygons=aoi,
+            polygon_centroid=args.centroid,
+            num_buckets=max(16, args.num_cpus * 4),
+        )
+        print(
+            "partitions: %d executed, %d resumed"
+            % (metrics["executed"], metrics["skipped"])
+        )
+        # each features dir is hive-partitioned (theme=...); read_parquet
+        # needs one root per call to resolve the partition column
+        part_ds = [ray.data.read_parquet(d) for d in feature_dirs]
+        themed = part_ds[0].union(*part_ds[1:]) if len(part_ds) > 1 else part_ds[0]
+        for fmt in args.formats:
+            sink = sink_cls[fmt](args.output_name, mapping, omit_osm_ids=args.omit_osm_ids)
+            files.extend(sink.write_from(themed))
+            sink.finalize()
+    else:
+        docs = ray.data.read_parquet(args.corpus)
+        run_export(
+            docs,
+            mapping,
+            aoi_polygons=aoi,
+            polygon_centroid=args.centroid,
+            workdir=workdir,
+            num_partitions=max(4, args.num_cpus),
+            num_buckets=max(16, args.num_cpus * 4),
+        )
+        features_path = os.path.join(workdir, "features")
+        for fmt in args.formats:
+            sink = sink_cls[fmt](args.output_name, mapping, omit_osm_ids=args.omit_osm_ids)
+            files.extend(sink.write_from(features_path))
+            sink.finalize()
 
     print("Elapsed: {0}".format(time.time() - start))
     for f in files:

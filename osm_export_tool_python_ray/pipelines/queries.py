@@ -308,6 +308,14 @@ def q_embedding_near_dup(sf_dir):
     )
 
 
+def q_embedding_kmeans(sf_dir):
+    """Distributed Lloyd's k-means cluster assignments (rows-only;
+    inertia-decrease + determinism asserted in pytest)."""
+    from osm_export_tool_python_ray.stages.ann import embedding_kmeans
+
+    return embedding_kmeans(_read(sf_dir, "embeddings"), k=8, iters=8).sort("vec_id")
+
+
 def q_ivf_topk(sf_dir):
     from osm_export_tool_python_ray.stages.ann import ivf_topk
 
@@ -744,6 +752,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
+    "embedding_kmeans": q_embedding_kmeans,
     "q1_lineitem": q_q1_lineitem,
     "top_orders": q_top_orders,
     "customer_orders_join": q_customer_orders_join,

@@ -90,6 +90,7 @@ def _atomic_write(ds, path):
     staging = path + ".staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
+    os.makedirs(staging, exist_ok=True)  # empty datasets create no files
     ds.write_parquet(staging)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
     if os.path.exists(path):

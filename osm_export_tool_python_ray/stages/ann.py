@@ -181,6 +181,93 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
     return dedup_pairs(pairs, num_buckets=num_buckets)
 
 
+def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048):
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Per iteration: centroids broadcast via ``ray.put``; each batch computes
+    assignments + per-centroid partial (sum, count) — one small table per
+    block; the driver reduces the tiny partials and updates centroids.
+    The full matrix never leaves the object store; driver traffic is
+    O(k·dim·blocks) per iteration. Deterministic init (seeded sample).
+
+    → (vec_id, cluster:int32) assignment Dataset."""
+    import ray
+
+    sample = embeddings_ds.limit(sample_size).to_pandas()
+    sm = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+    # deterministic farthest-point init (k-means++ greedy variant): robust
+    # against the collapsed-centroid failure of plain random init
+    kk = min(k, len(sm))
+    cents = [sm[0]]
+    d2 = ((sm - cents[0]) ** 2).sum(axis=1)
+    for _ in range(kk - 1):
+        nxt = int(d2.argmax())
+        cents.append(sm[nxt])
+        d2 = np.minimum(d2, ((sm - sm[nxt]) ** 2).sum(axis=1))
+    cents = np.vstack(cents)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _to_matrix(t.column("embedding"), np.float64)
+            if m.shape[0] == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], type=pa.int32()),
+                        "vec_sum": pa.array([], type=pa.list_(pa.float64())),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            rows_c, rows_s, rows_n = [], [], []
+            for ci in np.unique(assign):
+                sel = m[assign == ci]
+                rows_c.append(int(ci))
+                rows_s.append(sel.sum(axis=0).tolist())
+                rows_n.append(len(sel))
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_c, type=pa.int32()),
+                    "vec_sum": pa.array(rows_s, type=pa.list_(pa.float64())),
+                    "n": pa.array(rows_n, type=pa.int64()),
+                }
+            )
+
+        parts = embeddings_ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["vec_sum"])
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        new = cents.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _to_matrix(t.column("embedding"), np.float64)
+        if m.shape[0] == 0:
+            return pa.table({"vec_id": t.column("vec_id"), "cluster": pa.array([], type=pa.int32())})
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int32)),
+            }
+        )
+
+    return embeddings_ds.map_batches(assign_fn, batch_format="pyarrow")
+
+
 def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, nprobe=8, seed=42, sample_size=2048):
     """IVF-style ANN: k-means-ish centroids from a deterministic sample,
     vectors assigned to nearest centroid (one groupby key), queries probe

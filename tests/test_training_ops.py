@@ -275,3 +275,46 @@ class TestDedupClusters:
         out = dedup_clusters(ray.data.from_arrow(pairs), num_buckets=4).take_all()
         assert all(r["cluster_id"] == 0 for r in out)
         assert len(out) == n
+
+
+class TestKmeans:
+    def test_clusters_separate_planted_blobs(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.ann import embedding_kmeans
+
+        rng = np.random.RandomState(3)
+        dim, per = 8, 40
+        blobs = []
+        for c in range(3):
+            center = np.zeros(dim); center[c] = 10.0
+            blobs.append(center + rng.randn(per, dim) * 0.1)
+        m = np.vstack(blobs).astype(np.float32)
+        offsets = pa.array(np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int32))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(offsets, pa.array(m.reshape(-1))),
+            }
+        )
+        out = embedding_kmeans(ray.data.from_arrow(tbl), k=3, iters=10).take_all()
+        lbl = {r["vec_id"]: r["cluster"] for r in out}
+        # each planted blob maps to exactly one cluster id
+        for c in range(3):
+            ids = {lbl[i] for i in range(c * per, (c + 1) * per)}
+            assert len(ids) == 1, c
+        # the three blobs get three distinct ids
+        assert len({lbl[0], lbl[per], lbl[2 * per]}) == 3
+
+    def test_deterministic(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.ann import embedding_kmeans
+
+        tbl, _ = embedding_table(80)
+
+        def run():
+            return sorted(
+                (r["vec_id"], r["cluster"])
+                for r in embedding_kmeans(ray.data.from_arrow(tbl), k=4, iters=5).take_all()
+            )
+
+        assert run() == run()
