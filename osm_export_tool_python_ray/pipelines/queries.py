@@ -476,6 +476,67 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_sessions(sf_dir):
+    """Sessionization (streaming-shaped op): events partitioned by user,
+    sorted by ts within the partition, split at >30-minute gaps. Per
+    session: user_id, session_start, n_events, sum_value. The ordering
+    assumption (ts order within each user partition) is established by the
+    in-group sort — Ray Data has no event-time watermarks (guide §streaming).
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % 32).astype(np.int32)))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["bucket"]).to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = (new_user | gap).cumsum()
+        out = (
+            df.groupby(sid)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "first"),
+                n_events=("ts", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(bucketer, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 # ----------------------------------------------------------------- spatial
 
 def _customer_points(t: pa.Table) -> pa.Table:
@@ -759,6 +820,7 @@ QUERIES = {
     "supplier_nation_region": q_supplier_nation_region,
     "part_stats": q_part_stats,
     "events_window": q_events_window,
+    "events_sessions": q_events_sessions,
     "cell_counts": q_cell_counts,
     "tile_counts": q_tile_counts,
     "knn": q_knn,
@@ -782,6 +844,7 @@ ORACLES = {
     "supplier_nation_region": SQL_SUPPLIER_NATION_REGION,
     "part_stats": SQL_PART_STATS,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "cell_counts": SQL_CELL_COUNTS,
     "tile_counts": SQL_TILE_COUNTS,
     "knn": SQL_KNN,
