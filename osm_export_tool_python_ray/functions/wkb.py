@@ -60,6 +60,66 @@ def multipolygon_wkb(polygons):
     return b"".join(out)
 
 
+def linestrings_wkb_vectorized(lons_list, lats_list, row_idx):
+    """Batch-encode LINESTRING WKB for the selected rows of Arrow
+    list<float64> coordinate columns — one byte-matrix scatter, no per-row
+    Python. → (BinaryArray of len(row_idx), bbox ndarray (n,4))."""
+    import pyarrow as pa
+
+    if isinstance(lons_list, pa.ChunkedArray):
+        lons_list = lons_list.combine_chunks()
+    if isinstance(lats_list, pa.ChunkedArray):
+        lats_list = lats_list.combine_chunks()
+    offsets = lons_list.offsets.to_numpy(zero_copy_only=False)
+    lon_vals = lons_list.values.to_numpy(zero_copy_only=False)
+    lat_vals = lats_list.values.to_numpy(zero_copy_only=False)
+    row_idx = np.asarray(row_idx, dtype=np.int64)
+    n = len(row_idx)
+    starts = offsets[row_idx]
+    ends = offsets[row_idx + 1]
+    npts = (ends - starts).astype(np.int64)
+    total_pts = int(npts.sum())
+
+    # gather selected points (ranges → flat indices)
+    point_src = np.repeat(starts, npts) + (
+        np.arange(total_pts) - np.repeat(np.concatenate([[0], np.cumsum(npts)[:-1]]), npts)
+    )
+    px = lon_vals[point_src]
+    py = lat_vals[point_src]
+
+    out_sizes = 9 + 16 * npts
+    out_offsets = np.concatenate([[0], np.cumsum(out_sizes)]).astype(np.int64)
+    buf = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+    pos = out_offsets[:-1]
+    buf[pos] = 1          # little endian
+    buf[pos + 1] = LINESTRING
+    counts_le = npts.astype("<u4").view(np.uint8).reshape(n, 4)
+    buf[pos[:, None] + np.arange(5, 9)] = counts_le
+
+    coord_bytes = np.stack([px, py], axis=1).astype("<f8").view(np.uint8).reshape(total_pts, 16)
+    within = np.arange(total_pts) - np.repeat(np.concatenate([[0], np.cumsum(npts)[:-1]]), npts)
+    base = np.repeat(pos + 9, npts) + 16 * within
+    buf[base[:, None] + np.arange(16)] = coord_bytes
+
+    arr = None
+    import pyarrow as pa2
+
+    arr = pa2.Array.from_buffers(
+        pa2.binary(),
+        n,
+        [None, pa2.py_buffer(out_offsets.astype(np.int32).tobytes()), pa2.py_buffer(buf.tobytes())],
+    )
+    # per-row bbox via reduceat (guard empty rows)
+    starts_flat = np.concatenate([[0], np.cumsum(npts)[:-1]])
+    bbox = np.empty((n, 4), dtype=np.float64)
+    if total_pts:
+        bbox[:, 0] = np.minimum.reduceat(px, starts_flat)
+        bbox[:, 1] = np.minimum.reduceat(py, starts_flat)
+        bbox[:, 2] = np.maximum.reduceat(px, starts_flat)
+        bbox[:, 3] = np.maximum.reduceat(py, starts_flat)
+    return arr, bbox
+
+
 def decode(buf):
     """→ (geom_type_code, python geometry as in the module docstring)."""
     val, _ = _decode_at(buf, 0)

@@ -69,17 +69,33 @@ def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
     tags_append = tags_col.append
     refs_append = refs_col.append
     members_append = members_col.append
+    bad = 0
+    valid = np.ones(n, dtype=bool)
     for i, txt in enumerate(texts):
-        e = loads(txt)
-        element_id[i] = e["id"]
-        k = e["type"]
+        # malformed spans are dropped with a counter, not a task failure —
+        # drop-and-continue parity with the reference's error handling
+        # (reference tabular.py:305-306,338-339 prints and keeps going)
+        try:
+            e = loads(txt)
+            element_id[i] = e["id"]
+            k = e["type"]
+            code = kc[k]
+            if k == "node":
+                lon[i] = e["lon"]
+                lat[i] = e["lat"]
+        except (ValueError, KeyError, TypeError):
+            valid[i] = False
+            bad += 1
+            kind_append("")
+            tags_append([])
+            refs_append(None)
+            members_append(None)
+            continue
         kind_append(k)
-        kind_code[i] = kc[k]
+        kind_code[i] = code
         t = e.get("tags")
         tags_append(list(t.items()) if t else [])
         if k == "node":
-            lon[i] = e["lon"]
-            lat[i] = e["lat"]
             refs_append(None)
             members_append(None)
         elif k == "way":
@@ -88,6 +104,20 @@ def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
         else:
             refs_append(None)
             members_append(e.get("members") or [])
+    if bad:
+        print("explode_osm: dropped %d malformed osm spans" % bad)
+        keep = np.nonzero(valid)[0]
+        element_id = element_id[keep]
+        kind_code = kind_code[keep]
+        lon = lon[keep]
+        lat = lat[keep]
+        kind = [kind[i] for i in keep]
+        tags_col = [tags_col[i] for i in keep]
+        refs_col = [refs_col[i] for i in keep]
+        members_col = [members_col[i] for i in keep]
+        osm_docs = [osm_docs[i] for i in keep]
+        offsets = [offsets[i] for i in keep]
+        n = len(keep)
 
     out = pa.table(
         {

@@ -159,12 +159,16 @@ class WayFeatures:
         closed = batch.column("is_closed").to_numpy(zero_copy_only=False)
         is_poly = closed & closed_way_is_polygon_mask(tags)
 
-        line_cand = tagged & ~is_poly & complete & self.compiled.union_mask(tags, GeomType.LINE)
+        n_pts = batch.column("n_pts").to_numpy(zero_copy_only=False)
+        line_cand = (
+            tagged & ~is_poly & complete & (n_pts >= 2)
+            & self.compiled.union_mask(tags, GeomType.LINE)
+        )
         area_cand = tagged & is_poly & complete & self.compiled.union_mask(tags, GeomType.POLYGON)
 
-        lons = batch.column("lons").to_pylist()
-        lats = batch.column("lats").to_pylist()
         way_id = batch.column("way_id").to_numpy(zero_copy_only=False)
+        lons_col = batch.column("lons")
+        lats_col = batch.column("lats")
 
         rows = {k: [] for k in ("osm_id", "gt", "mgt", "ti", "wkb", "lon", "lat", "bbox")}
 
@@ -178,9 +182,37 @@ class WayFeatures:
             rows["lat"].append(lat)
             rows["bbox"].append(bbox)
 
-        for i in np.nonzero(line_cand)[0]:
-            coords = np.stack([lons[i], lats[i]], axis=1)
-            if self.prep is not None:
+        vector_lines = None
+        if self.prep is None:
+            # no AOI: whole-batch vectorized LINESTRING encoding straight
+            # from the Arrow list buffers (no per-row Python)
+            line_idx = np.nonzero(line_cand)[0]
+            if len(line_idx):
+                wkb_arr, bbox = wkbmod.linestrings_wkb_vectorized(
+                    lons_col, lats_col, line_idx
+                )
+                sub = batch.take(pa.array(line_idx))
+                stags = sub.column("tags")
+                if isinstance(stags, pa.ChunkedArray):
+                    stags = stags.combine_chunks()
+                vector_lines = _feature_table(
+                    way_id[line_idx],
+                    np.full(len(line_idx), 2),
+                    np.full(len(line_idx), 2),
+                    stags,
+                    wkb_arr,
+                    np.full(len(line_idx), np.nan),
+                    np.full(len(line_idx), np.nan),
+                    bbox,
+                    sub.column("doc_id"),
+                    sub.column("offset"),
+                    "way",
+                )
+        else:
+            lons = lons_col.to_pylist()
+            lats = lats_col.to_pylist()
+            for i in np.nonzero(line_cand)[0]:
+                coords = np.stack([lons[i], lats[i]], axis=1)
                 if not self.prep.intersects_line(coords):
                     continue
                 if not self.prep.contains_properly_line(coords):
@@ -195,24 +227,31 @@ class WayFeatures:
                     allpts = np.vstack(parts)
                     emit(i, 2, 2, buf, bbox=(allpts[:, 0].min(), allpts[:, 1].min(), allpts[:, 0].max(), allpts[:, 1].max()))
                     continue
-            emit(
-                i, 2, 2, wkbmod.linestring_wkb(coords),
-                bbox=(coords[:, 0].min(), coords[:, 1].min(), coords[:, 0].max(), coords[:, 1].max()),
-            )
+                emit(
+                    i, 2, 2, wkbmod.linestring_wkb(coords),
+                    bbox=(coords[:, 0].min(), coords[:, 1].min(), coords[:, 0].max(), coords[:, 1].max()),
+                )
 
-        for i in np.nonzero(area_cand)[0]:
-            ring = np.stack([lons[i], lats[i]], axis=1)
-            polys = [[ring]]
-            if self.prep is not None:
-                if not self.prep.intersects_polygon(polys):
-                    continue
-                if not self.prep.contains_properly_polygon(polys):
-                    polys = self.prep.clip_polygon(polys)
-                    if not polys:
+        area_idx = np.nonzero(area_cand)[0]
+        if len(area_idx):
+            lons = lons_col.to_pylist()
+            lats = lats_col.to_pylist()
+            for i in area_idx:
+                ring = np.stack([lons[i], lats[i]], axis=1)
+                polys = [[ring]]
+                if self.prep is not None:
+                    if not self.prep.intersects_polygon(polys):
                         continue
-            self._emit_area(emit, i, int(way_id[i]), polys)
+                    if not self.prep.contains_properly_polygon(polys):
+                        polys = self.prep.clip_polygon(polys)
+                        if not polys:
+                            continue
+                self._emit_area(emit, i, int(way_id[i]), polys)
 
-        return self._finish(batch, rows)
+        looped = self._finish(batch, rows)
+        if vector_lines is not None:
+            return pa.concat_tables([vector_lines, looped]) if looped.num_rows else vector_lines
+        return looped
 
     def _emit_area(self, emit, i, osm_id, polys):
         allpts = np.vstack([r for p in polys for r in p])

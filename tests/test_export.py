@@ -239,3 +239,22 @@ class TestDeterminism:
             )
 
         assert run() == run()
+
+
+class TestMalformedSpans:
+    def test_bad_spans_dropped_not_fatal(self, ray_session, capsys):
+        import ray.data
+        from osm_export_tool_python_ray.pipelines.export import run_export
+
+        spans = [
+            node(1, 1.0, 1.0, {"amenity": "bank"}),
+            {"kind": "osm", "text": "{not json", "media_ref": ""},
+            {"kind": "osm", "text": '{"type":"node"}', "media_ref": ""},  # no id
+            {"kind": "osm", "text": '{"id":9,"type":"alien"}', "media_ref": ""},
+            node(2, 2.0, 2.0, {"amenity": "bank"}),
+        ]
+        docs = ray.data.from_arrow(
+            pa.Table.from_pylist([_doc("d", spans)], schema=DOCUMENT_SCHEMA)
+        )
+        rows = run_export(docs, Mapping(MAPPING_YAML), num_partitions=2, num_buckets=4).take_all()
+        assert sorted(r["osm_id"] for r in rows if r["theme"] == "pts") == [1, 2]
