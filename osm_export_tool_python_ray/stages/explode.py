@@ -219,10 +219,26 @@ def dedup_elements(ds, num_buckets=64):
     """Exact element dedup (SURVEY.md D4): hash-bucket the single int64
     ekey, then keep the provenance-minimal row per ekey inside each bucket
     — vectorized per group-of-buckets, one shuffle total. Tie-break:
-    min (doc_id, offset) so output is deterministic under any parallelism."""
+    min (doc_id, offset) so output is deterministic under any parallelism.
+
+    A within-batch pre-dedup runs BEFORE the shuffle (the combiner
+    pattern): duplicates are overwhelmingly partition-local, so they never
+    enter the exchange; the global pass keeps exactly the same winner."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        # local pre-dedup only when the batch actually contains duplicates
+        # (cheap int64 uniqueness probe; a full nested-row sort_by costs
+        # more than the shuffle saving when there is nothing to drop)
+        if len(np.unique(ek)) != len(ek):
+            g = t.sort_by(
+                [("ekey", "ascending"), ("doc_id", "ascending"), ("offset", "ascending")]
+            )
+            ek = g.column("ekey").to_numpy(zero_copy_only=False)
+            keep = np.ones(len(ek), dtype=bool)
+            keep[1:] = ek[1:] != ek[:-1]
+            t = g.filter(pa.array(keep))
+            ek = ek[keep]
         return t.append_column("bucket", pa.array((ek % num_buckets).astype(np.int32)))
 
     def first_per_key(group: pa.Table) -> pa.Table:
