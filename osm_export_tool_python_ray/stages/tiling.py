@@ -30,6 +30,7 @@ ASSIGNMENT_SCHEMA = pa.schema(
         ("media_ref", pa.string()),
         ("feature_ids", pa.list_(pa.int64())),
         ("n_features", pa.int64()),
+        ("truncated", pa.bool_()),
     ]
 )
 
@@ -91,9 +92,14 @@ def _tile_side(batch: pa.Table) -> pa.Table:
     )
 
 
-def _assign_group(group: pa.Table) -> pa.Table:
+def _assign_group(group: pa.Table, max_features_per_tile=1_000_000) -> pa.Table:
     """One bucket of (tkey, osm_id|media_ref, side) rows → assignment rows
-    for tiles present on side 1. Vectorized per bucket."""
+    for tiles present on side 1. Vectorized per bucket.
+
+    Hot-tile guard: lists are capped at ``max_features_per_tile`` (keeping
+    the smallest osm_ids — deterministic) with ``truncated`` flagged and
+    ``n_features`` still reporting the TRUE count, so downstream can see
+    the overflow instead of silently OOMing on a degenerate tile."""
     tk = group.column("tkey").to_numpy(zero_copy_only=False)
     side = group.column("side").to_numpy(zero_copy_only=False)
     osm = group.column("osm_id").to_numpy(zero_copy_only=False)
@@ -118,7 +124,15 @@ def _assign_group(group: pa.Table) -> pa.Table:
     counts = np.searchsorted(ftk, tile_keys, side="right") - np.searchsorted(
         ftk, tile_keys, side="left"
     )
-    offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+    starts_per_tile = np.searchsorted(ftk, tile_keys, side="left")
+    kept = np.minimum(counts, max_features_per_tile)
+    truncated = counts > max_features_per_tile
+    if truncated.any():
+        sel = np.concatenate(
+            [np.arange(s_, s_ + k) for s_, k in zip(starts_per_tile, kept)]
+        ) if len(kept) else np.array([], dtype=np.int64)
+        fosm = fosm[sel]
+    offsets = pa.array(np.concatenate([[0], np.cumsum(kept)]).astype(np.int32))
     ids = pa.ListArray.from_arrays(offsets, pa.array(fosm))
     z = (tile_keys >> 58).astype(np.int64)
     x = ((tile_keys >> 29) & ((1 << 29) - 1)).astype(np.int64)
@@ -131,15 +145,17 @@ def _assign_group(group: pa.Table) -> pa.Table:
             "media_ref": media,
             "feature_ids": ids,
             "n_features": pa.array(counts.astype(np.int64)),
+            "truncated": pa.array(truncated),
         }
     )
 
 
-def assign_features_to_tiles(features_ds, tiles_ds, zooms, num_buckets=64):
+def assign_features_to_tiles(features_ds, tiles_ds, zooms, num_buckets=64, max_features_per_tile=1_000_000):
     """→ one row per existing tile with its sorted feature osm_id list.
 
     ``zooms``: the zoom levels present in the tile table (small, computed
-    once on the driver and broadcast in the expander closure)."""
+    once on the driver and broadcast in the expander closure).
+    ``max_features_per_tile``: hot-tile cap (see _assign_group)."""
     feats = features_ds.map_batches(
         FeatureTileExpander(zooms), batch_format="pyarrow"
     )
@@ -154,7 +170,7 @@ def assign_features_to_tiles(features_ds, tiles_ds, zooms, num_buckets=64):
         .map_batches(bucketer, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
-            lambda g: _assign_group(g.drop_columns(["bucket"])),
+            lambda g: _assign_group(g.drop_columns(["bucket"]), max_features_per_tile),
             batch_format="pyarrow",
         )
     )

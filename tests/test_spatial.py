@@ -186,3 +186,48 @@ class TestKnnSalting:
             return sorted((r["query_id"], r["rank"], r["osm_id"]) for r in out)
 
         assert run(1) == run(4)
+
+
+class TestHotTileCap:
+    def test_truncation_flagged(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles
+        from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile, tile_key
+
+        feats = make_features(50, seed=9)
+        # all features in one z5 tile → hot tile
+        x, y = lonlat_to_tile([0.25], [0.25], 5)
+        tiles = pa.table(
+            {
+                "tkey": pa.array([tile_key(np.array([5]), x, y)[0]]),
+                "media_ref": pa.array(["5/%d/%d" % (x[0], y[0])]),
+            }
+        )
+        out = assign_features_to_tiles(
+            ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [5],
+            num_buckets=2, max_features_per_tile=7,
+        ).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert r["truncated"] is True or r["truncated"] == True
+        assert r["n_features"] == 50          # true count preserved
+        assert list(r["feature_ids"]) == list(range(1, 8))  # smallest ids kept
+
+    def test_uncapped_unchanged(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles
+        from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile, tile_key
+
+        feats = make_features(20, seed=9)
+        x, y = lonlat_to_tile([0.25], [0.25], 5)
+        tiles = pa.table(
+            {
+                "tkey": pa.array([tile_key(np.array([5]), x, y)[0]]),
+                "media_ref": pa.array(["t"]),
+            }
+        )
+        out = assign_features_to_tiles(
+            ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [5], num_buckets=2
+        ).take_all()
+        assert out[0]["truncated"] is False or out[0]["truncated"] == False
+        assert out[0]["n_features"] == 20
