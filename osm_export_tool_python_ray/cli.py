@@ -24,7 +24,8 @@ def main(argv=None):
         "--formats",
         nargs="+",
         default=["gpkg"],
-        choices=["gpkg", "shp", "kml", "mgpkg"],
+        help="output formats: space- or comma-separated (reference cmd.py:14 "
+        "takes 'gpkg,shp'; both syntaxes accepted)",
     )
     parser.add_argument("--clip", help="GeoJSON or POLY file to clip to")
     parser.add_argument("--omit-osm-ids", action="store_true")
@@ -40,6 +41,13 @@ def main(argv=None):
     parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    # reference CLI takes a comma-separated string (cmd.py:14: -f gpkg,shp);
+    # accept that alongside the space-separated form
+    args.formats = [p for f in args.formats for p in f.split(",") if p]
+    bad = [f for f in args.formats if f not in ("gpkg", "shp", "kml", "mgpkg")]
+    if bad:
+        parser.error("unknown format(s): %s" % ",".join(bad))
 
     import ray
 
@@ -109,7 +117,10 @@ def main(argv=None):
         part_ds = [ray.data.read_parquet(d) for d in feature_dirs]
         themed = part_ds[0].union(*part_ds[1:]) if len(part_ds) > 1 else part_ds[0]
         for fmt in args.formats:
-            sink = sink_cls[fmt](args.output_name, mapping, omit_osm_ids=args.omit_osm_ids)
+            sink = sink_cls[fmt](
+                args.output_name, mapping,
+                omit_osm_ids=args.omit_osm_ids, polygon_centroid=args.centroid,
+            )
             files.extend(sink.write_from(themed))
             sink.finalize()
     else:
@@ -125,7 +136,10 @@ def main(argv=None):
         )
         features_path = os.path.join(workdir, "features")
         for fmt in args.formats:
-            sink = sink_cls[fmt](args.output_name, mapping, omit_osm_ids=args.omit_osm_ids)
+            sink = sink_cls[fmt](
+                args.output_name, mapping,
+                omit_osm_ids=args.omit_osm_ids, polygon_centroid=args.centroid,
+            )
             files.extend(sink.write_from(features_path))
             sink.finalize()
 

@@ -222,16 +222,29 @@ class PreparedPolygon:
 
     def intersects_polygon(self, polygons):
         for rings in polygons:
-            ext = ensure_closed(rings[0])
-            st = self.point_status(ext[:, 0], ext[:, 1])
-            if (st > 0).any():
+            closed = [ensure_closed(r) for r in rings]
+            # any subject boundary point (exterior OR hole ring) inside/on the
+            # AOI, or any boundary crossing → the geometries intersect
+            boundary_touch = False
+            for r in closed:
+                st = self.point_status(r[:, 0], r[:, 1])
+                if (st > 0).any() or self._any_crossing(r):
+                    boundary_touch = True
+                    break
+            if boundary_touch:
                 return True
-            if self._any_crossing(ext):
-                return True
-            # AOI wholly inside the subject exterior?
-            sub = PreparedPolygon([[ext]])
-            if (sub.point_status([self.ax[0]], [self.ay[0]])[0] > 0):
-                # a hole could still exclude it, but exterior overlap suffices
+            # No boundary interaction: AOI is wholly inside subject material,
+            # wholly inside a hole, or wholly outside. Even-odd parity of an
+            # AOI sample point over the FULL ring set (exterior + holes)
+            # distinguishes these — a point inside a hole has even parity, so
+            # an AOI sitting entirely in a hole correctly reports no
+            # intersection (shapely parity, reference tabular.py:323).
+            px, py = float(self.ax[0]), float(self.ay[0])
+            parity = 0
+            for r in closed:
+                if _ring_contains(r, (px, py)):
+                    parity ^= 1
+            if parity == 1:
                 return True
         return False
 
@@ -247,7 +260,12 @@ class PreparedPolygon:
         return True
 
     def clip_polygon(self, polygons):
-        """Multipolygon ∩ AOI → multipolygon (list of [ext, *holes])."""
+        """Multipolygon ∩ AOI → multipolygon (list of [ext, *holes]).
+
+        Result polygons whose net area (exterior minus holes) is ~0 — e.g.
+        when the AOI sits entirely inside a subject hole, so the clipped
+        "hole" equals the clipped exterior — are dropped, matching shapely's
+        empty intersection (reference tabular.py:323)."""
         results = []
         for cpoly in self.polygons:
             cext = cpoly[0]
@@ -256,10 +274,16 @@ class PreparedPolygon:
                 sext = ensure_closed(rings[0])
                 sholes = [ensure_closed(h) for h in rings[1:]]
                 for out_ring in ring_intersection(sext, cext):
-                    out_prep = PreparedPolygon([[out_ring]])
+                    ext_area = abs(signed_area(out_ring))
                     holes = []
+                    hole_area = 0.0
                     for h in sholes + list(choles):
-                        holes.extend(ring_intersection(h, out_ring))
+                        for hr in ring_intersection(h, out_ring):
+                            holes.append(hr)
+                            hole_area += abs(signed_area(hr))
+                    net = ext_area - hole_area
+                    if net <= _EPS or net <= 1e-9 * ext_area:
+                        continue
                     results.append([out_ring] + holes)
         return results
 

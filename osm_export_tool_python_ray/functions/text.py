@@ -111,6 +111,105 @@ def hash_bytes(b):
     return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
 
 
+_POLY_P1 = np.uint64(0x9E3779B97F4A7C15)
+_POLY_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_LONG_CUTOFF = 64  # above this, per-row md5 is throughput-bound and fine
+
+
+def _fold_lanes(lanes, lengths, mult, salt):
+    """Iterated multiply-xor-avalanche fold of (n, K) uint64 lanes →
+    one uint64 per row; the row length seeds the accumulator so
+    zero-padding cannot collide with genuine trailing NULs."""
+    with np.errstate(over="ignore"):
+        acc = _mix64(lengths.astype(np.uint64) * mult ^ salt)
+        for j in range(lanes.shape[1]):
+            acc = _mix64(acc * mult ^ lanes[:, j])
+    return acc
+
+
+def hash_strings_128(arr):
+    """Two independent 64-bit vectorized hashes (h1, h2) of an Arrow string
+    array — the 128-bit exact-dedup group key (collision-safe at the
+    10^12-doc design point, unlike a single 64-bit key). Nulls hash as ''.
+
+    Short strings (≤64 B) are hashed with NO per-row Python: rows are
+    bucketed into power-of-two length classes, gathered into a zero-padded
+    (n, W) uint8 matrix straight from the Arrow data buffer, viewed as
+    uint64 lanes and folded column-wise (scratch ≤ ~6× class bytes — the
+    naive per-byte uint64 scan was page-fault-bound at 8× total bytes).
+    The long tail (>64 B) uses one md5 call per row, where the call
+    overhead is amortized by the payload."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    if pa.types.is_large_string(arr.type):
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+    else:
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+    lengths = ends - starts
+    n = len(starts)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+
+    long_idx = np.nonzero(lengths > _LONG_CUTOFF)[0]
+    for i in long_idx:
+        d = hashlib.md5(data[starts[i] : ends[i]].tobytes()).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+
+    short_mask = lengths <= _LONG_CUTOFF
+    m = len(data)
+    W = 8
+    while W <= _LONG_CUTOFF:
+        lo = -1 if W == 8 else W // 2  # W=8 class includes empty strings
+        sel = np.nonzero(short_mask & (lengths > lo) & (lengths <= W))[0]
+        if len(sel):
+            k = len(sel)
+            if m == 0:
+                mat = np.zeros((k, W), dtype=np.uint8)
+            else:
+                pos = (starts[sel][:, None] + np.arange(W, dtype=np.int64)[None, :])
+                valid = np.arange(W)[None, :] < lengths[sel][:, None]
+                mat = np.where(valid, data[np.minimum(pos, m - 1)], 0).astype(np.uint8)
+            lanes = mat.view(np.uint64).reshape(k, W // 8)
+            ln = lengths[sel]
+            h1[sel] = _fold_lanes(lanes, ln, _POLY_P1, np.uint64(0xA24BAED4963EE407))
+            h2[sel] = _fold_lanes(lanes, ln, _POLY_P2, np.uint64(0x9FB21C651E98DF25))
+        W *= 2
+    return h1, h2
+
+
+def hash_rows_u64(mat, salt=np.uint64(0)):
+    """Fold an (n, k) uint64 matrix row-wise into one avalanche-mixed uint64
+    per row — vectorized band-key hashing (replaces per-row md5)."""
+    mat = np.ascontiguousarray(mat, dtype=np.uint64)
+    n = mat.shape[0]
+    acc = np.full(n, np.uint64(0x51_7C_C1B7_2722_0A95) ^ salt, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            acc = _mix64(acc * _POLY_P1 ^ mat[:, j])
+    return acc
+
+
+def popcount64(x):
+    """Vectorized 64-bit popcount (np.unpackbits over the byte view)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if not len(x):
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+
+
 def minhash_params(num_perm=64, seed=42):
     """Per-permutation uint64 seeds for the mix family below."""
     rng = np.random.RandomState(seed)

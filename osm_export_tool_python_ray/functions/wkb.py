@@ -101,14 +101,21 @@ def linestrings_wkb_vectorized(lons_list, lats_list, row_idx):
     base = np.repeat(pos + 9, npts) + 16 * within
     buf[base[:, None] + np.arange(16)] = coord_bytes
 
-    arr = None
     import pyarrow as pa2
 
-    arr = pa2.Array.from_buffers(
-        pa2.binary(),
-        n,
-        [None, pa2.py_buffer(out_offsets.astype(np.int32).tobytes()), pa2.py_buffer(buf.tobytes())],
-    )
+    if out_offsets[-1] <= np.iinfo(np.int32).max:
+        arr = pa2.Array.from_buffers(
+            pa2.binary(),
+            n,
+            [None, pa2.py_buffer(out_offsets.astype(np.int32).tobytes()), pa2.py_buffer(buf.tobytes())],
+        )
+    else:
+        # >2 GiB of encoded bytes in one batch: int32 offsets would overflow
+        arr = pa2.Array.from_buffers(
+            pa2.large_binary(),
+            n,
+            [None, pa2.py_buffer(out_offsets.tobytes()), pa2.py_buffer(buf.tobytes())],
+        )
     # per-row bbox via reduceat (guard empty rows)
     starts_flat = np.concatenate([[0], np.cumsum(npts)[:-1]])
     bbox = np.empty((n, 4), dtype=np.float64)

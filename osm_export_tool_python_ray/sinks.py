@@ -106,10 +106,11 @@ class Geopackage:
     launder = False
     split_geom = False
 
-    def __init__(self, output_name, mapping, omit_osm_ids=False):
+    def __init__(self, output_name, mapping, omit_osm_ids=False, polygon_centroid=False):
         self.output_name = output_name
         self.mapping = mapping
         self.omit = omit_osm_ids
+        self.polygon_centroid = polygon_centroid
         self.files = []
 
     def write_from(self, features):
@@ -121,7 +122,13 @@ class Geopackage:
                 continue
             if self.split_geom:
                 for gt, gname in _GEOM_NAMES.items():
-                    if gt == 1 and not theme.points:
+                    # under --centroid, polygon features arrive as
+                    # geom_type=1 rows even for polygon-only themes — emit
+                    # the points layer for them instead of dropping
+                    # (reference would KeyError here, tabular.py:73,134)
+                    if gt == 1 and not theme.points and not (
+                        self.polygon_centroid and theme.polygons
+                    ):
                         continue
                     if gt == 2 and not theme.lines:
                         continue

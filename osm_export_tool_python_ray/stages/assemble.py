@@ -120,9 +120,15 @@ def assemble_ways_bucket(group: pa.Table) -> pa.Table:
     incomplete = np.add.reduceat(nan.astype(np.int64), starts) > 0
     closed = (nid[starts] == nid[ends - 1]) & (counts >= 4)
 
-    offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
-    lons = pa.ListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
-    lats = pa.ListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
+    off64 = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+    if off64[-1] > np.iinfo(np.int32).max:  # >2^31 coords in one bucket
+        offsets = pa.array(off64, type=pa.int64())
+        lons = pa.LargeListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
+        lats = pa.LargeListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
+    else:
+        offsets = pa.array(off64.astype(np.int32))
+        lons = pa.ListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
+        lats = pa.ListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
     cols = {
         "way_id": pa.array(wid[starts]),
         "lons": lons,

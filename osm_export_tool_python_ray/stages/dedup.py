@@ -20,8 +20,11 @@ from osm_export_tool_python_ray.functions.text import (
     char_shingles,
     fingerprint,
     hash_bytes,
+    hash_rows_u64,
+    hash_strings_128,
     minhash_params,
     minhash_signature,
+    popcount64,
     simhash,
     word_ngrams,
 )
@@ -43,26 +46,33 @@ def _bucket_on(col, num_buckets):
 
 def exact_dedup(docs_ds, num_buckets=64):
     """→ (doc_id, n_dups): one row per distinct raw text, keeping the
-    minimal doc_id (deterministic winner). Oracle: GROUP BY md5(text)."""
+    minimal doc_id (deterministic winner). Oracle: GROUP BY md5(text).
+
+    Content key = vectorized 128-bit hash (``hash_strings_128`` — no
+    per-row Python for short texts, collision-safe unlike a 64-bit
+    truncation at the 10^12-doc design point)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        import hashlib
-
-        h = np.array(
-            [int.from_bytes(hashlib.md5((x or "").encode()).digest()[:8], "little") for x in texts],
-            dtype=np.uint64,
-        )
+        h1, h2 = hash_strings_128(t.column("text"))
         return pa.table(
-            {"doc_id": t.column("doc_id"), "h": pa.array(h, type=pa.uint64())}
+            {
+                "doc_id": t.column("doc_id"),
+                "h1": pa.array(h1, type=pa.uint64()),
+                "h2": pa.array(h2, type=pa.uint64()),
+            }
         )
 
     def first_per_hash(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
-        h = g.column("h").to_numpy(zero_copy_only=False)
-        first = np.concatenate([[True], h[1:] != h[:-1]]) if len(h) else np.array([], dtype=bool)
+        g = g.sort_by([("h1", "ascending"), ("h2", "ascending"), ("doc_id", "ascending")])
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        first = (
+            np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+            if len(h1)
+            else np.array([], dtype=bool)
+        )
         starts = np.nonzero(first)[0]
-        counts = np.diff(np.append(starts, len(h)))
+        counts = np.diff(np.append(starts, len(h1)))
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)[starts]
         return pa.table(
             {"doc_id": pa.array(ids), "n_dups": pa.array(counts.astype(np.int64))}
@@ -70,7 +80,7 @@ def exact_dedup(docs_ds, num_buckets=64):
 
     return (
         docs_ds.map_batches(add_hash, batch_format="pyarrow")
-        .map_batches(_bucket_on("h", num_buckets), batch_format="pyarrow")
+        .map_batches(_bucket_on("h1", num_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(lambda g: first_per_hash(g.drop_columns(["bucket"])), batch_format="pyarrow")
     )
@@ -152,19 +162,11 @@ def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, threshold=0.5, shingle_k=5
         sig = np.asarray(st.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, num_perm)
         keys = []
         for b in range(bands):
-            chunk = np.ascontiguousarray(sig[:, b * rows_per_band : (b + 1) * rows_per_band])
-            kb = chunk.view(np.uint8).reshape(n, -1)
-            import hashlib
-
-            key = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(bytes([b]) + kb[i].tobytes()).digest()[:8], "little")
-                    for i in range(n)
-                ),
-                dtype=np.uint64,
-                count=n,
-            )
-            keys.append(key)
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            # vectorized band key: fold the band's uint64 lanes with the
+            # band index as salt (replaces the per-row md5 loop — only
+            # group identity matters, as with the reference of the oracle)
+            keys.append(hash_rows_u64(chunk, salt=np.uint64(b)))
         bk = np.concatenate(keys) if keys else np.array([], dtype=np.uint64)
         rep_ids = np.tile(ids, bands)
         rep_sig = np.tile(sig, (bands, 1))
@@ -256,25 +258,27 @@ def dedup_clusters(pairs_ds, num_buckets=64, max_rounds=16, driver_limit=2_000_0
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
         b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
         nodes = np.unique(np.concatenate([a, b])) if len(a) else np.array([], dtype=np.int64)
-        idx = {int(v): i for i, v in enumerate(nodes)}
-        parent = np.arange(len(nodes))
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for x, y in zip(a, b):
-            rx, ry = find(idx[int(x)]), find(idx[int(y)])
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-        roots = np.array([find(i) for i in range(len(nodes))])
-        labels_np = nodes[roots]
+        # vectorized connected components: min-label propagation over the
+        # edge arrays + pointer jumping — O(E · log C) numpy ops, no
+        # per-edge Python (2M edges converge in a handful of rounds)
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        label = np.arange(len(nodes))
+        while True:
+            m = np.minimum(label[ia], label[ib])
+            new = label.copy()
+            np.minimum.at(new, ia, m)
+            np.minimum.at(new, ib, m)
+            while True:  # pointer jumping to the current root
+                jumped = new[new]
+                if np.array_equal(jumped, new):
+                    break
+                new = jumped
+            if np.array_equal(new, label):
+                break
+            label = new
         return ray.data.from_arrow(
-            pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(labels_np)})
+            pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(nodes[label])})
         )
 
     # edges both directions + self labels
@@ -429,7 +433,7 @@ def simhash_pairs(docs_ds, max_hamming=3, num_buckets=64, max_group=512):
             return pa.table({n_: pa.array([], type=t_) for n_, t_ in zip(PAIR_SCHEMA.names, PAIR_SCHEMA.types)})
         ia, ib = pls
         x = sigs[ia] ^ sigs[ib]
-        hd = np.array([bin(int(v)).count("1") for v in x])
+        hd = popcount64(x)
         keep = hd <= max_hamming
         a = np.minimum(ids[ia[keep]], ids[ib[keep]])
         b = np.maximum(ids[ia[keep]], ids[ib[keep]])

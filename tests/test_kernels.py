@@ -215,3 +215,64 @@ class TestAoiLoaders:
         # fallback through load_geometry (non-JSON input)
         polys2 = load_geometry(txt)
         assert geometry_area(polys2) == pytest.approx(96.0)
+
+
+class TestHoleSemantics:
+    """ADVICE round-1 medium: AOI wholly inside a subject polygon's hole
+    must NOT intersect (shapely parity, reference tabular.py:323)."""
+
+    def test_aoi_inside_subject_hole_no_intersect(self):
+        # AOI = small square sitting entirely inside HOLED's hole
+        aoi = PreparedPolygon([[np.array([(4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5), (4.5, 4.5)])]])
+        subj = [[np.array(HOLED[0]), np.array(HOLED[1])]]
+        assert not aoi.intersects_polygon(subj)
+        assert aoi.clip_polygon(subj) == []
+
+    def test_aoi_straddling_hole_boundary_intersects(self):
+        aoi = PreparedPolygon([[np.array([(3.0, 4.2), (5.0, 4.2), (5.0, 5.8), (3.0, 5.8), (3.0, 4.2)])]])
+        subj = [[np.array(HOLED[0]), np.array(HOLED[1])]]
+        assert aoi.intersects_polygon(subj)
+        out = aoi.clip_polygon(subj)
+        assert out  # material between hole boundary and AOI remains
+        area = sum(abs(signed_area(p[0])) - sum(abs(signed_area(h)) for h in p[1:]) for p in out)
+        # AOI area 2·1.6=3.2 minus hole overlap (1·1.6)=1.6
+        assert area == pytest.approx(1.6, rel=1e-6)
+
+    def test_aoi_containing_whole_subject_intersects(self):
+        aoi = PreparedPolygon([[np.array([(-1.0, -1.0), (11.0, -1.0), (11.0, 11.0), (-1.0, 11.0), (-1.0, -1.0)])]])
+        subj = [[np.array(HOLED[0]), np.array(HOLED[1])]]
+        assert aoi.intersects_polygon(subj)
+        out = aoi.clip_polygon(subj)
+        area = sum(abs(signed_area(p[0])) - sum(abs(signed_area(h)) for h in p[1:]) for p in out)
+        assert area == pytest.approx(100.0 - 4.0, rel=1e-6)
+
+
+class TestVectorizedHashes:
+    def test_hash_strings_128(self):
+        import pyarrow as pa
+        from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+        texts = ["hello", "world", "", "hello", "a" * 100, "a" * 101,
+                 "ab", "ba", None, "x" * 2000, "x" * 2000, "a\x00", "a"]
+        h1, h2 = hash_strings_128(pa.array(texts))
+        assert h1[0] == h1[3] and h2[0] == h2[3]          # equal content
+        assert h1[2] == h1[8]                              # null ≡ ''
+        assert h1[9] == h1[10]                             # long-tail path
+        assert h1[11] != h1[12]                            # pad ≠ real NUL
+        assert len(set(zip(h1.tolist(), h2.tolist()))) == 10
+        # slice/large_string invariance
+        sl1, _ = hash_strings_128(pa.array(texts).slice(2, 4))
+        assert (sl1 == h1[2:6]).all()
+        l1, l2 = hash_strings_128(pa.array(texts, type=pa.large_string()))
+        assert (l1 == h1).all() and (l2 == h2).all()
+
+    def test_hash_rows_and_popcount(self):
+        from osm_export_tool_python_ray.functions.text import hash_rows_u64, popcount64
+
+        m = np.array([[1, 2, 3], [1, 2, 3], [1, 2, 4]], dtype=np.uint64)
+        r = hash_rows_u64(m)
+        assert r[0] == r[1] and r[0] != r[2]
+        assert r[0] != hash_rows_u64(m, salt=np.uint64(7))[0]
+        x = np.array([0, 1, 3, 2 ** 63, 2 ** 64 - 1], dtype=np.uint64)
+        assert popcount64(x).tolist() == [0, 1, 2, 1, 64]
+        assert popcount64(np.array([], dtype=np.uint64)).tolist() == []

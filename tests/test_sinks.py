@@ -183,3 +183,50 @@ class TestCli:
             f.write("t:\n  select:\n    - a\n  where: drop table x\n")
         rc = main([corpus, str(tmp_path / "o"), "-m", mp])
         assert rc == 1
+
+    def test_cli_comma_formats(self, ray_session, tmp_path):
+        """Reference -f syntax is comma-separated (cmd.py:14: -f gpkg,shp)."""
+        from osm_export_tool_python_ray.cli import main
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+        corpus = str(tmp_path / "c.parquet")
+        write_corpus_parquet(corpus, n_shards=1)
+        mp = str(tmp_path / "m.yml")
+        with open(mp, "w") as f:
+            f.write(MAPPING_YAML)
+        out = str(tmp_path / "commaout")
+        rc = main([corpus, out, "-m", mp, "-f", "gpkg,shp", "--workdir", str(tmp_path / "wd")])
+        assert rc == 0
+        assert os.path.isdir(out + ".gpkg.d")
+        assert os.path.isdir(out + ".shp.d")
+
+    def test_cli_bad_format_rejected(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["x.parquet", "y", "-f", "gpkg,nope"])
+
+
+class TestCentroidSink:
+    def test_polygon_theme_centroid_rows_emitted(self, ray_session, tmp_path):
+        """ADVICE round-1: under --centroid a polygon-only theme's features
+        arrive as geom_type=1 and must land in a points layer, not vanish."""
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import run_export
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+
+        wd = str(tmp_path / "wd")
+        docs = ray.data.from_arrow(generate_corpus_table(n_shards=1))
+        mapping = Mapping(MAPPING_YAML)
+        run_export(docs, mapping, workdir=wd, polygon_centroid=True,
+                   num_partitions=2, num_buckets=4)
+        out = str(tmp_path / "cent")
+        Shapefile(out, mapping, polygon_centroid=True).write_from(os.path.join(wd, "features"))
+        t = pq.read_table(out + ".shp.d/cent_buildings_points")
+        assert t.num_rows > 0
+        assert set(t.column("geom_type").to_pylist()) <= {1}
+        # without the flag the layer is skipped (legacy behavior preserved)
+        out2 = str(tmp_path / "nocent")
+        Shapefile(out2, mapping).write_from(os.path.join(wd, "features"))
+        assert not os.path.isdir(out2 + ".shp.d/nocent_buildings_points")
