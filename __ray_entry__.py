@@ -38,6 +38,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from osm_export_tool_python_ray.pipelines.queries import ORACLES
+    from osm_export_tool_python_ray.pipelines.queries import (
+        ORACLES,
+        export_surface_oracles,
+    )
 
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out.update(export_surface_oracles())
+    return out

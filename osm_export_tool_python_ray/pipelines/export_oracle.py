@@ -1,0 +1,335 @@
+"""DuckDB oracle SQL for the flagship export surface (VERDICT round-1 #2).
+
+Builds, from the SAME mapping the Ray pipeline uses, SQL that re-derives
+the export results first-principles-style over the raw corpus parquet:
+span UNNEST + JSON extraction + set algebra — no shared code with the
+engine's explode/assemble/feature stages, so a disagreement means a real
+bug on one side.
+
+Covered (exactly, for the deterministic corpus):
+* ``export_theme_counts`` — full per-theme×geomtype counts including way
+  completeness, closed-way polygon routing (reference tabular.py:18-27,
+  279-339) and relation assembly validity. Ring stitchability is encoded
+  as the endpoint-parity criterion (every member-way endpoint node must
+  pair up), which is exact for the corpus's ring topologies (split arcs,
+  closed holes, dangling arcs) though not for arbitrary self-touching
+  inputs — documented approximation.
+* ``tile_assignment`` — themed feature bboxes → z12 tile ranges joined
+  against the deduped tile payload rows (engine: stages/tiling.py).
+* ``aoi_extract`` — themed features semi-joined to the rectangle AOI
+  [0,1]×[0,1] with the engine's cell-cover coarse filter + exact
+  point-status/vertex-or-edge-crossing tests (stages/spatial_filter.py;
+  boundary points COUNT, ``boundary_counts=True``).
+
+Matcher quirk parity in SQL (reference sql.py:74-98): type-strict ``=`` /
+``!=`` / ``in`` (int rvals cannot match string tags), lexicographic VARCHAR
+compares for ordering ops, ``notnull`` = key presence; every atom is
+coalesced two-valued so SQL NULL logic cannot diverge from the reference's
+boolean evaluation.
+"""
+
+import numpy as np
+
+from osm_export_tool_python_ray.functions.cells import DEFAULT_RES, cover_polygon
+from osm_export_tool_python_ray.functions.kernels import PreparedPolygon
+from osm_export_tool_python_ray.stages.matcher_eval import (
+    CLOSED_WAY_KEYS,
+    CLOSED_WAY_KEYVALS,
+)
+
+_AREA_RELATION_TYPES = ("multipolygon", "boundary")
+
+
+def _esc(s):
+    return str(s).replace("'", "''")
+
+
+def _tag(k):
+    # JSON path with a quoted key survives ':' in OSM keys
+    return "json_extract_string(txt, '$.tags.\"%s\"')" % k
+
+
+def matcher_sql(expr):
+    """Prefix tuple tree → two-valued DuckDB boolean expression with the
+    reference's exact quirks (see module docstring)."""
+    if not expr:
+        return "FALSE"
+    op = expr[0]
+    if op in ("and", "or"):
+        return "(%s %s %s)" % (matcher_sql(expr[1]), op.upper(), matcher_sql(expr[2]))
+    k = expr[1]
+    t = _tag(k)
+    if op == "notnull":
+        return "(%s IS NOT NULL)" % t
+    if op == "=":
+        if not isinstance(expr[2], str):
+            return "FALSE"  # type-strict: int rval never equals a string tag
+        return "coalesce(%s = '%s', FALSE)" % (t, _esc(expr[2]))
+    if op == "!=":
+        if not isinstance(expr[2], str):
+            return "TRUE"  # None/str both != int
+        return "coalesce(%s != '%s', TRUE)" % (t, _esc(expr[2]))
+    if op == "in":
+        vals = [v for v in expr[2] if isinstance(v, str)]
+        if not vals:
+            return "FALSE"
+        return "coalesce(%s IN (%s), FALSE)" % (
+            t,
+            ", ".join("'%s'" % _esc(v) for v in vals),
+        )
+    if op in (">", "<", ">=", "<="):
+        # reference coerces BOTH sides with str() → lexicographic compare
+        return "coalesce(%s %s '%s', FALSE)" % (t, op, _esc(str(expr[2])))
+    raise ValueError("unknown op %r" % (op,))
+
+
+def polygonish_sql():
+    parts = ["(%s IS NOT NULL)" % _tag(k) for k in CLOSED_WAY_KEYS]
+    parts += [
+        "coalesce(%s = '%s', FALSE)" % (_tag(k), _esc(v))
+        for k, v in CLOSED_WAY_KEYVALS.items()
+    ]
+    return "(" + " OR ".join(parts) + ")"
+
+
+# --------------------------------------------------------------- base CTEs
+
+def _base_ctes(corpus_path):
+    """Shared CTEs: distinct elements, nodes, way stats (closed / complete /
+    bbox), relation validity + bbox. DISTINCT on the serialized payload is
+    the D4 exact dedup (identical (kind,id) spans carry identical JSON)."""
+    return """
+raw AS MATERIALIZED (
+  -- MATERIALIZED + json_valid stop DuckDB from speculatively evaluating
+  -- the downstream JSON extractors on text spans before the kind filter
+  SELECT DISTINCT s.text AS txt
+  FROM (SELECT UNNEST(spans) AS s FROM read_parquet('{corpus}'))
+  WHERE s.kind = 'osm' AND json_valid(s.text)
+),
+el AS (
+  SELECT txt,
+         json_extract_string(txt, '$.type') AS etype,
+         CAST(json_extract(txt, '$.id') AS BIGINT) AS id,
+         coalesce(json_array_length(json_keys(json_extract(txt, '$.tags'))), 0) > 0 AS tagged
+  FROM raw
+),
+nodes AS (
+  SELECT id,
+         CAST(json_extract(txt, '$.lon') AS DOUBLE) AS lon,
+         CAST(json_extract(txt, '$.lat') AS DOUBLE) AS lat,
+         tagged, txt
+  FROM el WHERE etype = 'node'
+),
+ways AS (
+  SELECT id, CAST(json_extract(txt, '$.refs') AS BIGINT[]) AS refs, tagged, txt
+  FROM el WHERE etype = 'way'
+),
+wref AS (
+  SELECT id AS way_id, UNNEST(refs) AS ref FROM ways
+),
+wgeom AS (
+  SELECT r.way_id,
+         bool_and(n.id IS NOT NULL) AS complete,
+         count(*) AS n_pts,
+         min(n.lon) AS minx, min(n.lat) AS miny,
+         max(n.lon) AS maxx, max(n.lat) AS maxy
+  FROM wref r LEFT JOIN nodes n ON n.id = r.ref
+  GROUP BY r.way_id
+),
+wstat AS (
+  SELECT w.id, w.txt, w.tagged, g.complete, g.n_pts,
+         (len(w.refs) >= 4 AND w.refs[1] = w.refs[len(w.refs)]) AS closed,
+         g.minx, g.miny, g.maxx, g.maxy
+  FROM ways w JOIN wgeom g ON g.way_id = w.id
+),
+rels AS (
+  SELECT id, txt, tagged,
+         CAST(json_extract(txt, '$.members')
+              AS STRUCT(type VARCHAR, ref BIGINT, role VARCHAR)[]) AS members
+  FROM el
+  WHERE etype = 'relation'
+    AND tagged
+    AND {tagtype} IN ({reltypes})
+    AND {polygonish}
+),
+rmem AS (
+  SELECT id AS rel_id, UNNEST(members) AS m FROM rels
+),
+rway AS (
+  SELECT rm.rel_id, rm.m.role AS role, w.id AS way_id, w.refs,
+         g.complete, g.minx, g.miny, g.maxx, g.maxy
+  FROM rmem rm
+  LEFT JOIN ways w ON w.id = rm.m.ref
+  LEFT JOIN wgeom g ON g.way_id = rm.m.ref
+  WHERE rm.m.type = 'way'
+),
+rends AS (
+  SELECT rel_id, ep FROM (
+    SELECT rel_id, refs[1] AS ep FROM rway WHERE refs IS NOT NULL
+    UNION ALL
+    SELECT rel_id, refs[len(refs)] AS ep FROM rway WHERE refs IS NOT NULL
+  )
+),
+rparity AS (
+  SELECT rel_id, bool_and(cnt % 2 = 0) AS closed_ok
+  FROM (SELECT rel_id, ep, count(*) AS cnt FROM rends GROUP BY rel_id, ep)
+  GROUP BY rel_id
+),
+rstat AS (
+  SELECT r.id, r.txt, TRUE AS tagged,
+         (count(w.way_id) > 0
+          AND bool_and(w.way_id IS NOT NULL AND coalesce(w.complete, FALSE))
+          AND bool_and(coalesce(p.closed_ok, FALSE))
+          AND count(*) FILTER (WHERE coalesce(w.role, 'outer') != 'inner') > 0
+         ) AS valid,
+         min(w.minx) AS minx, min(w.miny) AS miny,
+         max(w.maxx) AS maxx, max(w.maxy) AS maxy
+  FROM rels r
+  LEFT JOIN rway w ON w.rel_id = r.id
+  LEFT JOIN rparity p ON p.rel_id = r.id
+  GROUP BY r.id, r.txt
+)
+""".format(
+        corpus=corpus_path,
+        tagtype=_tag("type"),
+        reltypes=", ".join("'%s'" % t for t in _AREA_RELATION_TYPES),
+        polygonish=polygonish_sql(),
+    )
+
+
+def _themed_feature_selects(mapping):
+    """UNION ALL branches: one (theme, osm_id, geom_type, bbox) row per
+    themed feature — the SQL twin of PointFeatures/WayFeatures/
+    RelationAreaFeatures + ThemeRouter (stages/features.py)."""
+    poly = polygonish_sql()
+    branches = []
+    for t in mapping.themes:
+        m = matcher_sql(t.matcher.expr)
+        if t.points:
+            branches.append(
+                "SELECT '%s' AS theme, id AS osm_id, 1 AS geom_type, "
+                "lon AS minx, lat AS miny, lon AS maxx, lat AS maxy "
+                "FROM nodes WHERE tagged AND %s" % (_esc(t.name), m)
+            )
+        if t.lines:
+            branches.append(
+                "SELECT '%s' AS theme, id AS osm_id, 2 AS geom_type, "
+                "minx, miny, maxx, maxy FROM wstat "
+                "WHERE tagged AND complete AND n_pts >= 2 "
+                "AND NOT (closed AND %s) AND %s" % (_esc(t.name), poly, m)
+            )
+        if t.polygons:
+            branches.append(
+                "SELECT '%s' AS theme, id AS osm_id, 3 AS geom_type, "
+                "minx, miny, maxx, maxy FROM wstat "
+                "WHERE tagged AND complete AND closed AND %s AND %s"
+                % (_esc(t.name), poly, m)
+            )
+            branches.append(
+                "SELECT '%s' AS theme, -id AS osm_id, 3 AS geom_type, "
+                "minx, miny, maxx, maxy FROM rstat "
+                "WHERE valid AND %s" % (_esc(t.name), m)
+            )
+    return "feat AS (\n" + "\nUNION ALL\n".join(branches) + "\n)"
+
+
+def sql_export_theme_counts(corpus_path, mapping):
+    return "WITH %s,\n%s\nSELECT theme, geom_type, count(*) AS n FROM feat GROUP BY theme, geom_type" % (
+        _base_ctes(corpus_path),
+        _themed_feature_selects(mapping),
+    )
+
+
+def sql_tile_assignment(corpus_path, mapping, zoom=12):
+    """One row per deduped tile payload with the count of themed-feature
+    bbox overlaps (stages/tiling.py assign_features_to_tiles, zooms=[{z}]).
+    Tile y uses ln(tan+sec) ≡ arcsinh(tan) — identical to the engine's
+    formula for the corpus's mid-latitudes."""
+    n = 1 << zoom
+    tile_math = (
+        "CAST(floor((%(lon)s + 180.0) / 360.0 * {n}) AS BIGINT)",
+        "CAST(floor((1.0 - ln(tan(radians(%(lat)s)) + 1.0 / cos(radians(%(lat)s))) / pi()) / 2.0 * {n}) AS BIGINT)",
+    )
+    tx = tile_math[0].format(n=n)
+    ty = tile_math[1].format(n=n)
+    return (
+        "WITH %s,\n%s,\n"
+        "tiles AS MATERIALIZED (\n"
+        "  SELECT DISTINCT s.media_ref AS media_ref,\n"
+        "         TRY_CAST(split_part(s.media_ref, '/', 1) AS BIGINT) AS tile_z,\n"
+        "         TRY_CAST(split_part(s.media_ref, '/', 2) AS BIGINT) AS tile_x,\n"
+        "         TRY_CAST(split_part(s.media_ref, '/', 3) AS BIGINT) AS tile_y\n"
+        "  FROM (SELECT UNNEST(spans) AS s FROM read_parquet('%s'))\n"
+        "  WHERE s.kind = 'tile' AND s.media_ref != ''\n"
+        "),\n"
+        "franges AS (\n"
+        "  SELECT %s AS x0, %s AS x1, %s AS y0, %s AS y1 FROM feat\n"
+        ")\n"
+        "SELECT t.tile_z, t.tile_x, t.tile_y, t.media_ref,\n"
+        "       (SELECT count(*) FROM franges f\n"
+        "        WHERE t.tile_x BETWEEN f.x0 AND f.x1\n"
+        "          AND t.tile_y BETWEEN f.y0 AND f.y1) AS n_features\n"
+        "FROM tiles t WHERE t.tile_z = %d"
+        % (
+            _base_ctes(corpus_path),
+            _themed_feature_selects(mapping),
+            corpus_path,
+            tx % {"lon": "minx"},
+            tx % {"lon": "maxx"},
+            ty % {"lat": "maxy"},  # maxy → smaller tile y
+            ty % {"lat": "miny"},
+            zoom,
+        )
+    )
+
+
+def _aoi_cover_bounds(aoi_polygons, res=DEFAULT_RES):
+    """The engine's coarse cover (cells.py cover_polygon) for a rectangle
+    AOI is exactly its bbox cover — verified here, then expressed as index
+    BETWEEN bounds."""
+    prep = PreparedPolygon(aoi_polygons)
+    cover = cover_polygon(prep, res=res)
+    ix = ((cover >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64)
+    iy = (cover & np.uint64((1 << 29) - 1)).astype(np.int64)
+    x0, x1, y0, y1 = ix.min(), ix.max(), iy.min(), iy.max()
+    assert len(cover) == (x1 - x0 + 1) * (y1 - y0 + 1), "cover is not a full rectangle"
+    return int(x0), int(x1), int(y0), int(y1)
+
+
+def sql_aoi_extract(corpus_path, mapping, res=DEFAULT_RES):
+    """Rectangle-AOI [0,1]² semi-join over themed features: the engine's
+    coarse cell test on the bbox-center + exact tests (points: closed-rect
+    status>0; lines/polygons: any resolved vertex inside the closed rect —
+    exact for this corpus, whose sub-0.01° geometries cannot cross the 1°
+    AOI without a vertex inside; asserted by the pytest differential)."""
+    aoi = [[np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])]]
+    x0, x1, y0, y1 = _aoi_cover_bounds(aoi, res=res)
+    s = (1 << (res + 7)) / 360.0
+    cx = "((minx + maxx) / 2.0)"
+    cy = "((miny + maxy) / 2.0)"
+    coarse = (
+        "CAST(floor((%s + 180.0) * %.17g) AS BIGINT) BETWEEN %d AND %d "
+        "AND CAST(floor((%s + 90.0) * %.17g) AS BIGINT) BETWEEN %d AND %d"
+        % (cx, s, x0, x1, cy, s, y0, y1)
+    )
+    # vertex sets: nodes themselves; way features: their resolved node
+    # coords; relation features (negative osm_id): all member-way coords
+    return (
+        "WITH %s,\n%s,\n"
+        "wverts AS (\n"
+        "  SELECT r.way_id, bool_or(n.lon BETWEEN 0 AND 1 AND n.lat BETWEEN 0 AND 1) AS any_in\n"
+        "  FROM wref r JOIN nodes n ON n.id = r.ref GROUP BY r.way_id\n"
+        "),\n"
+        "rverts AS (\n"
+        "  SELECT w.rel_id, bool_or(v.any_in) AS any_in\n"
+        "  FROM rway w JOIN wverts v ON v.way_id = w.way_id GROUP BY w.rel_id\n"
+        ")\n"
+        "SELECT f.theme, f.osm_id, f.geom_type FROM feat f\n"
+        "LEFT JOIN wverts wv ON f.geom_type IN (2, 3) AND f.osm_id > 0 AND wv.way_id = f.osm_id\n"
+        "LEFT JOIN rverts rv ON f.osm_id < 0 AND rv.rel_id = -f.osm_id\n"
+        "WHERE (%s)\n"
+        "  AND CASE WHEN f.geom_type = 1\n"
+        "           THEN f.minx BETWEEN 0 AND 1 AND f.miny BETWEEN 0 AND 1\n"
+        "           ELSE coalesce(wv.any_in, rv.any_in, FALSE) END"
+        % (_base_ctes(corpus_path), _themed_feature_selects(mapping), coarse)
+    )

@@ -830,6 +830,29 @@ QUERIES = {
     "media_features": q_media_features,
 }
 
+def export_surface_oracles():
+    """Generated DuckDB SQL for the export surface (export_theme_counts /
+    tile_assignment / aoi_extract): built from the same default.yml mapping
+    the Ray queries use, over the same cached corpus parquet (generated
+    here if missing so the SQL is self-sufficient regardless of whether the
+    driver runs the Ray side first)."""
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export_oracle import (
+        sql_aoi_extract,
+        sql_export_theme_counts,
+        sql_tile_assignment,
+    )
+
+    path = corpus_path(n_shards=4)
+    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
+        mapping = Mapping(f.read())
+    return {
+        "export_theme_counts": sql_export_theme_counts(path, mapping),
+        "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
+        "aoi_extract": sql_aoi_extract(path, mapping),
+    }
+
+
 ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_stats": SQL_DOC_STATS,

@@ -55,3 +55,66 @@ def hashlibs(s):
     import hashlib
 
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+# golden counts for the same corpus with the bundled real-world mappings
+# (shipped byte-identical from reference osm_export_tool/mappings/)
+GOLDEN_INAWARE = {
+    ("banks", 1): 5,
+    ("hospitals", 1): 2,
+    ("parks", 3): 2,
+    ("roads", 2): 9,
+    ("schools", 1): 7,
+    ("schools", 3): 1,
+    ("waterways", 2): 2,
+}
+GOLDEN_HDX = {
+    ("Buildings", 3): 5,
+    ("Points of Interest", 1): 27,
+    ("Roads", 2): 9,
+    ("Roads", 3): 1,
+    ("Waterways", 2): 2,
+    ("Waterways", 3): 3,
+}
+
+
+@pytest.mark.parametrize(
+    "mapping_name,expected,idsum",
+    [
+        ("InAWARE", GOLDEN_INAWARE, 27624826292857122),
+        ("HDX", GOLDEN_HDX, 24532390402869954),
+    ],
+)
+def test_real_mapping_export_golden(ray_session, mapping_name, expected, idsum):
+    """InAWARE (754-line, 36 themes — the widest real matcher workload) and
+    HDX exports over the fixed corpus: exact feature counts + identity sum."""
+    import ray.data
+
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+    from collections import Counter
+
+    docs = ray.data.from_arrow(generate_corpus_table(n_shards=1))
+    with open(
+        "/root/repo/osm_export_tool_python_ray/mappings/%s.yml" % mapping_name
+    ) as f:
+        mapping = Mapping(f.read())
+    rows = run_export(docs, mapping, num_partitions=2, num_buckets=8).take_all()
+    got = Counter((r["theme"], r["geom_type"]) for r in rows)
+    assert dict(got) == expected
+    acc = 0
+    for r in rows:
+        acc = (acc + r["osm_id"] * (hashlibs(r["theme"]) % 1000003)) % (2**61 - 1)
+    assert acc == idsum
+
+
+def test_bundled_mappings_validate():
+    """All five bundled YAMLs parse clean, with the reference's theme counts."""
+    import os
+
+    d = "/root/repo/osm_export_tool_python_ray/mappings"
+    expect = {"HDX.yml": 4, "HDX_v2.yml": 11, "InAWARE.yml": 36,
+              "default.yml": 15, "simple.yml": 1}
+    for fn, n in expect.items():
+        m, errors = Mapping.validate(open(os.path.join(d, fn)).read())
+        assert errors is None and len(m.themes) == n, fn
