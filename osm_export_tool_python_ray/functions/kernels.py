@@ -165,6 +165,47 @@ class PreparedPolygon:
             out[ii] = res
         return out
 
+    def classify_bboxes(self, minx, miny, maxx, maxy, sample_x, sample_y, chunk=2048):
+        """Vectorized coarse classification of feature bboxes vs the AOI:
+
+        0 = definitely no intersection (skip the feature)
+        1 = feature wholly inside the AOI (keep unclipped; contains_properly
+            holds — the geometry cannot leave the AOI without crossing an
+            edge, and no edge bbox overlaps the feature bbox)
+        2 = an AOI edge's bbox overlaps the feature bbox → exact per-row
+            cascade required.
+
+        ``sample_x/y`` must be a point ON the feature geometry (e.g. its
+        first vertex) — it decides inside vs outside for the edge-free
+        cases. One (rows × edges) boolean matrix per chunk."""
+        minx = np.asarray(minx, dtype=np.float64)
+        miny = np.asarray(miny, dtype=np.float64)
+        maxx = np.asarray(maxx, dtype=np.float64)
+        maxy = np.asarray(maxy, dtype=np.float64)
+        n = len(minx)
+        out = np.zeros(n, dtype=np.int8)
+        bx0, by0, bx1, by1 = self.bbox
+        cand = (minx <= bx1) & (maxx >= bx0) & (miny <= by1) & (maxy >= by0)
+        idx = np.nonzero(cand)[0]
+        for s in range(0, len(idx), chunk):
+            ii = idx[s : s + chunk]
+            near = (
+                (self._exmin[None, :] <= maxx[ii][:, None])
+                & (self._exmax[None, :] >= minx[ii][:, None])
+                & (self._eymin[None, :] <= maxy[ii][:, None])
+                & (self._eymax[None, :] >= miny[ii][:, None])
+            ).any(axis=1)
+            res = np.zeros(len(ii), dtype=np.int8)
+            res[near] = 2
+            far = np.nonzero(~near)[0]
+            if len(far):
+                st = self.point_status(
+                    np.asarray(sample_x)[ii[far]], np.asarray(sample_y)[ii[far]]
+                )
+                res[far] = (st == 1).astype(np.int8)
+            out[ii] = res
+        return out
+
     def contains_points(self, xs, ys):
         """Strict containment — boundary points excluded
         (parity with prep().contains, reference tabular.py:271-274)."""

@@ -127,6 +127,40 @@ def linestrings_wkb_vectorized(lons_list, lats_list, row_idx):
     return arr, bbox
 
 
+def list_bboxes(lons_list, lats_list, row_idx):
+    """Per-row bbox + first vertex for selected rows of Arrow list<float64>
+    coordinate columns, straight from the list buffers (no per-row Python).
+    → (bbox ndarray (n,4), first_x, first_y). Rows must be non-empty."""
+    import pyarrow as pa
+
+    if isinstance(lons_list, pa.ChunkedArray):
+        lons_list = lons_list.combine_chunks()
+    if isinstance(lats_list, pa.ChunkedArray):
+        lats_list = lats_list.combine_chunks()
+    offsets = lons_list.offsets.to_numpy(zero_copy_only=False)
+    lon_vals = lons_list.values.to_numpy(zero_copy_only=False)
+    lat_vals = lats_list.values.to_numpy(zero_copy_only=False)
+    row_idx = np.asarray(row_idx, dtype=np.int64)
+    starts = offsets[row_idx].astype(np.int64)
+    ends = offsets[row_idx + 1].astype(np.int64)
+    npts = ends - starts
+    total = int(npts.sum())
+    flat = np.repeat(starts, npts) + (
+        np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(npts)[:-1]]), npts)
+    )
+    px = lon_vals[flat]
+    py = lat_vals[flat]
+    seg_starts = np.concatenate([[0], np.cumsum(npts)[:-1]])
+    n = len(row_idx)
+    bbox = np.empty((n, 4), dtype=np.float64)
+    if total:
+        bbox[:, 0] = np.minimum.reduceat(px, seg_starts)
+        bbox[:, 1] = np.minimum.reduceat(py, seg_starts)
+        bbox[:, 2] = np.maximum.reduceat(px, seg_starts)
+        bbox[:, 3] = np.maximum.reduceat(py, seg_starts)
+    return bbox, lon_vals[starts], lat_vals[starts]
+
+
 def decode(buf):
     """→ (geom_type_code, python geometry as in the module docstring)."""
     val, _ = _decode_at(buf, 0)

@@ -209,37 +209,80 @@ class WayFeatures:
                     "way",
                 )
         else:
-            lons = lons_col.to_pylist()
-            lats = lats_col.to_pylist()
-            for i in np.nonzero(line_cand)[0]:
-                coords = np.stack([lons[i], lats[i]], axis=1)
-                if not self.prep.intersects_line(coords):
-                    continue
-                if not self.prep.contains_properly_line(coords):
-                    parts = self.prep.clip_line(coords)
-                    if not parts:
-                        continue
-                    buf = (
-                        wkbmod.linestring_wkb(parts[0])
-                        if len(parts) == 1
-                        else wkbmod.multilinestring_wkb(parts)
-                    )
-                    allpts = np.vstack(parts)
-                    emit(i, 2, 2, buf, bbox=(allpts[:, 0].min(), allpts[:, 1].min(), allpts[:, 0].max(), allpts[:, 1].max()))
-                    continue
-                emit(
-                    i, 2, 2, wkbmod.linestring_wkb(coords),
-                    bbox=(coords[:, 0].min(), coords[:, 1].min(), coords[:, 0].max(), coords[:, 1].max()),
+            # vectorized bbox-vs-AOI prefilter (ADVICE round-1 #5): rows
+            # wholly inside take the batched no-AOI encode path, rows whose
+            # bbox meets no AOI edge and sample outside are dropped — only
+            # boundary-straddling rows pay the per-row clip cascade
+            line_idx = np.nonzero(line_cand)[0]
+            exact_lines = np.array([], dtype=np.int64)
+            if len(line_idx):
+                bbox4, fx, fy = wkbmod.list_bboxes(lons_col, lats_col, line_idx)
+                cls = self.prep.classify_bboxes(
+                    bbox4[:, 0], bbox4[:, 1], bbox4[:, 2], bbox4[:, 3], fx, fy
                 )
+                inside = line_idx[cls == 1]
+                exact_lines = line_idx[cls == 2]
+                if len(inside):
+                    wkb_arr, ibbox = wkbmod.linestrings_wkb_vectorized(
+                        lons_col, lats_col, inside
+                    )
+                    sub = batch.take(pa.array(inside))
+                    stags = sub.column("tags")
+                    if isinstance(stags, pa.ChunkedArray):
+                        stags = stags.combine_chunks()
+                    vector_lines = _feature_table(
+                        way_id[inside],
+                        np.full(len(inside), 2),
+                        np.full(len(inside), 2),
+                        stags,
+                        wkb_arr,
+                        np.full(len(inside), np.nan),
+                        np.full(len(inside), np.nan),
+                        ibbox,
+                        sub.column("doc_id"),
+                        sub.column("offset"),
+                        "way",
+                    )
+            if len(exact_lines):
+                lons = lons_col.to_pylist()
+                lats = lats_col.to_pylist()
+                for i in exact_lines:
+                    coords = np.stack([lons[i], lats[i]], axis=1)
+                    if not self.prep.intersects_line(coords):
+                        continue
+                    if not self.prep.contains_properly_line(coords):
+                        parts = self.prep.clip_line(coords)
+                        if not parts:
+                            continue
+                        buf = (
+                            wkbmod.linestring_wkb(parts[0])
+                            if len(parts) == 1
+                            else wkbmod.multilinestring_wkb(parts)
+                        )
+                        allpts = np.vstack(parts)
+                        emit(i, 2, 2, buf, bbox=(allpts[:, 0].min(), allpts[:, 1].min(), allpts[:, 0].max(), allpts[:, 1].max()))
+                        continue
+                    emit(
+                        i, 2, 2, wkbmod.linestring_wkb(coords),
+                        bbox=(coords[:, 0].min(), coords[:, 1].min(), coords[:, 0].max(), coords[:, 1].max()),
+                    )
 
         area_idx = np.nonzero(area_cand)[0]
         if len(area_idx):
+            area_cls = None
+            if self.prep is not None:
+                bbox4, fx, fy = wkbmod.list_bboxes(lons_col, lats_col, area_idx)
+                area_cls = self.prep.classify_bboxes(
+                    bbox4[:, 0], bbox4[:, 1], bbox4[:, 2], bbox4[:, 3], fx, fy
+                )
+                area_idx = area_idx[area_cls != 0]
+                area_cls = area_cls[area_cls != 0]
             lons = lons_col.to_pylist()
             lats = lats_col.to_pylist()
-            for i in area_idx:
+            for j, i in enumerate(area_idx):
                 ring = np.stack([lons[i], lats[i]], axis=1)
                 polys = [[ring]]
-                if self.prep is not None:
+                if self.prep is not None and area_cls[j] == 2:
                     if not self.prep.intersects_polygon(polys):
                         continue
                     if not self.prep.contains_properly_polygon(polys):
@@ -317,9 +360,26 @@ class RelationAreaFeatures(WayFeatures):
             rows["lat"].append(lat)
             rows["bbox"].append(bbox)
 
-        for i in np.nonzero(cand)[0]:
+        cand_idx = np.nonzero(cand)[0]
+        cls = None
+        if self.prep is not None and len(cand_idx):
+            # bbox prefilter on the assembly-stage bbox columns; sample
+            # point = first multipolygon vertex read straight from the WKB
+            # header (offset 22: MP hdr 9 + POLY hdr 9 + ring count 4)
+            minx = batch.column("minx").to_numpy(zero_copy_only=False)[cand_idx]
+            miny = batch.column("miny").to_numpy(zero_copy_only=False)[cand_idx]
+            maxx = batch.column("maxx").to_numpy(zero_copy_only=False)[cand_idx]
+            maxy = batch.column("maxy").to_numpy(zero_copy_only=False)[cand_idx]
+            fx = np.empty(len(cand_idx))
+            fy = np.empty(len(cand_idx))
+            for j, i in enumerate(cand_idx):
+                fx[j], fy[j] = np.frombuffer(wkbs[i], dtype="<f8", count=2, offset=22)
+            cls = self.prep.classify_bboxes(minx, miny, maxx, maxy, fx, fy)
+            cand_idx = cand_idx[cls != 0]
+            cls = cls[cls != 0]
+        for j, i in enumerate(cand_idx):
             _t, polys = wkbmod.decode(wkbs[i])
-            if self.prep is not None:
+            if self.prep is not None and cls[j] == 2:
                 if not self.prep.intersects_polygon(polys):
                     continue
                 if not self.prep.contains_properly_polygon(polys):

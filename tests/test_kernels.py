@@ -276,3 +276,73 @@ class TestVectorizedHashes:
         x = np.array([0, 1, 3, 2 ** 63, 2 ** 64 - 1], dtype=np.uint64)
         assert popcount64(x).tolist() == [0, 1, 2, 1, 64]
         assert popcount64(np.array([], dtype=np.uint64)).tolist() == []
+
+
+class TestClassifyBboxes:
+    """classify_bboxes must be CONSISTENT with the exact kernels:
+    0 ⇒ no intersection, 1 ⇒ contains_properly, 2 ⇒ undecided (exact path).
+    Checked on randomized small lines around a non-convex AOI."""
+
+    def test_consistency_random_lines(self):
+        rng = np.random.RandomState(7)
+        # L-shaped AOI (non-convex)
+        aoi = PreparedPolygon([[np.array([
+            (0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0),
+            (2.0, 4.0), (0.0, 4.0), (0.0, 0.0),
+        ])]])
+        n = 400
+        cx = rng.uniform(-1.5, 5.5, n)
+        cy = rng.uniform(-1.5, 5.5, n)
+        lines = []
+        for i in range(n):
+            npts = rng.randint(2, 6)
+            pts = np.stack([
+                cx[i] + rng.uniform(-0.4, 0.4, npts),
+                cy[i] + rng.uniform(-0.4, 0.4, npts),
+            ], axis=1)
+            lines.append(pts)
+        minx = np.array([l[:, 0].min() for l in lines])
+        miny = np.array([l[:, 1].min() for l in lines])
+        maxx = np.array([l[:, 0].max() for l in lines])
+        maxy = np.array([l[:, 1].max() for l in lines])
+        fx = np.array([l[0, 0] for l in lines])
+        fy = np.array([l[0, 1] for l in lines])
+        cls = aoi.classify_bboxes(minx, miny, maxx, maxy, fx, fy)
+        seen = set()
+        for i, l in enumerate(lines):
+            seen.add(int(cls[i]))
+            if cls[i] == 0:
+                assert not aoi.intersects_line(l), i
+            elif cls[i] == 1:
+                assert aoi.contains_properly_line(l), i
+        assert seen == {0, 1, 2}  # all three classes exercised
+
+    def test_aoi_export_prefilter_equivalence(self):
+        """AOI way-feature output with the prefilter equals brute-force
+        per-row cascade on the same geometries."""
+        rng = np.random.RandomState(11)
+        aoi = PreparedPolygon([[np.array([
+            (0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0), (0.0, 0.0),
+        ])]])
+        kept_exact = []
+        lines = []
+        for i in range(200):
+            npts = rng.randint(2, 5)
+            pts = np.stack([
+                rng.uniform(-1, 4) + rng.uniform(-0.3, 0.3, npts),
+                rng.uniform(-1, 4) + rng.uniform(-0.3, 0.3, npts),
+            ], axis=1)
+            lines.append(pts)
+            kept_exact.append(aoi.intersects_line(pts))
+        minx = np.array([l[:, 0].min() for l in lines])
+        miny = np.array([l[:, 1].min() for l in lines])
+        maxx = np.array([l[:, 0].max() for l in lines])
+        maxy = np.array([l[:, 1].max() for l in lines])
+        fx = np.array([l[0, 0] for l in lines])
+        fy = np.array([l[0, 1] for l in lines])
+        cls = aoi.classify_bboxes(minx, miny, maxx, maxy, fx, fy)
+        for i, l in enumerate(lines):
+            if cls[i] == 0:
+                assert not kept_exact[i]
+            elif cls[i] == 1:
+                assert kept_exact[i]
