@@ -772,13 +772,19 @@ def q_aoi_extract(sf_dir):
 
 
 def q_media_features(sf_dir):
-    """Multimodal plumbing demo: deterministic fake media payloads keyed by
-    the corpus tile refs → actor-pool decode → feature extraction.
-    Rows-only (codec is a stub; see stages/media.py)."""
+    """Multimodal pipeline over REAL media payloads (PPM images generated
+    deterministically per corpus tile ref, decoded by the pure-numpy codec
+    in functions/codecs.py): actor-pool decode → real histogram features.
+    Rows-only (no SQL image decoder); codec correctness is pytest-verified
+    (tests/test_training_ops.py TestMedia)."""
     import ray.data
 
     from osm_export_tool_python_ray.stages.explode import explode_tiles
-    from osm_export_tool_python_ray.stages.media import make_fake_media_table, media_pipeline
+    from osm_export_tool_python_ray.stages.media import (
+        DecodeStage,
+        make_real_media_table,
+        media_pipeline,
+    )
     from osm_export_tool_python_ray.stages.tiling import dedup_tiles
 
     tiles = dedup_tiles(
@@ -788,12 +794,17 @@ def q_media_features(sf_dir):
         num_buckets=8,
     )
     refs = sorted(r["media_ref"] for r in tiles.select_columns(["media_ref"]).take_all())
-    media = ray.data.from_arrow(make_fake_media_table(refs))
-    out = media_pipeline(media, concurrency=2, batch_size=256)
-    return out.map_batches(
-        lambda t: t.select(["media_ref"]).append_column(
-            "dim", pa.array([16] * t.num_rows, type=pa.int32())
-        ),
+    media = ray.data.from_arrow(make_real_media_table(refs))
+    decoded = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"strict": True},  # every payload decodes for real
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["media_ref", "format", "width", "height"]),
         batch_format="pyarrow",
     ).sort("media_ref")
 

@@ -3,17 +3,22 @@
 Media are opaque ``binary`` payload columns with typed metadata, exactly
 the posture the engine needs at 100 TB: the Ray-side plumbing (schemas,
 actor-pool signatures, small batch sizes for wide binary rows, output
-layout) is real and tested; the codec kernels are STUBS because no
-image/audio library exists in this container. ``DecodeStage(strict=True)``
-raises NotImplementedError at the exact call site a real decoder would
-occupy; the default deterministic fake parses a synthetic header so the
-pipeline shape can be exercised end-to-end.
+layout) is real and tested.
+
+Codec status: PPM/PGM images and 16-bit PCM WAV audio decode FOR REAL
+(pure numpy, functions/codecs.py) — header parse, pixel/sample extraction,
+box resize. Payloads in other containers (JPEG/PNG/MP3/MP4) still hit the
+fake-header stub, because no image/audio library exists in this container;
+``DecodeStage(strict=True)`` raises NotImplementedError at that exact slot
+instead.
 """
 
 import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from osm_export_tool_python_ray.functions import codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -41,38 +46,89 @@ def make_fake_media_table(refs, media_type="image"):
     )
 
 
+def make_real_media_table(refs, media_type="image"):
+    """Deterministic REAL payloads: PPM images (gradient + ref-seeded noise)
+    or WAV tones — decodable by the real codec path, no stub involved."""
+    payloads = []
+    for r in refs:
+        seed = int.from_bytes(hashlib.md5(r.encode()).digest()[:4], "little")
+        rng = np.random.RandomState(seed)
+        if media_type == "image":
+            h, w = 16 + seed % 17, 16 + (seed >> 8) % 23
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                    (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                    rng.randint(0, 256, (h, w)).astype(np.uint8),
+                ],
+                axis=2,
+            )
+            payloads.append(codecs.encode_ppm(img))
+        else:
+            nsec = 0.01 + (seed % 5) * 0.01
+            tt = np.arange(int(16000 * nsec))
+            tone = (np.sin(2 * np.pi * (200 + seed % 800) * tt / 16000.0) * 20000).astype(np.int16)
+            payloads.append(codecs.encode_wav(tone, 16000))
+    return pa.table(
+        {
+            "media_ref": pa.array(list(refs), type=pa.string()),
+            "media_type": pa.array([media_type] * len(refs), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
 class DecodeStage:
     """Actor-pool decode: ``map_batches(DecodeStage, concurrency=N,
-    batch_size=small, num_cpus=1)``. Real codecs load in ``__init__`` once
-    per actor; here the stub "codec" parses the fake header.
-
-    strict=True marks where a real decoder belongs (no image/audio libs in
-    this container): raises NotImplementedError."""
+    batch_size=small, num_cpus=1)``. Codec dispatch by payload magic:
+    PPM/PGM and WAV decode for real (functions/codecs.py); opaque payloads
+    fall back to the fake-header stub (or raise under strict=True — the
+    slot a JPEG/PNG decoder would fill)."""
 
     def __init__(self, strict=False):
         self.strict = strict
-        # real implementation would do e.g.:  import PIL.Image / soundfile
-        self.codec = None
+        self.codec = codecs  # bound once per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "media decode requires an image/audio codec not present in this environment"
-            )
         payloads = t.column("payload").to_pylist()
-        w = np.empty(len(payloads), dtype=np.int32)
-        h = np.empty(len(payloads), dtype=np.int32)
-        nb = np.empty(len(payloads), dtype=np.int64)
+        n = len(payloads)
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        rate = np.zeros(n, dtype=np.int32)
+        nsamp = np.zeros(n, dtype=np.int64)
+        nb = np.empty(n, dtype=np.int64)
+        fmt = []
         for i, p in enumerate(payloads):
-            w[i] = 16 + (p[0] % 64) * 16
-            h[i] = 16 + (p[1] % 64) * 16
             nb[i] = len(p)
+            kind = self.codec.sniff_media(p)
+            if kind == "ppm":
+                img = self.codec.decode_ppm(p)
+                h[i], w[i] = img.shape[:2]
+                fmt.append("ppm")
+            elif kind == "wav":
+                r, _ch, samples = self.codec.decode_wav(p)
+                rate[i] = r
+                nsamp[i] = len(samples)
+                fmt.append("wav")
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload container not decodable without an external codec"
+                )
+            else:
+                # fake-header stub for opaque containers
+                w[i] = 16 + (p[0] % 64) * 16
+                h[i] = 16 + (p[1] % 64) * 16
+                fmt.append("opaque")
         return pa.table(
             {
                 "media_ref": t.column("media_ref"),
                 "media_type": t.column("media_type"),
+                "format": pa.array(fmt, type=pa.string()),
                 "width": pa.array(w),
                 "height": pa.array(h),
+                "sample_rate": pa.array(rate),
+                "n_samples": pa.array(nsamp),
                 "n_bytes": pa.array(nb),
                 "payload": t.column("payload"),
             }
@@ -92,8 +148,40 @@ class FeatureExtractStage:
         payloads = t.column("payload").to_pylist()
         out = np.empty((len(payloads), self.dim), dtype=np.float32)
         for i, p in enumerate(payloads):
-            seed = int.from_bytes(hashlib.md5(p).digest()[:4], "little")
-            out[i] = np.random.RandomState(seed).randn(self.dim).astype(np.float32)
+            kind = codecs.sniff_media(p)
+            if kind == "ppm":
+                # real image features: 8-bin luminance histogram + moments
+                img = codecs.decode_ppm(p).astype(np.float32)
+                lum = img.mean(axis=2) if img.ndim == 3 else img
+                hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+                feats = np.concatenate(
+                    [
+                        hist / max(lum.size, 1),
+                        [lum.mean() / 255.0, lum.std() / 255.0,
+                         img.shape[0] / 4096.0, img.shape[1] / 4096.0],
+                    ]
+                )
+                v = np.zeros(self.dim, dtype=np.float32)
+                v[: min(self.dim, len(feats))] = feats[: self.dim]
+                out[i] = v
+            elif kind == "wav":
+                # real audio features: RMS + zero-crossing + 6-bucket energy
+                _r, _ch, s = codecs.decode_wav(p)
+                x = s.astype(np.float32) / 32768.0
+                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+                parts = np.array_split(x, 6) if len(x) >= 6 else [x] * 6
+                energy = [float(np.sqrt(np.mean(q * q))) if len(q) else 0.0 for q in parts]
+                feats = np.array(
+                    [float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, zc] + energy,
+                    dtype=np.float32,
+                )
+                v = np.zeros(self.dim, dtype=np.float32)
+                v[: min(self.dim, len(feats))] = feats[: self.dim]
+                out[i] = v
+            else:
+                # opaque container: deterministic pseudo-embedding (model slot)
+                seed = int.from_bytes(hashlib.md5(p).digest()[:4], "little")
+                out[i] = np.random.RandomState(seed).randn(self.dim).astype(np.float32)
         offsets = pa.array(np.arange(0, (len(payloads) + 1) * self.dim, self.dim, dtype=np.int32))
         emb = pa.ListArray.from_arrays(offsets, pa.array(out.reshape(-1)))
         return pa.table(
@@ -102,16 +190,37 @@ class FeatureExtractStage:
 
 
 class ResizeStage:
-    """Resize/thumbnail stub (strict: needs codec). Output layout only."""
+    """Real thumbnail stage for PPM payloads: decode → box resize →
+    re-encode. Opaque payloads pass through untouched (resized=False), or
+    raise under strict=True (the external-codec slot)."""
 
-    def __init__(self, target=64, strict=True):
+    def __init__(self, target=64, strict=False):
         self.target = target
         self.strict = strict
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("resize requires an image codec")
-        return t
+        payloads = t.column("payload").to_pylist()
+        out = []
+        resized = []
+        for p in payloads:
+            if codecs.sniff_media(p) == "ppm":
+                img = codecs.decode_ppm(p)
+                th = min(self.target, img.shape[0])
+                tw = min(self.target, img.shape[1])
+                out.append(codecs.encode_ppm(codecs.resize_box(img, tw, th)))
+                resized.append(True)
+            elif self.strict:
+                raise NotImplementedError("resize of this container needs an external codec")
+            else:
+                out.append(p)
+                resized.append(False)
+        return pa.table(
+            {
+                "media_ref": t.column("media_ref"),
+                "payload": pa.array(out, type=pa.binary()),
+                "resized": pa.array(resized),
+            }
+        )
 
 
 class FrameSampleStage:

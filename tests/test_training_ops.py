@@ -228,6 +228,70 @@ class TestMedia:
         with pytest.raises(NotImplementedError):
             DecodeStage(strict=True)(make_fake_media_table(["a"]))
 
+    def test_real_ppm_codec(self, ray_session):
+        """VERDICT round-1 #6: real image decode, no stub — dimensions and
+        resize verified against the encoded array."""
+        import ray.data
+        import numpy as np
+        from osm_export_tool_python_ray.functions import codecs
+        from osm_export_tool_python_ray.stages.media import (
+            DecodeStage,
+            ResizeStage,
+            make_real_media_table,
+            media_pipeline,
+        )
+
+        refs = ["12/1/1", "12/1/2", "12/2/1"]
+        tbl = make_real_media_table(refs)
+        dec = DecodeStage(strict=True)(tbl)  # strict: would raise on any stub path
+        assert dec.column("format").to_pylist() == ["ppm"] * 3
+        for i, p in enumerate(tbl.column("payload").to_pylist()):
+            img = codecs.decode_ppm(p)
+            assert dec.column("height")[i].as_py() == img.shape[0]
+            assert dec.column("width")[i].as_py() == img.shape[1]
+        rez = ResizeStage(target=8, strict=True)(tbl)
+        assert rez.column("resized").to_pylist() == [True] * 3
+        for p in rez.column("payload").to_pylist():
+            out = codecs.decode_ppm(p)
+            assert out.shape[:2] == (8, 8)
+        # real-feature extraction end-to-end through the actor-pool chain
+        feats = media_pipeline(ray.data.from_arrow(tbl), concurrency=1).take_all()
+        assert len(feats) == 3
+        embs = {r["media_ref"]: list(r["embedding"]) for r in feats}
+        assert embs["12/1/1"] != embs["12/2/1"]
+        # histogram features sum to ~1 in the first 8 slots
+        assert abs(sum(embs["12/1/1"][:8]) - 1.0) < 1e-5
+
+    def test_real_wav_codec(self):
+        import numpy as np
+        from osm_export_tool_python_ray.functions import codecs
+        from osm_export_tool_python_ray.stages.media import DecodeStage, make_real_media_table
+
+        tbl = make_real_media_table(["a1", "a2"], media_type="audio")
+        dec = DecodeStage(strict=True)(tbl)
+        assert dec.column("format").to_pylist() == ["wav", "wav"]
+        for i, p in enumerate(tbl.column("payload").to_pylist()):
+            rate, ch, samples = codecs.decode_wav(p)
+            assert rate == 16000 and ch == 1
+            assert dec.column("n_samples")[i].as_py() == len(samples)
+            assert dec.column("sample_rate")[i].as_py() == 16000
+        # roundtrip exactness
+        x = (np.sin(np.arange(100)) * 1000).astype(np.int16)
+        r, c, y = codecs.decode_wav(codecs.encode_wav(x, 8000))
+        assert r == 8000 and (y == x).all()
+
+    def test_ppm_roundtrip_and_header_quirks(self):
+        import numpy as np
+        from osm_export_tool_python_ray.functions import codecs
+
+        img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+        gray = np.arange(20, dtype=np.uint8).reshape(4, 5)
+        assert (codecs.decode_ppm(codecs.encode_ppm(gray)) == gray).all()
+        # comments + arbitrary whitespace in header
+        buf = b"P6 # a comment\n  5\t4 # another\n 255\n" + img.tobytes()
+        assert (codecs.decode_ppm(buf) == img).all()
+
     def test_frame_sampler(self):
         from osm_export_tool_python_ray.stages.media import FrameSampleStage, make_fake_media_table
 
