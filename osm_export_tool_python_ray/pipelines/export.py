@@ -69,17 +69,33 @@ def _area_relation_filter(t: pa.Table) -> pa.Table:
     )
 
 
-def parse_elements(docs_ds, num_buckets=64, include_tiles=False):
+def parse_elements(docs_ds, num_buckets=64, include_tiles=False, dedup_strategy="shuffle"):
     """documents → deduped element table (explode + D4 exact dedup).
     With ``include_tiles`` the same scan+shuffle also dedups tile payload
-    rows (kind='tile'), so the raster side needs no second corpus pass."""
+    rows (kind='tile'), so the raster side needs no second corpus pass.
+
+    ``dedup_strategy``: 'shuffle' (default) moves full element rows through
+    one bucketed exchange. 'light' shuffles only the (ekey, doc_id, offset)
+    projection and drops duplicates with a broadcast tombstone filter
+    (~8× less exchange bandwidth), falling back to 'shuffle' when the
+    duplicate count exceeds the driver broadcast cap. Measured single-node
+    (24,576-shard corpus, 32 cpus): 'light' is SLOWER here (155 s vs 73 s)
+    because collecting the tombstones is a pipeline barrier and the
+    pre-dedup stream must be materialized alongside the deduped one; it is
+    kept for multi-node deployments where exchange bandwidth, not
+    object-store residency, is the binding constraint (BASELINE.md)."""
     import functools
 
+    from osm_export_tool_python_ray.stages.explode import dedup_elements_light
+
     fn = functools.partial(explode_osm, include_tiles=include_tiles)
-    return dedup_elements(
-        docs_ds.map_batches(fn, batch_format="pyarrow"),
-        num_buckets=num_buckets,
-    )
+    exploded = docs_ds.map_batches(fn, batch_format="pyarrow")
+    if dedup_strategy == "light":
+        try:
+            return dedup_elements_light(exploded, num_buckets=num_buckets)
+        except ValueError:
+            exploded = docs_ds.map_batches(fn, batch_format="pyarrow")
+    return dedup_elements(exploded, num_buckets=num_buckets)
 
 
 def run_export(

@@ -215,6 +215,113 @@ def span_sequence(batch: pa.Table) -> pa.Table:
     )
 
 
+_ROW4 = [("a", np.int64), ("b", np.int64), ("c", np.int64), ("d", np.int64)]
+
+
+def dedup_elements_light(ds, num_buckets=64, loser_limit=20_000_000):
+    """Exact element dedup with a KEY-ONLY exchange (round-2 bandwidth
+    mitigation): instead of shuffling full element rows (tags/refs/members,
+    ~200 B/row) to pick winners, shuffle only the (ekey, doc_id, offset)
+    projection (~30 B/row — an ~8× cut in exchange bytes), compute the
+    LOSER rows (the duplicates to drop, typically a few percent), and
+    broadcast their identities (``ray.put`` once) for a map-side filter
+    over the original stream. Output rows are identical to
+    ``dedup_elements`` (winner = min (doc_id, offset) per ekey).
+
+    The loser set must fit on the driver: above ``loser_limit`` (a
+    duplicate-heavy corpus) this raises and the caller falls back to the
+    full-payload shuffle. This is the tombstone pattern: at 10^12 rows the
+    heavy stream is touched map-only and only the key projection moves.
+
+    ``ds`` is materialized here (it feeds both the key scan and the
+    filter; without that the upstream explode would execute twice). The
+    materialized pre-dedup blocks are freed once the caller's own
+    checkpoint/materialize of the filtered stream completes."""
+    import ray
+
+    from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+    ds = ds.materialize()
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        k = t.select(["ekey", "doc_id", "offset"])
+        ek = k.column("ekey").to_numpy(zero_copy_only=False)
+        return k.append_column("bucket", pa.array((ek % num_buckets).astype(np.int32)))
+
+    def losers_per_key(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [("ekey", "ascending"), ("doc_id", "ascending"), ("offset", "ascending")]
+        )
+        ek = g.column("ekey").to_numpy(zero_copy_only=False)
+        first = np.ones(len(ek), dtype=bool)
+        first[1:] = ek[1:] != ek[:-1]
+        lose = g.filter(pa.array(~first))
+        h1, h2 = hash_strings_128(lose.column("doc_id"))
+        return pa.table(
+            {
+                "ekey": lose.column("ekey"),
+                "dh1": pa.array(h1.view(np.int64)),
+                "dh2": pa.array(h2.view(np.int64)),
+                "offset": lose.column("offset"),
+            }
+        )
+
+    loser_ds = (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: losers_per_key(g.drop_columns(["bucket"])), batch_format="pyarrow"
+        )
+    )
+    parts = []
+    n_losers = 0
+    for b in loser_ds.iter_batches(batch_format="pyarrow"):
+        parts.append(b)
+        n_losers += b.num_rows
+        if n_losers > loser_limit:
+            raise ValueError(
+                "loser set %d exceeds limit %d — use dedup_elements" % (n_losers, loser_limit)
+            )
+    if parts:
+        lt = pa.concat_tables(parts)
+        pack = np.empty(lt.num_rows, dtype=_ROW4)
+        pack["a"] = lt.column("ekey").to_numpy(zero_copy_only=False)
+        pack["b"] = lt.column("dh1").to_numpy(zero_copy_only=False)
+        pack["c"] = lt.column("dh2").to_numpy(zero_copy_only=False)
+        pack["d"] = lt.column("offset").to_numpy(zero_copy_only=False)
+        pack.sort()
+    else:
+        pack = np.empty(0, dtype=_ROW4)
+    loser_ref = ray.put(pack)
+
+    def drop_losers(t: pa.Table) -> pa.Table:
+        lp = ray.get(loser_ref)
+        if len(lp) == 0 or t.num_rows == 0:
+            return t
+        ek = t.column("ekey").to_numpy(zero_copy_only=False).astype(np.int64)
+        # coarse prefilter: rows whose ekey occurs in the loser set at all
+        pos = np.searchsorted(lp["a"], ek)
+        posc = np.minimum(pos, len(lp) - 1)
+        cand = lp["a"][posc] == ek
+        idx = np.nonzero(cand)[0]
+        if len(idx) == 0:
+            return t
+        h1, h2 = hash_strings_128(t.column("doc_id").take(pa.array(idx)))
+        rows = np.empty(len(idx), dtype=_ROW4)
+        rows["a"] = ek[idx]
+        rows["b"] = h1.view(np.int64)
+        rows["c"] = h2.view(np.int64)
+        rows["d"] = t.column("offset").to_numpy(zero_copy_only=False)[idx]
+        p = np.searchsorted(lp, rows)
+        pc = np.minimum(p, len(lp) - 1)
+        is_loser = lp[pc] == rows
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep[idx[is_loser]] = False
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
 def dedup_elements(ds, num_buckets=64):
     """Exact element dedup (SURVEY.md D4): hash-bucket the single int64
     ekey, then keep the provenance-minimal row per ekey inside each bucket

@@ -258,3 +258,68 @@ class TestMalformedSpans:
         )
         rows = run_export(docs, Mapping(MAPPING_YAML), num_partitions=2, num_buckets=4).take_all()
         assert sorted(r["osm_id"] for r in rows if r["theme"] == "pts") == [1, 2]
+
+
+class TestDedupLight:
+    def test_light_equals_full_shuffle(self, ray_session):
+        """Key-only tombstone dedup must produce the same row SET as the
+        full-payload shuffle (winner = min (doc_id, offset) per ekey)."""
+        import ray.data
+
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+        from osm_export_tool_python_ray.stages.explode import (
+            dedup_elements,
+            dedup_elements_light,
+            explode_osm,
+        )
+
+        # dup-heavy corpus: 2 shards with elevated duplicate rate
+        docs = generate_corpus_table(n_shards=2)
+        import functools
+        fn = functools.partial(explode_osm, include_tiles=True)
+        exploded = ray.data.from_arrow(docs).map_batches(fn, batch_format="pyarrow")
+        full = dedup_elements(exploded, num_buckets=4).take_all()
+        exploded2 = ray.data.from_arrow(docs).map_batches(fn, batch_format="pyarrow")
+        light = dedup_elements_light(exploded2, num_buckets=4).take_all()
+
+        def keyset(rows):
+            return sorted((r["ekey"], r["doc_id"], r["offset"]) for r in rows)
+
+        assert len(full) == len(light)
+        assert keyset(full) == keyset(light)
+
+    def test_light_loser_limit_raises(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+        from osm_export_tool_python_ray.stages.explode import (
+            dedup_elements_light,
+            explode_osm,
+        )
+
+        docs = generate_corpus_table(n_shards=1)
+        exploded = ray.data.from_arrow(docs).map_batches(explode_osm, batch_format="pyarrow")
+        with pytest.raises(ValueError):
+            dedup_elements_light(exploded, num_buckets=4, loser_limit=0)
+
+    def test_parse_elements_fallback(self, ray_session):
+        """parse_elements falls back to the full shuffle when the light
+        path's broadcast cap is exceeded (monkeypatched tiny cap)."""
+        import ray.data
+
+        import osm_export_tool_python_ray.pipelines.export as ex
+        import osm_export_tool_python_ray.stages.explode as xp
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+
+        docs = ray.data.from_arrow(generate_corpus_table(n_shards=1))
+        baseline = ex.parse_elements(docs, num_buckets=4, dedup_strategy="shuffle").count()
+        orig = xp.dedup_elements_light
+        def tiny_cap(ds, num_buckets=64, loser_limit=20_000_000):
+            return orig(ds, num_buckets=num_buckets, loser_limit=0)
+        try:
+            xp.dedup_elements_light = tiny_cap
+            docs2 = ray.data.from_arrow(generate_corpus_table(n_shards=1))
+            n = ex.parse_elements(docs2, num_buckets=4).count()
+        finally:
+            xp.dedup_elements_light = orig
+        assert n == baseline

@@ -40,8 +40,12 @@ def main():
     ) as f:
         mapping = Mapping(f.read())
 
-    ray.data.read_parquet(corpus).count()  # warm
-    docs = ray.data.read_parquet(corpus, override_num_blocks=32)
+    # warm + probe the ReadParquet SplitBlocks factor so 32 means 32
+    # blocks on any corpus size (see bench.py read_corpus / BASELINE.md)
+    probe = ray.data.read_parquet(corpus, override_num_blocks=32).materialize()
+    split_factor = max(1, probe.num_blocks() // 32)
+    del probe
+    docs = ray.data.read_parquet(corpus, override_num_blocks=max(1, 32 // split_factor))
     t0 = time.perf_counter()
     themed = run_export(
         docs, mapping, num_partitions=32, num_buckets=128, include_tiles=True
