@@ -14,6 +14,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:  # orjson parses the span payloads ~3× faster; stdlib fallback
+    import orjson
+
+    _loads = orjson.loads
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+
 from osm_export_tool_python_ray.sources.corpus import ELEMENT_SCHEMA, MEMBER_TYPE
 
 _KIND_CODE = {"node": 0, "way": 1, "relation": 2, "tile": 3}
@@ -63,7 +70,7 @@ def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
     lat = np.full(n, np.nan)
     refs_col = []
     members_col = []
-    loads = json.loads
+    loads = _loads
     kc = _KIND_CODE
     kind_append = kind.append
     tags_append = tags_col.append

@@ -24,8 +24,13 @@ CLOSED_WAY_KEYVALS = {"highway": "platform", "public_transport": "platform"}
 def extract_tag_columns(tags, keys):
     """Map column → {key: (present bool ndarray, values object ndarray)}.
 
-    One pass over the flattened map buffers; each requested key is a
-    vectorized equality + scatter (no per-row dict materialization)."""
+    Arrow-native: key matching runs as ``pc.equal`` / ``pc.is_in`` C
+    kernels over the flattened key StringArray; only the MATCHED values
+    (≈ one per row per present key) are materialized as Python strings.
+    The previous version converted every key AND value in the batch to
+    Python objects and compared with object-dtype numpy equality — a
+    hidden per-tag-entry Python loop that dominated the feature stages'
+    profile (~20 keys × millions of entries per batch)."""
     if isinstance(tags, pa.ChunkedArray):
         tags = tags.combine_chunks()
     n = len(tags)
@@ -33,10 +38,11 @@ def extract_tag_columns(tags, keys):
     if n == 0 or not keys:
         return {k: (np.zeros(n, dtype=bool), np.empty(n, dtype=object)) for k in keys}
 
+    import pyarrow.compute as pc
+
     offsets = tags.offsets.to_numpy(zero_copy_only=False)
-    base = offsets[0]
-    flat_keys = np.asarray(tags.keys.to_numpy(zero_copy_only=False), dtype=object)
-    flat_vals = np.asarray(tags.items.to_numpy(zero_copy_only=False), dtype=object)
+    keys_arr = tags.keys
+    vals_arr = tags.items
     counts = np.diff(offsets)
     row_of_item = np.repeat(np.arange(n), counts)
 
@@ -44,13 +50,23 @@ def extract_tag_columns(tags, keys):
     if tags.null_count:
         null_rows = np.asarray(tags.is_null().to_numpy(zero_copy_only=False))
 
-    for key in keys:
-        hit = flat_keys == key
+    # one pass: which referenced key (if any) each flat entry matches
+    key_list = list(keys)
+    kidx = pc.fill_null(
+        pc.index_in(keys_arr, value_set=pa.array(key_list, type=pa.string())),
+        -1,
+    ).to_numpy(zero_copy_only=False)
+    hit_pos = np.nonzero(kidx >= 0)[0]
+    hit_kidx = kidx[hit_pos]
+
+    for j, key in enumerate(key_list):
         present = np.zeros(n, dtype=bool)
         vals = np.empty(n, dtype=object)
-        rows = row_of_item[hit]
-        present[rows] = True
-        vals[rows] = flat_vals[hit]
+        sel = hit_pos[hit_kidx == j]
+        if len(sel):
+            rows = row_of_item[sel]
+            present[rows] = True
+            vals[rows] = vals_arr.take(pa.array(sel)).to_pylist()
         if null_rows is not None:
             present[null_rows] = False
         out[key] = (present, vals)
