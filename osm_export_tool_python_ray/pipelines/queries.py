@@ -483,8 +483,6 @@ def q_events_sessions(sf_dir):
     assumption (ts order within each user partition) is established by the
     in-group sort — Ray Data has no event-time watermarks (guide §streaming).
     """
-    import pandas as pd
-
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def bucketer(t: pa.Table) -> pa.Table:
@@ -492,23 +490,43 @@ def q_events_sessions(sf_dir):
         return t.append_column("bucket", pa.array((u % 32).astype(np.int32)))
 
     def sessions(g: pa.Table) -> pa.Table:
-        df = g.drop_columns(["bucket"]).to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
-        new_user = df["user_id"].ne(df["user_id"].shift())
-        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = (new_user | gap).cumsum()
-        out = (
-            df.groupby(sid)
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "first"),
-                n_events=("ts", "size"),
-                sum_value=("value", "sum"),
-            )
-            .reset_index(drop=True)
+        # Arrow/numpy-native sessionizer (no pandas round-trip): sorted
+        # (user, ts) → gap/new-user boundaries → reduceat aggregates
+        g = g.drop_columns(["bucket"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending")]
         )
-        out["sum_value"] = out["sum_value"].round(4)
-        out["n_events"] = out["n_events"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=g.schema.field("user_id").type),
+                    "session_start": pa.array([], type=g.schema.field("ts").type),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value": pa.array([], type=pa.float64()),
+                }
+            )
+        tsi = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[ns]")
+            .astype(np.int64)
+        )
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | ((tsi[1:] - tsi[:-1]) > 30 * 60 * 1_000_000_000)
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(u))
+        ts_col = g.column("ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_start": ts_col.take(pa.array(starts)),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "sum_value": pa.array(np.round(np.add.reduceat(v, starts), 4)),
+            }
+        )
 
     return (
         ds.map_batches(bucketer, batch_format="pyarrow")
