@@ -100,3 +100,32 @@ class TestExportOracleSmall:
             for t, g, n in duckdb.connect().execute(sql).fetchall()
         }
         assert mine == theirs
+
+
+class TestMatcherSqlHypothesis:
+    """Randomized differential: matcher_sql (DuckDB) vs Matcher._match on
+    generated expressions × tag dicts (same strategies as the round-1
+    reference differentials)."""
+
+    def test_randomized(self):
+        from hypothesis import given, settings
+        from tests.test_differential_sql import sql_expr, tags_dict
+
+        con = duckdb.connect()
+
+        @settings(max_examples=150, deadline=None)
+        @given(sql=sql_expr(3), tags=tags_dict)
+        def check(sql, tags):
+            try:
+                m = Matcher.from_sql(sql)
+            except Exception:
+                return
+            dsql = matcher_sql(m.expr).replace("$.tags.", "$.")
+            obj = "{%s}" % ",".join('"%s":"%s"' % (k, v) for k, v in tags.items())
+            got = con.execute(
+                "SELECT coalesce((%s), FALSE) FROM (SELECT '%s' AS txt)"
+                % (dsql, obj.replace("'", "''"))
+            ).fetchone()[0]
+            assert got == m.matches(tags), (sql, tags)
+
+        check()
