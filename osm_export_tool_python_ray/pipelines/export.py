@@ -108,6 +108,7 @@ def run_export(
     num_buckets=64,
     include_tiles=False,
     return_parts=False,
+    broadcast_limit_bytes=0,
 ):
     """→ themed feature Dataset (FEATURE_SCHEMA + theme column), checkpointed
     at ``workdir/features`` when a workdir is given.
@@ -135,11 +136,27 @@ def run_export(
         batch_format="pyarrow",
     )
 
-    way_geoms = materialize_or_checkpoint(
-        assemble_ways(ways, nodes_loc, num_partitions=num_partitions, num_buckets=num_buckets),
-        workdir,
-        "way_geoms",
-    )
+    # OPT-IN adaptive broadcast (broadcast_limit_bytes > 0): when the
+    # deduped element table fits the budget, way assembly resolves refs
+    # against a ray.put node index inside one map_batches (zero exchanges)
+    # instead of the cogroup+regroup sort pair. Measured single-node at the
+    # 24,576-shard corpus / 32 cpus it LOSES (63 s shuffle vs 91–163 s
+    # broadcast): the driver-side index collection is a pipeline barrier
+    # that forfeits streaming overlap, the same failure mode as the
+    # tombstone dedup (BASELINE.md). Default OFF; the switch exists for
+    # small-AOI extract workflows and multi-node exchange-bound regimes
+    # where one plasma copy per node beats an all-to-all.
+    elements_bytes = elements.size_bytes() or 0
+    use_broadcast = bool(broadcast_limit_bytes) and 0 < elements_bytes <= broadcast_limit_bytes
+    if use_broadcast:
+        from osm_export_tool_python_ray.stages.assemble import assemble_ways_broadcast
+
+        way_assembly = assemble_ways_broadcast(ways, nodes_loc)
+    else:
+        way_assembly = assemble_ways(
+            ways, nodes_loc, num_partitions=num_partitions, num_buckets=num_buckets
+        )
+    way_geoms = materialize_or_checkpoint(way_assembly, workdir, "way_geoms")
 
     # ---- point features
     nodes_full = elements.map_batches(
@@ -157,12 +174,23 @@ def run_export(
 
     # ---- relation area features (relation tags ride the member explode)
     rels = elements.map_batches(_area_relation_filter, batch_format="pyarrow")
-    rel_geoms = assemble_relations(
-        rels,
-        way_geoms,
-        num_partitions=num_partitions,
-        num_buckets=max(4, num_buckets // 4),
-    )
+    way_geom_bytes = way_geoms.size_bytes() or 0
+    if (
+        bool(broadcast_limit_bytes)
+        and 0 < way_geom_bytes <= broadcast_limit_bytes
+    ):
+        from osm_export_tool_python_ray.stages.assemble import (
+            assemble_relations_broadcast,
+        )
+
+        rel_geoms = assemble_relations_broadcast(rels, way_geoms)
+    else:
+        rel_geoms = assemble_relations(
+            rels,
+            way_geoms,
+            num_partitions=num_partitions,
+            num_buckets=max(4, num_buckets // 4),
+        )
     rel_feats = rel_geoms.map_batches(
         RelationAreaFeatures(mapping, aoi_polygons, polygon_centroid),
         batch_format="pyarrow",

@@ -402,6 +402,201 @@ def assemble_relations_bucket(group: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def assemble_ways_broadcast(ways_ds, nodes_ds):
+    """Map-only J1 for the adaptive broadcast regime: when the node
+    location table fits the caller's broadcast budget (run_export's
+    ``broadcast_limit_bytes``), ship the sorted (id → lon/lat) arrays once
+    via ``ray.put`` and resolve every way's refs with vectorized
+    searchsorted lookups inside one ``map_batches`` — ZERO exchanges,
+    replacing the cogroup + regroup sort pair of ``assemble_ways``.
+    Output schema and row content identical to the shuffle path
+    (incomplete refs → NaN coords + complete=false; 0-ref ways dropped,
+    matching explode_way_refs emitting nothing for them).
+
+    Scale note: the OSM-planet node table (~200 GB) does NOT fit — the
+    caller falls back to the shuffle path above the budget; broadcast is
+    for AOI-extract-sized inputs where it wins outright (plasma shares the
+    one copy across all workers of a node)."""
+    import ray
+
+    ids_p, lon_p, lat_p = [], [], []
+    for b in nodes_ds.iter_batches(batch_format="pyarrow"):
+        ids_p.append(b.column("element_id").to_numpy(zero_copy_only=False))
+        lon_p.append(b.column("lon").to_numpy(zero_copy_only=False))
+        lat_p.append(b.column("lat").to_numpy(zero_copy_only=False))
+    if ids_p:
+        ids = np.concatenate(ids_p)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        lon_s = np.concatenate(lon_p)[order].astype(np.float64)
+        lat_s = np.concatenate(lat_p)[order].astype(np.float64)
+    else:
+        ids_s = np.array([], dtype=np.int64)
+        lon_s = lat_s = np.array([], dtype=np.float64)
+    loc_ref = ray.put((ids_s, lon_s, lat_s))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        sids, slon, slat = ray.get(loc_ref)
+        refs = t.column("refs")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        counts = pc.list_value_length(refs).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = counts > 0
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            refs = t.column("refs")
+            if isinstance(refs, pa.ChunkedArray):
+                refs = refs.combine_chunks()
+            counts = counts[keep]
+        if t.num_rows == 0:
+            return pa.table({n: pa.array([], type=ty) for n, ty in zip(WAY_GEOM_SCHEMA.names, WAY_GEOM_SCHEMA.types)})
+        node_ids = pc.list_flatten(refs).to_numpy(zero_copy_only=False)
+        if len(sids):
+            pos = np.searchsorted(sids, node_ids)
+            posc = np.minimum(pos, len(sids) - 1)
+            found = sids[posc] == node_ids
+            lon = np.where(found, slon[posc], np.nan)
+            lat = np.where(found, slat[posc], np.nan)
+        else:
+            found = np.zeros(len(node_ids), dtype=bool)
+            lon = np.full(len(node_ids), np.nan)
+            lat = np.full(len(node_ids), np.nan)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        complete = np.add.reduceat(found.astype(np.int64), starts) == counts
+        ends = np.cumsum(counts)
+        closed = (node_ids[starts] == node_ids[ends - 1]) & (counts >= 4)
+
+        off64 = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+        if off64[-1] > np.iinfo(np.int32).max:
+            offsets = pa.array(off64, type=pa.int64())
+            lons = pa.LargeListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
+            lats = pa.LargeListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
+        else:
+            offsets = pa.array(off64.astype(np.int32))
+            lons = pa.ListArray.from_arrays(offsets, pa.array(lon, type=pa.float64()))
+            lats = pa.ListArray.from_arrays(offsets, pa.array(lat, type=pa.float64()))
+        cols = {
+            "way_id": t.column("element_id"),
+            "lons": lons,
+            "lats": lats,
+            "n_pts": pa.array(counts.astype(np.int32)),
+            "complete": pa.array(complete),
+            "is_closed": pa.array(closed),
+        }
+        for name in ("tags", "doc_id", "offset"):
+            if name in t.schema.names:
+                cols[name] = t.column(name)
+        return pa.table(cols)
+
+    return ways_ds.map_batches(resolve, batch_format="pyarrow")
+
+
+def assemble_relations_broadcast(rels_ds, way_geoms_ds):
+    """Map-only J2/J3: broadcast the assembled way geometries (sorted ids
+    + concatenated coordinate arrays) and stitch each relation inside one
+    ``map_batches`` — replaces the member join + regroup sort pair of
+    ``assemble_relations``. Same InvalidArea semantics. Caller gates on
+    the way-geometry table size (run_export ``broadcast_limit_bytes``)."""
+    import ray
+
+    from osm_export_tool_python_ray.functions import wkb as wkbmod
+
+    ids_p, lon_p, lat_p, cnt_p, comp_p = [], [], [], [], []
+    for b in way_geoms_ds.iter_batches(batch_format="pyarrow"):
+        ids_p.append(b.column("way_id").to_numpy(zero_copy_only=False))
+        lons = b.column("lons")
+        if isinstance(lons, pa.ChunkedArray):
+            lons = lons.combine_chunks()
+        lats = b.column("lats")
+        if isinstance(lats, pa.ChunkedArray):
+            lats = lats.combine_chunks()
+        cnt_p.append(pc.list_value_length(lons).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64))
+        lon_p.append(lons.flatten().to_numpy(zero_copy_only=False))
+        lat_p.append(lats.flatten().to_numpy(zero_copy_only=False))
+        comp_p.append(b.column("complete").to_numpy(zero_copy_only=False))
+    if ids_p:
+        ids = np.concatenate(ids_p)
+        counts = np.concatenate(cnt_p)
+        comp = np.concatenate(comp_p)
+        flat_lon = np.concatenate(lon_p)
+        flat_lat = np.concatenate(lat_p)
+        block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        starts_s = block_starts[order]
+        counts_s = counts[order]
+        comp_s = comp[order]
+    else:
+        ids_s = starts_s = counts_s = np.array([], dtype=np.int64)
+        comp_s = np.array([], dtype=bool)
+        flat_lon = flat_lat = np.array([], dtype=np.float64)
+    geom_ref = ray.put((ids_s, starts_s, counts_s, comp_s, flat_lon, flat_lat))
+
+    def stitch_batch(t: pa.Table) -> pa.Table:
+        sids, sstarts, scounts, scomp, flon, flat_ = ray.get(geom_ref)
+        members = t.column("members")
+        if isinstance(members, pa.ChunkedArray):
+            members = members.combine_chunks()
+        mem_lists = members.to_pylist()
+        rel_ids = t.column("element_id").to_numpy(zero_copy_only=False)
+        out_id, out_wkb, out_bbox, out_valid, out_rows = [], [], [], [], []
+        for i in range(t.num_rows):
+            relation_id = int(rel_ids[i])
+            way_members = [m for m in (mem_lists[i] or []) if m["type"] == "way"]
+            if not way_members:
+                # parity with the shuffle path: zero way members → the
+                # relation never appears in rel_geoms (explode emits no rows)
+                continue
+            try:
+                segs = []
+                for m in way_members:
+                    j = np.searchsorted(sids, m["ref"])
+                    if j >= len(sids) or sids[j] != m["ref"] or not scomp[j]:
+                        raise InvalidArea("missing member way")
+                    s = sstarts[j]
+                    c = np.stack([flon[s : s + scounts[j]], flat_[s : s + scounts[j]]], axis=1)
+                    segs.append((c, m["role"] or "outer"))
+                polys = nest_rings(stitch_rings(segs))
+                buf = wkbmod.multipolygon_wkb(polys)
+                allpts = np.vstack([r for p in polys for r in p])
+                out_bbox.append(
+                    (
+                        float(allpts[:, 0].min()),
+                        float(allpts[:, 1].min()),
+                        float(allpts[:, 0].max()),
+                        float(allpts[:, 1].max()),
+                    )
+                )
+                out_wkb.append(buf)
+                out_valid.append(True)
+            except InvalidArea:
+                out_wkb.append(None)
+                out_bbox.append((None, None, None, None))
+                out_valid.append(False)
+            out_id.append(relation_id)
+            out_rows.append(i)
+
+        cols = {
+            "relation_id": pa.array(out_id, type=pa.int64()),
+            "wkb": pa.array(out_wkb, type=pa.binary()),
+            "minx": pa.array([b[0] for b in out_bbox], type=pa.float64()),
+            "miny": pa.array([b[1] for b in out_bbox], type=pa.float64()),
+            "maxx": pa.array([b[2] for b in out_bbox], type=pa.float64()),
+            "maxy": pa.array([b[3] for b in out_bbox], type=pa.float64()),
+            "valid": pa.array(out_valid),
+        }
+        row_take = pa.array(np.asarray(out_rows, dtype=np.int64))
+        for name in ("tags", "doc_id", "offset"):
+            if name in t.schema.names:
+                col = t.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[name] = col.take(row_take)
+        return pa.table(cols)
+
+    return rels_ds.map_batches(stitch_batch, batch_format="pyarrow")
+
+
 def assemble_relations(rels_ds, way_geoms_ds, num_partitions=16, num_buckets=64):
     """Filtered relation rows × assembled way geometries → per-relation
     stitched multipolygons. Shuffles: bucketed join on way_id (coordinate

@@ -323,3 +323,78 @@ class TestDedupLight:
         finally:
             xp.dedup_elements_light = orig
         assert n == baseline
+
+
+class TestBroadcastAssembly:
+    def test_broadcast_equals_shuffle_export(self, ray_session):
+        """Adaptive broadcast assembly (map-only J1/J2) must yield exactly
+        the same themed features as the shuffle path."""
+        import ray.data
+
+        from osm_export_tool_python_ray.mapping import Mapping
+        from osm_export_tool_python_ray.pipelines.export import run_export
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+
+        docs = generate_corpus_table(n_shards=2)
+        mapping = Mapping(open(
+            "/root/repo/osm_export_tool_python_ray/mappings/default.yml").read())
+
+        def run(limit):
+            rows = run_export(
+                ray.data.from_arrow(docs), mapping, num_partitions=2,
+                num_buckets=8, broadcast_limit_bytes=limit,
+            ).take_all()
+            return sorted(
+                (r["theme"], r["osm_id"], r["geom_type"], r["wkb"]) for r in rows
+            )
+
+        via_broadcast = run(8 << 30)
+        via_shuffle = run(0)
+        assert via_broadcast == via_shuffle
+        assert len(via_broadcast) > 0
+
+    def test_broadcast_incomplete_and_invalid_parity(self, ray_session):
+        """The pathological corpus cases (incomplete way, dangling-arc
+        relation, zero-way-member behavior) behave identically."""
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import parse_elements
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+        from osm_export_tool_python_ray.stages.assemble import (
+            assemble_ways,
+            assemble_ways_broadcast,
+        )
+
+        docs = ray.data.from_arrow(generate_corpus_table(n_shards=1))
+        elements = parse_elements(docs, num_buckets=4).materialize()
+
+        def nodes():
+            return elements.map_batches(
+                lambda t: t.filter(pa.compute.equal(t.column("kind"), "node")).select(
+                    ["element_id", "lon", "lat"]
+                ),
+                batch_format="pyarrow",
+            )
+
+        def ways():
+            return elements.map_batches(
+                lambda t: t.filter(pa.compute.equal(t.column("kind"), "way")).select(
+                    ["element_id", "refs", "tags", "doc_id", "offset"]
+                ),
+                batch_format="pyarrow",
+            )
+
+        a = assemble_ways_broadcast(ways(), nodes()).take_all()
+        b = assemble_ways(ways(), nodes(), num_partitions=2, num_buckets=4).take_all()
+
+        def norm(rows):
+            return sorted(
+                (r["way_id"], tuple(r["lons"]) if r["complete"] else None,
+                 r["n_pts"], r["complete"], r["is_closed"])
+                for r in rows
+            )
+
+        assert len(a) == len(b)
+        assert norm(a) == norm(b)
+        # the corpus plants one incomplete way per shard
+        assert any(not r["complete"] for r in a)
