@@ -256,6 +256,76 @@ def q_ngram_jaccard(sf_dir):
     )
 
 
+# shared SQL body: word-3-gram sets, sizes, hot-gram cap (=the engine's
+# max_gram_docs), Jaccard candidate pairs — the DuckDB twin of
+# stages/dedup.py ngram_jaccard_pairs (which joins on 64-bit gram hashes;
+# the oracle joins on the gram STRINGS, so a hash collision would show up
+# as a mismatch here)
+_NGRAM_PAIR_CTES = r"""
+toks AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS tk
+  FROM documents
+),
+grams_all AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) BETWEEN 1 AND 2
+),
+gset AS (SELECT DISTINCT doc_id, gram FROM grams_all),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gset GROUP BY doc_id),
+ok_grams AS (SELECT gram FROM gset GROUP BY gram HAVING count(*) <= 64),
+gk AS (SELECT g.doc_id, g.gram FROM gset g JOIN ok_grams o ON o.gram = g.gram),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+SQL_NGRAM_JACCARD = (
+    "WITH "
+    + _NGRAM_PAIR_CTES
+    + r"""
+SELECT c.doc_a, c.doc_b,
+       round(c.inter * 1.0 / (sa.sz + sb.sz - c.inter), 6) AS similarity
+FROM cand c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.inter * 1.0 / (sa.sz + sb.sz - c.inter) >= 0.4
+"""
+)
+
+
+def q_ngram_clusters(sf_dir):
+    """Connected components over the EXACT n-gram-Jaccard pair graph —
+    the oracle-backed companion to `dedup_clusters` (whose MinHash input
+    is not SQL-expressible): DuckDB re-derives the same components with a
+    recursive min-label CTE."""
+    from osm_export_tool_python_ray.stages.dedup import dedup_clusters
+
+    return dedup_clusters(q_ngram_jaccard(sf_dir), num_buckets=16).sort("doc_id")
+
+
+SQL_NGRAM_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _NGRAM_PAIR_CTES
+    + r""",
+pairs AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.inter * 1.0 / (sa.sz + sb.sz - c.inter) >= 0.4
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node WHERE walk.label < e.b
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+)
+
+
 # --------------------------------------------------------------- embeddings
 
 def _query_vectors(sf_dir, n=4):
@@ -844,6 +914,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "ngram_clusters": q_ngram_clusters,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
@@ -894,6 +965,8 @@ ORACLES = {
     "quality_score": SQL_QUALITY_SCORE,
     "lang_counts": SQL_LANG_COUNTS,
     "theme_filter": SQL_THEME_FILTER,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,
     "q1_lineitem": SQL_Q1_LINEITEM,
     "top_orders": SQL_TOP_ORDERS,
