@@ -256,6 +256,59 @@ def q_ngram_jaccard(sf_dir):
     )
 
 
+def _le64_expr(h):
+    """DuckDB expression: little-endian uint64 from the first 8 bytes of
+    an md5 hex string — byte-exact with functions/text.py hash_bytes.
+    (Multiplication by 2^(8k) constants, not shifts: DuckDB range-checks
+    UBIGINT left-shift in the signed domain.)"""
+    terms = []
+    for k in range(8):
+        hi = "CAST(strpos('0123456789abcdef', substr(%s, %d, 1))-1 AS UBIGINT)" % (h, 2 * k + 1)
+        lo = "CAST(strpos('0123456789abcdef', substr(%s, %d, 1))-1 AS UBIGINT)" % (h, 2 * k + 2)
+        terms.append("((%s * 16 + %s) * CAST(%d AS UBIGINT))" % (hi, lo, 1 << (8 * k)))
+    return "(" + " + ".join(terms) + ")"
+
+
+# full SimHash re-derivation in SQL (oracle for q_simhash_pairs): per-doc
+# 64-bit signature from distinct-token md5 bit votes, 4×16-bit LSH bands
+# with the engine's max_group=512 cap, exact Hamming verify via
+# bit_count(xor). Hash family identical (hash_bytes = md5 first-8-LE).
+SQL_SIMHASH_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lower(t) AS tk FROM (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS t FROM documents)
+),
+th AS (SELECT doc_id, {le} AS hv FROM (SELECT doc_id, md5(tk) AS h FROM tok)),
+bits AS (
+  SELECT doc_id, b.j,
+         sum(CASE WHEN (hv >> CAST(b.j AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(64) b(j) GROUP BY doc_id, b.j
+),
+sig0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(power(2, j) AS UBIGINT) ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM bits GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s0.s, CAST(0 AS UBIGINT)) AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sig0 s0 ON s0.doc_id = d.doc_id
+),
+bands AS (
+  SELECT doc_id, s,
+         (CAST(b.b AS UBIGINT) << 16) | ((s >> CAST(16 * b.b AS UBIGINT)) & 65535) AS band_key
+  FROM sig, range(4) b(b)
+),
+ok_bands AS (SELECT band_key FROM bands GROUP BY band_key HAVING count(*) <= 512),
+bk AS (SELECT bands.* FROM bands JOIN ok_bands USING (band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, 1.0 - bit_count(xor(sa, sb)) / 64.0 AS similarity
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""".format(le=_le64_expr("h"))
+
+
 # shared SQL body: word-3-gram sets, sizes, hot-gram cap (=the engine's
 # max_gram_docs), Jaccard candidate pairs — the DuckDB twin of
 # stages/dedup.py ngram_jaccard_pairs (which joins on 64-bit gram hashes;
@@ -966,6 +1019,7 @@ ORACLES = {
     "lang_counts": SQL_LANG_COUNTS,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,
     "q1_lineitem": SQL_Q1_LINEITEM,
