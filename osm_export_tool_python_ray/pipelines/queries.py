@@ -309,6 +309,110 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """.format(le=_le64_expr("h"))
 
 
+def _sql_mulmod64(a, b):
+    """Wrapping uint64 multiply in DuckDB: split-multiply via HUGEINT so
+    the 64×64→128 product never overflows INT128:
+    a·b mod 2^64 = ((a_hi·b mod 2^32)·2^32 + a_lo·b) mod 2^64."""
+    return (
+        "CAST(((CAST((((CAST({a} AS HUGEINT) >> 32) * CAST({b} AS HUGEINT)) % 4294967296) AS HUGEINT) * 4294967296)"
+        " + ((CAST({a} AS HUGEINT) & 4294967295) * CAST({b} AS HUGEINT))) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)"
+    ).format(a=a, b=b)
+
+
+def _sql_mix64(v):
+    """splitmix64 avalanche (functions/text.py _mix64) as a DuckDB
+    expression over a UBIGINT operand (note DuckDB ^ is POWER; xor())."""
+    s = "xor(%s, (%s >> 33))" % (v, v)
+    s = _sql_mulmod64(s, "CAST('%d' AS UBIGINT)" % 0xFF51AFD7ED558CCD)
+    s = "xor(%s, (%s >> 33))" % (s, s)
+    s = _sql_mulmod64(s, "CAST('%d' AS UBIGINT)" % 0xC4CEB9FE1A85EC53)
+    s = "xor(%s, (%s >> 33))" % (s, s)
+    return s
+
+
+def _build_minhash_pair_ctes():
+    """CTE chain re-deriving the FULL MinHash-LSH pipeline in DuckDB
+    (oracle for q_minhash_pairs): normalized 5-char shingles → md5-LE64
+    shingle hashes → the exact mix64(x XOR seed) permutation family (the
+    64 seeds inlined from minhash_params(64, 42)) → per-doc signatures →
+    16 4-perm bands with the engine's max_group=256 cap → candidate pairs
+    → matching-permutation-fraction similarity."""
+    from osm_export_tool_python_ray.functions.text import minhash_params
+
+    seeds = minhash_params(64, 42)
+    seed_vals = ", ".join(
+        "(%d, CAST('%d' AS UBIGINT))" % (i, int(s)) for i, s in enumerate(seeds)
+    )
+    return r"""
+norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(nt, i, 5) AS s
+  FROM norm, UNNEST(range(1, len(nt) - 3)) r(i)
+  WHERE len(nt) >= 5
+  UNION
+  SELECT DISTINCT doc_id, nt FROM norm WHERE len(nt) BETWEEN 1 AND 4
+),
+shh AS (SELECT doc_id, {le} AS hv FROM (SELECT doc_id, md5(s) AS h FROM sh)),
+seeds(perm, sd) AS (VALUES {seed_vals}),
+sigs AS (
+  SELECT doc_id, perm, min({mix}) AS sig FROM shh, seeds GROUP BY doc_id, perm
+),
+sigl0 AS (SELECT doc_id, list(sig ORDER BY perm) AS sg FROM sigs GROUP BY doc_id),
+sigl AS (
+  SELECT d.doc_id,
+         coalesce(s.sg, (SELECT list(CAST('18446744073709551615' AS UBIGINT)) FROM range(64))) AS sg
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sigl0 s ON s.doc_id = d.doc_id
+),
+bands AS (
+  SELECT doc_id, b.b AS band, sg[4*b.b+1:4*b.b+4] AS bk, sg
+  FROM sigl, range(16) b(b)
+),
+okg AS (SELECT band, bk FROM bands GROUP BY band, bk HAVING count(*) <= 256),
+bx AS (SELECT bands.* FROM bands JOIN okg ON okg.band = bands.band AND okg.bk = bands.bk),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sg AS sa, b.sg AS sb
+  FROM bx a JOIN bx b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+""".format(
+        le=_le64_expr("h"),
+        mix=_sql_mix64("xor(hv, sd)"),
+        seed_vals=seed_vals,
+    )
+
+
+_MH_MATCHES = " + ".join(
+    "(CASE WHEN sa[%d] = sb[%d] THEN 1 ELSE 0 END)" % (i, i) for i in range(1, 65)
+)
+
+SQL_MINHASH_PAIRS = (
+    "WITH "
+    + _build_minhash_pair_ctes()
+    + "SELECT doc_a, doc_b, (%s) / 64.0 AS similarity FROM mh_cand WHERE (%s) / 64.0 >= 0.5"
+    % (_MH_MATCHES, _MH_MATCHES)
+)
+
+# connected components over the MinHash pair graph: recursive min-label CTE
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _build_minhash_pair_ctes()
+    + r""",
+mh_pairs AS (
+  SELECT doc_a, doc_b FROM mh_cand WHERE (%s) / 64.0 >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node WHERE walk.label < e.b
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+    % _MH_MATCHES
+)
+
+
 # shared SQL body: word-3-gram sets, sizes, hot-gram cap (=the engine's
 # max_gram_docs), Jaccard candidate pairs — the DuckDB twin of
 # stages/dedup.py ngram_jaccard_pairs (which joins on 64-bit gram hashes;
@@ -1020,6 +1124,8 @@ ORACLES = {
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,
     "q1_lineitem": SQL_Q1_LINEITEM,
