@@ -4,10 +4,14 @@ SURVEY.md §2 + the training-data ops) with matching DuckDB oracle SQL.
 Every SQL-expressible query names its computed columns identically in the
 Ray pipeline and the oracle (the driver sorts columns by name and
 value-hashes). Floating-point aggregates are rounded to 6 decimals on BOTH
-sides so double-summation order cannot flip the hash. Ops that SQL cannot
-express (LSH pipelines, heuristic lang-ID, the OSM export itself) have no
-oracle — the driver records a rows-only check and pytest carries their
-brute-force verification.
+sides so double-summation order cannot flip the hash. 27 of 30 queries
+are oracle-backed — including the LSH families (MinHash/SimHash re-derived
+with exact hash arithmetic in SQL), the lang-ID heuristic, connected
+components (recursive CTE) and the full export surface (span-UNNEST
+re-derivation). The three without oracles are genuinely iterative /
+model-shaped: ivf_topk and embedding_kmeans (seeded iterative sampling SQL
+cannot reproduce) and media_features (image decode); pytest carries their
+brute-force/recall verification.
 """
 
 import os
@@ -207,7 +211,8 @@ WHERE lang = 'en' AND (CAST(n_chars AS VARCHAR) > '200' OR source IN ('src1','sr
 
 
 def q_lang_id(sf_dir):
-    """Heuristic language-ID (rows-only: not SQL-expressible)."""
+    """Heuristic language-ID (oracle: SQL_LANG_ID re-derives the stopword
+    argmax + fallbacks)."""
     from osm_export_tool_python_ray.stages.textstages import doc_lang
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -232,8 +237,9 @@ def q_simhash_pairs(sf_dir):
 
 
 def q_dedup_clusters(sf_dir):
-    """Near-dup connected components over the MinHash pair graph
-    (rows-only; pytest covers union-find vs propagation equivalence)."""
+    """Near-dup connected components over the MinHash pair graph (oracle:
+    recursive min-label CTE over the SQL-re-derived MinHash pairs; pytest
+    additionally covers union-find vs propagation equivalence)."""
     from osm_export_tool_python_ray.stages.dedup import dedup_clusters, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(
@@ -307,6 +313,100 @@ cand AS (
 SELECT doc_a, doc_b, 1.0 - bit_count(xor(sa, sb)) / 64.0 AS similarity
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """.format(le=_le64_expr("h"))
+
+
+def _build_lang_id_sql():
+    """Oracle for the stopword-argmax language-ID heuristic
+    (functions/text.py lang_id): distinct lowercase alpha words, per-lang
+    stopword hit counts, FIRST-max-wins in the dict iteration order
+    (en, de, fr, es), CJK/ASCII fallback when no stopword hits."""
+    from osm_export_tool_python_ray.functions.text import STOPWORDS
+
+    def inlist(lang):
+        return ", ".join("'%s'" % w for w in sorted(STOPWORDS[lang]))
+
+    return (
+        r"""
+WITH words AS (
+  SELECT DISTINCT doc_id, lower(w) AS w FROM (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-zA-Z]+')) AS w FROM documents)
+),
+hits AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE w IN (__EN__)) AS en,
+         count(*) FILTER (WHERE w IN (__DE__)) AS de,
+         count(*) FILTER (WHERE w IN (__FR__)) AS fr,
+         count(*) FILTER (WHERE w IN (__ES__)) AS es,
+         count(*) AS nwords
+  FROM words GROUP BY doc_id
+),
+cjk AS (
+  SELECT doc_id, bool_or(regexp_matches(text, '[\x{2E81}-\x{10FFFF}]')) AS has_cjk
+  FROM documents GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE
+    WHEN h.doc_id IS NULL OR h.nwords = 0 THEN 'und'
+    WHEN greatest(h.en, h.de, h.fr, h.es) = 0 THEN (CASE WHEN c.has_cjk THEN 'zh' ELSE 'en' END)
+    WHEN h.en = greatest(h.en, h.de, h.fr, h.es) THEN 'en'
+    WHEN h.de = greatest(h.en, h.de, h.fr, h.es) THEN 'de'
+    WHEN h.fr = greatest(h.en, h.de, h.fr, h.es) THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM (SELECT DISTINCT doc_id, text FROM documents) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+LEFT JOIN cjk c ON c.doc_id = d.doc_id
+"""
+        .replace("__EN__", inlist("en"))
+        .replace("__DE__", inlist("de"))
+        .replace("__FR__", inlist("fr"))
+        .replace("__ES__", inlist("es"))
+    )
+
+
+SQL_LANG_ID = _build_lang_id_sql()
+
+
+def _build_embedding_near_dup_sql(dim=64, num_planes=4, seed=42, threshold=0.4, max_group=2048):
+    """Oracle for q_embedding_near_dup: the seeded hyperplane matrix is
+    inlined as literals, sign-signature buckets and the in-bucket cosine
+    verify re-derived in SQL. The engine computes in float64 (see
+    stages/ann.py embedding_near_dup) so the only divergence is summation
+    order — far inside the round(…, 5)."""
+    planes = np.random.RandomState(seed).randn(dim, num_planes)
+
+    def dot_expr(col, vec):
+        return "(" + " + ".join(
+            "%s[%d] * (%.17g)" % (col, i + 1, vec[i]) for i in range(len(vec))
+        ) + ")"
+
+    norm = "sqrt(" + " + ".join("v[%d]*v[%d]" % (i + 1, i + 1) for i in range(dim)) + ")"
+    signs = " + ".join(
+        "(CASE WHEN %s > 0 THEN %d ELSE 0 END)" % (dot_expr("nv", planes[:, p]), 1 << p)
+        for p in range(num_planes)
+    )
+    pair_dot = "(" + " + ".join(
+        "a.nv[%d]*b.nv[%d]" % (i + 1, i + 1) for i in range(dim)
+    ) + ")"
+    return """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+nrm AS (SELECT vec_id, greatest({norm}, 1e-12) AS nr, v FROM base),
+nv AS (SELECT vec_id, list_transform(v, x -> x / nr) AS nv FROM nrm),
+keyed AS (SELECT vec_id, nv, ({signs}) AS bkey FROM nv),
+okb AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) BETWEEN 2 AND {mg}),
+kx AS (SELECT keyed.* FROM keyed JOIN okb USING (bkey)),
+cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS doc_a, greatest(a.vec_id, b.vec_id) AS doc_b,
+         {pd} AS sim
+  FROM kx a JOIN kx b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, round(sim, 5) AS similarity FROM cand WHERE sim >= {th}
+""".format(norm=norm, signs=signs, pd=pair_dot, mg=max_group, th=threshold)
+
+
+SQL_EMBEDDING_NEAR_DUP = _build_embedding_near_dup_sql()
 
 
 def _sql_mulmod64(a, b):
@@ -1125,6 +1225,8 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "lang_id": SQL_LANG_ID,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,

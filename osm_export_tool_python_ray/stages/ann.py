@@ -101,10 +101,14 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets:
     vectors whose sign-signatures agree land in one bucket; within-bucket
     exact cosine ≥ threshold. Misses cross-bucket pairs (recall < 1, by
-    design at scale); raise ``num_planes`` ↓collisions / ↑recall-loss."""
+    design at scale); raise ``num_planes`` ↓collisions / ↑recall-loss.
+
+    Computed in float64 (unlike the float32 ANN scan path): the dedup
+    decision boundary deserves full precision, and it makes the DuckDB
+    oracle's re-derivation bit-comparable after rounding."""
 
     def bucket_rows(t: pa.Table) -> pa.Table:
-        m = _normalize(_to_matrix(t.column("embedding")))
+        m = _normalize(_to_matrix(t.column("embedding"), dtype=np.float64))
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table(
@@ -129,7 +133,7 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
     def group_pairs(g: pa.Table) -> pa.Table:
         keys = g.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(g.column("embedding")))
+        m = _normalize(_to_matrix(g.column("embedding"), dtype=np.float64))
         order = np.lexsort((ids, keys))
         keys, ids, m = keys[order], ids[order], m[order]
         first = np.concatenate([[True], keys[1:] != keys[:-1]]) if len(keys) else np.array([], dtype=bool)
