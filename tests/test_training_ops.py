@@ -382,3 +382,51 @@ class TestKmeans:
             )
 
         assert run() == run()
+
+
+class TestCodecProperties:
+    """Hypothesis roundtrips for the pure-numpy codecs."""
+
+    def test_ppm_roundtrip_random(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+        from osm_export_tool_python_ray.functions import codecs
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 40), w=st.integers(1, 40),
+            seed=st.integers(0, 2**31 - 1), gray=st.booleans(),
+        )
+        def check(h, w, seed, gray):
+            rng = np.random.RandomState(seed)
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+
+        check()
+
+    def test_wav_roundtrip_random(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+        from osm_export_tool_python_ray.functions import codecs
+
+        @settings(max_examples=40, deadline=None)
+        @given(n=st.integers(0, 5000), rate=st.sampled_from([8000, 16000, 44100]),
+               seed=st.integers(0, 2**31 - 1))
+        def check(n, rate, seed):
+            x = np.random.RandomState(seed).randint(-32768, 32768, n).astype(np.int16)
+            r, ch, y = codecs.decode_wav(codecs.encode_wav(x, rate))
+            assert r == rate and ch == 1 and (y == x).all()
+
+        check()
+
+    def test_resize_bounds(self):
+        import numpy as np
+        from osm_export_tool_python_ray.functions import codecs
+
+        img = np.random.RandomState(0).randint(0, 256, (33, 17, 3)).astype(np.uint8)
+        out = codecs.resize_box(img, 8, 8)
+        assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+        # constant image stays constant under box averaging
+        const = np.full((20, 20, 3), 77, dtype=np.uint8)
+        assert (codecs.resize_box(const, 5, 5) == 77).all()
