@@ -228,7 +228,12 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         lo_cpus, hi_cpus = 8, 32
-        os.environ.setdefault("BENCH_SCALE_SHARDS", "12288")
+        # default scaling corpus = the LARGER pinned input (24,576 shards,
+        # ~10.5M elements): the fixed per-stage scheduling floor is half
+        # the fraction it is at 12,288, so the measurement reflects the
+        # engine, not the floor (12,288 sessions measured 0.73-0.82;
+        # 24,576 sessions 0.805-0.908 — BASELINE.md)
+        os.environ.setdefault("BENCH_SCALE_SHARDS", "24576")
         # this host's per-run variance is ±20% (hypervisor neighbors /
         # turbo state — measured, BASELINE.md); min-of-N per level is the
         # standard noisy-host estimator of the machine's true capability
