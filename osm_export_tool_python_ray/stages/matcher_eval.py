@@ -41,10 +41,16 @@ def extract_tag_columns(tags, keys):
     import pyarrow.compute as pc
 
     offsets = tags.offsets.to_numpy(zero_copy_only=False)
+    # MapArray.keys/.items are the UNSLICED flattened child arrays while
+    # .offsets are absolute — on a sliced map column the flat positions
+    # must be interpreted against offsets[0]..offsets[-1] (latent round-1
+    # bug: misaligned rows / IndexError on sliced inputs)
     keys_arr = tags.keys
     vals_arr = tags.items
+    base = int(offsets[0])
+    end = int(offsets[-1])
     counts = np.diff(offsets)
-    row_of_item = np.repeat(np.arange(n), counts)
+    row_of_item = np.repeat(np.arange(n), counts)  # for positions base..end
 
     null_rows = None
     if tags.null_count:
@@ -57,6 +63,7 @@ def extract_tag_columns(tags, keys):
         -1,
     ).to_numpy(zero_copy_only=False)
     hit_pos = np.nonzero(kidx >= 0)[0]
+    hit_pos = hit_pos[(hit_pos >= base) & (hit_pos < end)]
     hit_kidx = kidx[hit_pos]
 
     for j, key in enumerate(key_list):
@@ -64,7 +71,7 @@ def extract_tag_columns(tags, keys):
         vals = np.empty(n, dtype=object)
         sel = hit_pos[hit_kidx == j]
         if len(sel):
-            rows = row_of_item[sel]
+            rows = row_of_item[sel - base]
             present[rows] = True
             vals[rows] = vals_arr.take(pa.array(sel)).to_pylist()
         if null_rows is not None:

@@ -346,3 +346,23 @@ class TestClassifyBboxes:
                 assert not kept_exact[i]
             elif cls[i] == 1:
                 assert kept_exact[i]
+
+
+class TestSlicedMapExtraction:
+    def test_extract_on_sliced_map_column(self):
+        """MapArray.keys/.items are unsliced while offsets are absolute —
+        extraction must realign (latent round-1 bug on sliced inputs)."""
+        import pyarrow as pa
+        from osm_export_tool_python_ray.stages.matcher_eval import (
+            extract_tag_columns,
+            tag_count,
+        )
+
+        rows = [[("a", "1")], [("b", "2")], [("a", "3"), ("c", "4")], [("d", "5")]]
+        m = pa.array(rows, type=pa.map_(pa.string(), pa.string()))
+        sl = m.slice(1, 3)
+        out = extract_tag_columns(sl, ["a", "b", "d"])
+        assert out["a"][0].tolist() == [False, True, False] and out["a"][1][1] == "3"
+        assert out["b"][0].tolist() == [True, False, False] and out["b"][1][0] == "2"
+        assert out["d"][0].tolist() == [False, False, True] and out["d"][1][2] == "5"
+        assert tag_count(sl).tolist() == [1, 2, 1]
