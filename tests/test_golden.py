@@ -68,6 +68,19 @@ GOLDEN_INAWARE = {
     ("schools", 3): 1,
     ("waterways", 2): 2,
 }
+GOLDEN_HDX_V2 = {
+    ("Buildings", 3): 5,
+    ("Education Facilities", 1): 7,
+    ("Education Facilities", 3): 1,
+    ("Financial Services", 1): 5,
+    ("Health Facilities", 1): 2,
+    ("Points of Interest", 1): 27,
+    ("Populated Places", 1): 5,
+    ("Roads", 2): 9,
+    ("Roads", 3): 1,
+    ("Waterways", 2): 2,
+    ("Waterways", 3): 3,
+}
 GOLDEN_HDX = {
     ("Buildings", 3): 5,
     ("Points of Interest", 1): 27,
@@ -83,6 +96,7 @@ GOLDEN_HDX = {
     [
         ("InAWARE", GOLDEN_INAWARE, 27624826292857122),
         ("HDX", GOLDEN_HDX, 24532390402869954),
+        ("HDX_v2", GOLDEN_HDX_V2, 32082184547945845),
     ],
 )
 def test_real_mapping_export_golden(ray_session, mapping_name, expected, idsum):
