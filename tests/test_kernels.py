@@ -366,3 +366,38 @@ class TestSlicedMapExtraction:
         assert out["b"][0].tolist() == [True, False, False] and out["b"][1][0] == "2"
         assert out["d"][0].tolist() == [False, False, True] and out["d"][1][2] == "5"
         assert tag_count(sl).tolist() == [1, 2, 1]
+
+
+class TestDegenerateClipping:
+    """Pin the nudge-retry behavior on degenerate inputs (vertex exactly on
+    the clip boundary, shared edges) — the known-gap surface in README."""
+
+    def test_vertex_exactly_on_clip_edge(self):
+        clip = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+        # subject has a vertex ON the clip edge x=10
+        subj = np.array([(5.0, 5.0), (10.0, 5.0), (5.0, 9.0), (5.0, 5.0)])
+        out = ring_intersection(subj, clip)
+        area = sum(abs(signed_area(r)) for r in out)
+        assert area == pytest.approx(abs(signed_area(subj)), rel=1e-6)
+
+    def test_shared_edge_subject_flush_with_clip(self):
+        clip = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+        # subject shares the whole bottom edge segment with the clip boundary
+        subj = np.array([(2.0, 0.0), (8.0, 0.0), (8.0, 3.0), (2.0, 3.0), (2.0, 0.0)])
+        out = ring_intersection(subj, clip)
+        area = sum(abs(signed_area(r)) for r in out)
+        assert area == pytest.approx(18.0, rel=1e-5)
+
+    def test_identical_rings(self):
+        r = np.array([(1.0, 1.0), (4.0, 1.0), (4.0, 4.0), (1.0, 4.0), (1.0, 1.0)])
+        out = ring_intersection(r, r)
+        area = sum(abs(signed_area(x)) for x in out)
+        assert area == pytest.approx(9.0, rel=1e-5)
+
+    def test_corner_touch_only(self):
+        clip = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+        # subject touches the clip at the single corner (10,10)
+        subj = np.array([(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)])
+        out = ring_intersection(subj, clip)
+        area = sum(abs(signed_area(x)) for x in out)
+        assert area == pytest.approx(0.0, abs=1e-6)
