@@ -215,17 +215,18 @@ def theme_counts(themed_ds):
     inside map_batches, tiny final groupby."""
 
     def partial(t: pa.Table) -> pa.Table:
-        import collections
-
-        c = collections.Counter(
-            zip(t.column("theme").to_pylist(), t.column("geom_type").to_pylist())
+        # vectorized partial count: Arrow group_by over the (few) distinct
+        # (theme, geom_type) pairs — no per-row Python in the counting path
+        g = (
+            t.select(["theme", "geom_type"])
+            .group_by(["theme", "geom_type"])
+            .aggregate([([], "count_all")])
         )
-        ks = list(c.keys())
         return pa.table(
             {
-                "theme": pa.array([k[0] for k in ks], type=pa.string()),
-                "geom_type": pa.array([int(k[1]) for k in ks], type=pa.int32()),
-                "n_partial": pa.array([c[k] for k in ks], type=pa.int64()),
+                "theme": g.column("theme").cast(pa.string()),
+                "geom_type": g.column("geom_type").cast(pa.int32()),
+                "n_partial": g.column("count_all").cast(pa.int64()),
             }
         )
 

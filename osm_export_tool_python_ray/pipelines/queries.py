@@ -183,17 +183,20 @@ def q_theme_filter(sf_dir):
 
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        tags = pa.array(
-            [
-                [("lang", l), ("source", s), ("n_chars", str(c))]
-                for l, s, c in zip(
-                    t.column("lang").to_pylist(),
-                    t.column("source").to_pylist(),
-                    t.column("n_chars").to_pylist(),
-                )
-            ],
-            type=pa.map_(pa.string(), pa.string()),
+        # build the tags map vectorized: interleave the three per-row
+        # entries via a take pattern — no per-row Python list building
+        lang = t.column("lang").combine_chunks().cast(pa.string())
+        source = t.column("source").combine_chunks().cast(pa.string())
+        n_chars = t.column("n_chars").combine_chunks().cast(pa.string())
+        idx = np.arange(n, dtype=np.int64)
+        keys = pa.array(["lang", "source", "n_chars"] * n, type=pa.string())
+        vals = (
+            pa.chunked_array([lang, source, n_chars])
+            .combine_chunks()
+            .take(pa.array(np.stack([idx, idx + n, idx + 2 * n], axis=1).ravel()))
         )
+        offsets = pa.array(np.arange(0, 3 * n + 1, 3, dtype=np.int32))
+        tags = pa.MapArray.from_arrays(offsets, keys, vals)
         cols = extract_tag_columns(tags, ["lang", "source", "n_chars"])
         mask = eval_expr(matcher.expr, cols, n)
         return t.filter(pa.array(mask)).select(["doc_id", "lang", "source", "n_chars"])

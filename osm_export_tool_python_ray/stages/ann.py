@@ -15,6 +15,8 @@ hash prefix."""
 import numpy as np
 import pyarrow as pa
 
+from osm_export_tool_python_ray.state.metrics import report_cap
+
 
 def _to_matrix(col, dtype=np.float32):
     if isinstance(col, pa.ChunkedArray):
@@ -140,9 +142,13 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
         starts = np.nonzero(first)[0]
         ends = np.append(starts[1:], len(keys))
         out_a, out_b, out_s = [], [], []
+        skipped = 0
         for s, e in zip(starts, ends):
             nloc = e - s
-            if nloc < 2 or nloc > max_group:
+            if nloc < 2:
+                continue
+            if nloc > max_group:
+                skipped += 1
                 continue
             sub = m[s:e]
             sims = sub @ sub.T
@@ -154,6 +160,7 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
             out_a.append(np.minimum(ga, gb))
             out_b.append(np.maximum(ga, gb))
             out_s.append(sv[keep])
+        report_cap("embedding_hot_bucket_groups_skipped", skipped)
         if not out_a:
             return pa.table(
                 {

@@ -18,6 +18,8 @@ NumPy reduceat/ListArray ops instead of per-entity Python. B is the shuffle
 fan-out knob — raise it with cluster size.
 """
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -249,43 +251,75 @@ class InvalidArea(RuntimeError):
     pass
 
 
-def stitch_rings(segments):
+# Point budget per assembled ring. This is a RUNAWAY GUARD (memory byte
+# budget), not a correctness gate: libosmium assembles coastline/large-admin
+# multipolygons with millions of nodes, and a valid giant ring must NOT be
+# dropped as invalid. Default sized ~100x past the largest real-world OSM
+# relations; override per call or via OSM_RAY_RING_POINT_BUDGET.
+RING_POINT_BUDGET = int(os.environ.get("OSM_RAY_RING_POINT_BUDGET", str(10_000_000)))
+
+
+def stitch_rings(segments, max_ring_points=None):
     """Member way coordinate arrays → list of closed rings with roles.
 
     ``segments``: list of (coords (N,2) ndarray, role str). Endpoint
     matching on exact coordinates (shared nodes serialize identically).
     Raises InvalidArea when any segment cannot be joined into a closed ring
     — failure parity with libosmium's assembler (reference tabular.py:338).
+
+    Matching uses an endpoint hash index (O(segments) total instead of a
+    quadratic pool scan) but preserves the original tie-break exactly:
+    candidates are tried in segment order, start-point match before
+    end-point match for the same segment; each new chain starts from the
+    highest-numbered unused segment.
     """
-    pool = []
+    segs = []
     for coords, role in segments:
         c = np.asarray(coords, dtype=np.float64)
         if len(c) < 2 or np.isnan(c).any():
             raise InvalidArea("degenerate or incomplete member way")
-        pool.append((c, role))
+        # +0.0 normalizes -0.0 so bitwise endpoint keys equal valuewise ones
+        segs.append((c + 0.0, role))
 
+    budget = max_ring_points or RING_POINT_BUDGET
+    n = len(segs)
+    # endpoint -> [(segment, which_end), ...] in (segment, start-first) order
+    index = {}
+    for j, (c, _r) in enumerate(segs):
+        index.setdefault(c[0].tobytes(), []).append((j, 0))
+        index.setdefault(c[-1].tobytes(), []).append((j, 1))
+
+    used = [False] * n
     rings = []
-    while pool:
-        coords, role = pool.pop()
-        chain = coords
-        # already closed?
-        while not (len(chain) >= 4 and np.array_equal(chain[0], chain[-1])):
-            tail = chain[-1]
+    for s in range(n - 1, -1, -1):
+        if used[s]:
+            continue
+        used[s] = True
+        start, role = segs[s]
+        parts = [start]
+        total = len(start)
+        head_key = start[0].tobytes()
+        tail = start[-1]
+        while not (total >= 4 and tail.tobytes() == head_key):
             hit = None
-            for j, (c2, _r2) in enumerate(pool):
-                if np.array_equal(c2[0], tail):
-                    hit = (j, c2[1:])
-                    break
-                if np.array_equal(c2[-1], tail):
-                    hit = (j, c2[::-1][1:])
+            for j, flag in index.get(tail.tobytes(), ()):
+                if not used[j]:
+                    hit = (j, flag)
                     break
             if hit is None:
                 raise InvalidArea("open ring")
-            j, ext = hit
-            pool.pop(j)
-            chain = np.vstack([chain, ext])
-            if len(chain) > 100000:
-                raise InvalidArea("runaway ring")
+            j, flag = hit
+            used[j] = True
+            c2 = segs[j][0]
+            ext = c2[1:] if flag == 0 else c2[::-1][1:]
+            parts.append(ext)
+            total += len(ext)
+            tail = ext[-1]
+            if total > budget:
+                raise InvalidArea(
+                    "runaway ring: %d points exceeds budget %d" % (total, budget)
+                )
+        chain = parts[0] if len(parts) == 1 else np.vstack(parts)
         if abs(signed_area(chain)) <= 0.0:
             raise InvalidArea("zero-area ring")
         rings.append((chain, role))

@@ -16,6 +16,8 @@ Scale notes (10^12-doc design point):
 import numpy as np
 import pyarrow as pa
 
+from osm_export_tool_python_ray.state.metrics import report_cap
+
 from osm_export_tool_python_ray.functions.text import (
     char_shingles,
     fingerprint,
@@ -186,6 +188,7 @@ def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, threshold=0.5, shingle_k=5
         sig = np.asarray(g.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, num_perm)
         idx = np.arange(n)
         lo, hi, pls, _sk = _pairs_from_groups(keys, idx, payload=idx, max_group=max_group)
+        report_cap("minhash_hot_band_groups_skipped", _sk)
         if len(lo) == 0:
             return pa.table({n_: pa.array([], type=t_) for n_, t_ in zip(PAIR_SCHEMA.names, PAIR_SCHEMA.types)})
         ia, ib = pls
@@ -250,6 +253,13 @@ def dedup_clusters(pairs_ds, num_buckets=64, max_rounds=16, driver_limit=2_000_0
     import ray.data
     from ray.data.aggregate import Max, Sum
 
+    # Execute the (expensive) pair lineage exactly ONCE: Ray Datasets
+    # re-execute lineage per consumption, and this function consumes the
+    # pairs twice (count, then iter_batches / seed).  Pair sets are tiny
+    # relative to the corpus by construction (LSH band output), so holding
+    # them in the object store is cheap; without this the full MinHash
+    # signature+shuffle+verify pipeline ran 2-3x per clustering call.
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs <= driver_limit:
         tbl = pa.concat_tables(
@@ -429,6 +439,7 @@ def simhash_pairs(docs_ds, max_hamming=3, num_buckets=64, max_group=512):
         sigs = g.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
         idx = np.arange(len(ids))
         lo, hi, pls, _sk = _pairs_from_groups(keys, idx, payload=idx, max_group=max_group)
+        report_cap("simhash_hot_band_groups_skipped", _sk)
         if len(lo) == 0:
             return pa.table({n_: pa.array([], type=t_) for n_, t_ in zip(PAIR_SCHEMA.names, PAIR_SCHEMA.types)})
         ia, ib = pls
@@ -493,6 +504,7 @@ def ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, num_buckets=64, max_gram_do
         keys = g.column("gram").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         lo, hi, _pl, _sk = _pairs_from_groups(keys, ids, max_group=max_gram_docs)
+        report_cap("ngram_degenerate_grams_skipped", _sk)
         return pa.table(
             {"doc_a": pa.array(lo.astype(np.int64)), "doc_b": pa.array(hi.astype(np.int64))}
         )

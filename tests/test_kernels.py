@@ -401,3 +401,64 @@ class TestDegenerateClipping:
         out = ring_intersection(subj, clip)
         area = sum(abs(signed_area(x)) for x in out)
         assert area == pytest.approx(0.0, abs=1e-6)
+
+
+class TestStitchRings:
+    """Ring stitcher: giant-ring budget (the cap is a byte budget, NOT a
+    correctness gate — coastline-class relations with >100k points are
+    VALID, parity with libosmium's assembler) and tie-break pinning."""
+
+    def _circle_segments(self, n_pts, n_segs, radius=50.0):
+        th = np.linspace(0.0, 2 * np.pi, n_pts, endpoint=False)
+        ring = np.stack([radius * np.cos(th), radius * np.sin(th)], axis=1)
+        ring = np.vstack([ring, ring[:1]])  # closed
+        cuts = np.linspace(0, len(ring) - 1, n_segs + 1).astype(int)
+        return [
+            (ring[cuts[i]: cuts[i + 1] + 1], "outer") for i in range(n_segs)
+        ]
+
+    def test_giant_valid_ring_not_dropped(self):
+        from osm_export_tool_python_ray.stages.assemble import stitch_rings
+
+        segs = self._circle_segments(150_000, 300)
+        rings = stitch_rings(segs)
+        assert len(rings) == 1
+        chain, role = rings[0]
+        assert role == "outer"
+        assert len(chain) >= 150_000
+        assert np.array_equal(chain[0], chain[-1])
+
+    def test_budget_still_guards_runaway(self):
+        from osm_export_tool_python_ray.stages.assemble import InvalidArea, stitch_rings
+
+        segs = self._circle_segments(5_000, 10)
+        with pytest.raises(InvalidArea, match="runaway ring"):
+            stitch_rings(segs, max_ring_points=1_000)
+
+    def test_reversed_segment_and_multi_ring(self):
+        from osm_export_tool_python_ray.stages.assemble import stitch_rings
+
+        a = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+        b = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]])  # reversed join
+        c = np.array(
+            [[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]
+        )  # independent pre-closed ring
+        rings = stitch_rings([(a, "outer"), (b, "outer"), (c, "inner")])
+        assert len(rings) == 2
+        sizes = sorted(len(r) for r, _ in rings)
+        assert sizes == [5, 5]
+
+    def test_open_ring_raises(self):
+        from osm_export_tool_python_ray.stages.assemble import InvalidArea, stitch_rings
+
+        a = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+        with pytest.raises(InvalidArea, match="open ring"):
+            stitch_rings([(a, "outer")])
+
+    def test_negative_zero_endpoints_join(self):
+        from osm_export_tool_python_ray.stages.assemble import stitch_rings
+
+        a = np.array([[-0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+        b = np.array([[1.0, 1.0], [0.0, 1.0], [0.0, -0.0]])
+        rings = stitch_rings([(a, "outer"), (b, "outer")])
+        assert len(rings) == 1
