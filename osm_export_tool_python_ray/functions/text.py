@@ -91,11 +91,142 @@ def lang_id(texts):
 
 
 def char_shingles(text, k=5):
-    """Set of k-char shingle hashes of normalized text (uint64)."""
-    norm = _WS_RE.sub(" ", (text or "").strip().lower())
+    """Set of k-BYTE shingle hashes of normalized UTF-8 text (uint64).
+
+    Hash family (k ≤ 8): the k window bytes packed little-endian into a
+    uint64, XOR the byte-length in the top byte — INJECTIVE (a perfect
+    hash of the window, strictly better than md5 truncation) and exactly
+    reproducible in SQL via hex(encode(...)) byte parsing, which is what
+    makes the DuckDB oracle able to re-derive it. Shingling is over UTF-8
+    BYTES (not code points) so the vectorized batch kernel
+    (``shingle_windows_batch``) and this per-doc reference implementation
+    agree byte-for-byte. Docs shorter than k bytes hash as one window of
+    all their bytes (the length term disambiguates them from true k-byte
+    windows)."""
+    assert k <= 8
+    norm = _WS_RE.sub(" ", (text or "").strip().lower()).encode("utf-8")
+    if not norm:
+        return set()
     if len(norm) < k:
-        return {hash_bytes(norm.encode())} if norm else set()
-    return {hash_bytes(norm[i : i + k].encode()) for i in range(len(norm) - k + 1)}
+        return {_pack_window(norm)}
+    return {_pack_window(norm[i : i + k]) for i in range(len(norm) - k + 1)}
+
+
+def _pack_window(b):
+    """≤8 window bytes → uint64: little-endian pack XOR (len << 56)."""
+    return int.from_bytes(b.ljust(8, b"\0"), "little") ^ (len(b) << 56)
+
+
+def shingle_windows_batch(texts, k=5):
+    """Batch-vectorized byte-shingle hashes for a list of texts.
+
+    Returns ``(x, offsets)``: ``x`` is a uint64 array of window hashes for
+    every doc concatenated (MULTISET — no per-doc dedup, which is free for
+    MinHash since min(multiset) == min(set)), ``offsets`` a (n+1,) int64
+    array delimiting each doc's windows. Zero per-window Python: the
+    normalized corpus bytes become one buffer, windows are gathered with a
+    single fancy-index into an (W, k) matrix, padded to 8 columns and
+    viewed as uint64. Docs with empty normalized text get zero windows."""
+    assert k <= 8
+    n = len(texts)
+    norms = [_WS_RE.sub(" ", (t or "").strip().lower()).encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in norms), dtype=np.int64, count=n)
+    # windows per doc: len-k+1 for len>=k, 1 for 0<len<k, 0 for empty
+    counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.array([], dtype=np.uint64), offsets
+    buf = np.frombuffer(b"".join(norms), dtype=np.uint8)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    # grouped arange: window start positions in the concatenated buffer
+    rep_doc = np.repeat(np.arange(n), counts)
+    within = np.arange(total) - np.repeat(offsets[:-1], counts)
+    starts = doc_starts[rep_doc] + within
+    wlen = np.minimum(lens, k)[rep_doc]  # k, or the whole short doc
+    mat = np.zeros((total, 8), dtype=np.uint8)
+    full = wlen == k  # full k-byte windows never run past their doc
+    if full.all():
+        fs = starts
+        for j in range(k):
+            mat[:, j] = buf[fs + j]
+    else:
+        fi = np.nonzero(full)[0]
+        fs = starts[full]
+        for j in range(k):
+            mat[fi, j] = buf[fs + j]
+        for i in np.nonzero(~full)[0]:  # short docs: rare, tiny
+            w = buf[starts[i] : starts[i] + wlen[i]]
+            mat[i, : len(w)] = w
+    x = mat.view(np.uint64).ravel()
+    with np.errstate(over="ignore"):
+        x = x ^ (wlen.astype(np.uint64) << np.uint64(56))
+    return x, offsets
+
+
+_MIX_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+_S33 = np.uint64(33)
+
+
+def _mix64_inplace(v, tmp):
+    """splitmix64 avalanche computed IN PLACE (v mutated, tmp scratch) —
+    zero fresh allocations so the chunked minhash loop stays cache-hot."""
+    np.right_shift(v, _S33, out=tmp)
+    np.bitwise_xor(v, tmp, out=v)
+    np.multiply(v, _MIX_M1, out=v)
+    np.right_shift(v, _S33, out=tmp)
+    np.bitwise_xor(v, tmp, out=v)
+    np.multiply(v, _MIX_M2, out=v)
+    np.right_shift(v, _S33, out=tmp)
+    np.bitwise_xor(v, tmp, out=v)
+    return v
+
+
+def minhash_signatures_batch(texts, seeds, k=5, chunk_windows=1 << 18):
+    """(n, num_perm) uint64 MinHash signature matrix for a text batch —
+    fully vectorized: one shingle pass (``shingle_windows_batch``), then
+    per permutation one in-place mix64 + segment-min
+    (``np.minimum.reduceat``) per doc. Replaces the per-doc
+    shingle-set + per-shingle-md5 loop (~1 md5 per corpus character).
+
+    Windows are processed in ~``chunk_windows``-sized doc-aligned chunks
+    with two reused scratch buffers, so the 64-permutation loop runs over
+    L2/L3-resident data instead of streaming num_perm × windows × ~11
+    passes through DRAM (measured ~2x on long batches)."""
+    n = len(texts)
+    x, offsets = shingle_windows_batch(texts, k)
+    num_perm = len(seeds)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not len(x):
+        return out
+    counts = np.diff(offsets)
+    v = np.empty(min(len(x), int(chunk_windows) * 2), dtype=np.uint64)
+    tmp = np.empty_like(v)
+    d0 = 0
+    with np.errstate(over="ignore"):
+        while d0 < n:
+            # grow the doc range until ~chunk_windows windows (≥1 doc)
+            d1 = d0 + 1
+            while d1 < n and offsets[d1 + 1] - offsets[d0] <= chunk_windows:
+                d1 += 1
+            w0, w1 = int(offsets[d0]), int(offsets[d1])
+            if w1 > w0:
+                xs = x[w0:w1]
+                m = w1 - w0
+                if m > len(v):
+                    v = np.empty(m, dtype=np.uint64)
+                    tmp = np.empty_like(v)
+                sub = counts[d0:d1]
+                docs = np.nonzero(sub > 0)[0]
+                red_at = (offsets[d0:d1][docs] - w0).astype(np.int64)
+                vv, tt = v[:m], tmp[:m]
+                for p in range(num_perm):
+                    np.bitwise_xor(xs, seeds[p], out=vv)
+                    _mix64_inplace(vv, tt)
+                    out[d0 + docs, p] = np.minimum.reduceat(vv, red_at)
+            d0 = d1
+    return out
 
 
 def word_ngrams(text, n=3):

@@ -265,15 +265,18 @@ def q_ngram_jaccard(sf_dir):
     )
 
 
-def _le64_expr(h):
-    """DuckDB expression: little-endian uint64 from the first 8 bytes of
-    an md5 hex string — byte-exact with functions/text.py hash_bytes.
-    (Multiplication by 2^(8k) constants, not shifts: DuckDB range-checks
-    UBIGINT left-shift in the signed domain.)"""
+def _le64_expr(h, nbytes=8, digits="0123456789abcdef"):
+    """DuckDB expression: little-endian uint64 from the first ``nbytes``
+    bytes of a hex string — byte-exact with functions/text.py hash_bytes
+    (md5 hex, lowercase) and with hex(encode(...)) output (uppercase —
+    pass ``digits`` accordingly). Missing hex pairs read as 0 via strpos
+    returning 0 for '' — callers must rpad when parsing variable-length
+    hex. (Multiplication by 2^(8k) constants, not shifts: DuckDB
+    range-checks UBIGINT left-shift in the signed domain.)"""
     terms = []
-    for k in range(8):
-        hi = "CAST(strpos('0123456789abcdef', substr(%s, %d, 1))-1 AS UBIGINT)" % (h, 2 * k + 1)
-        lo = "CAST(strpos('0123456789abcdef', substr(%s, %d, 1))-1 AS UBIGINT)" % (h, 2 * k + 2)
+    for k in range(nbytes):
+        hi = "CAST(strpos('%s', substr(%s, %d, 1))-1 AS UBIGINT)" % (digits, h, 2 * k + 1)
+        lo = "CAST(strpos('%s', substr(%s, %d, 1))-1 AS UBIGINT)" % (digits, h, 2 * k + 2)
         terms.append("((%s * 16 + %s) * CAST(%d AS UBIGINT))" % (hi, lo, 1 << (8 * k)))
     return "(" + " + ".join(terms) + ")"
 
@@ -435,29 +438,41 @@ def _sql_mix64(v):
 
 def _build_minhash_pair_ctes():
     """CTE chain re-deriving the FULL MinHash-LSH pipeline in DuckDB
-    (oracle for q_minhash_pairs): normalized 5-char shingles → md5-LE64
-    shingle hashes → the exact mix64(x XOR seed) permutation family (the
-    64 seeds inlined from minhash_params(64, 42)) → per-doc signatures →
-    16 4-perm bands with the engine's max_group=256 cap → candidate pairs
-    → matching-permutation-fraction similarity."""
+    (oracle for q_minhash_pairs): normalized UTF-8 text → 5-BYTE shingle
+    windows, each packed little-endian into uint64 XOR (byte_len << 56)
+    — the injective window hash of functions/text.py
+    ``shingle_windows_batch`` / ``char_shingles``, re-derived here by
+    parsing hex(encode(nt)) byte pairs — → the exact mix64(x XOR seed)
+    permutation family (the 64 seeds inlined from minhash_params(64,
+    42)) → per-doc signatures → 16 4-perm bands with the engine's
+    max_group=256 cap → candidate pairs → matching-permutation-fraction
+    similarity."""
     from osm_export_tool_python_ray.functions.text import minhash_params
 
     seeds = minhash_params(64, 42)
     seed_vals = ", ".join(
         "(%d, CAST('%d' AS UBIGINT))" % (i, int(s)) for i, s in enumerate(seeds)
     )
+    hexdig = "0123456789ABCDEF"
+    win_le = _le64_expr("substr(hx, 2*i + 1, 10)", nbytes=5, digits=hexdig)
+    short_le = _le64_expr("rpad(hx, 16, '0')", nbytes=8, digits=hexdig)
     return r"""
 norm AS (
   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
 ),
-sh AS (
-  SELECT DISTINCT doc_id, substr(nt, i, 5) AS s
-  FROM norm, UNNEST(range(1, len(nt) - 3)) r(i)
-  WHERE len(nt) >= 5
-  UNION
-  SELECT DISTINCT doc_id, nt FROM norm WHERE len(nt) BETWEEN 1 AND 4
+nhx AS (
+  SELECT doc_id, hex(encode(nt)) AS hx, octet_length(encode(nt)) AS n FROM norm
 ),
-shh AS (SELECT doc_id, {le} AS hv FROM (SELECT doc_id, md5(s) AS h FROM sh)),
+shh AS (
+  SELECT DISTINCT doc_id,
+         xor({win_le}, CAST('{k_shift}' AS UBIGINT)) AS hv
+  FROM nhx, UNNEST(range(0, n - 4)) r(i)
+  WHERE n >= 5
+  UNION
+  SELECT DISTINCT doc_id,
+         xor({short_le}, CAST(n AS UBIGINT) * CAST('72057594037927936' AS UBIGINT)) AS hv
+  FROM nhx WHERE n BETWEEN 1 AND 4
+),
 seeds(perm, sd) AS (VALUES {seed_vals}),
 sigs AS (
   SELECT doc_id, perm, min({mix}) AS sig FROM shh, seeds GROUP BY doc_id, perm
@@ -479,7 +494,9 @@ mh_cand AS (
   FROM bx a JOIN bx b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
 )
 """.format(
-        le=_le64_expr("h"),
+        win_le=win_le,
+        short_le=short_le,
+        k_shift=5 << 56,
         mix=_sql_mix64("xor(hv, sd)"),
         seed_vals=seed_vals,
     )

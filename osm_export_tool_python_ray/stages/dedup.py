@@ -19,13 +19,12 @@ import pyarrow as pa
 from osm_export_tool_python_ray.state.metrics import report_cap
 
 from osm_export_tool_python_ray.functions.text import (
-    char_shingles,
     fingerprint,
     hash_bytes,
     hash_rows_u64,
     hash_strings_128,
     minhash_params,
-    minhash_signature,
+    minhash_signatures_batch,
     popcount64,
     simhash,
     word_ngrams,
@@ -98,8 +97,7 @@ class _SignatureStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        sigs = [minhash_signature(char_shingles(x, self.k), self.seeds) for x in texts]
-        arr = np.vstack(sigs) if sigs else np.zeros((0, len(self.seeds)), dtype=np.uint64)
+        arr = minhash_signatures_batch(texts, self.seeds, self.k)
         n, p = arr.shape
         offsets = pa.array(np.arange(0, (n + 1) * p, p, dtype=np.int32))
         vals = pa.array(arr.reshape(-1), type=pa.uint64())
