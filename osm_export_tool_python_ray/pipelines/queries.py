@@ -875,10 +875,13 @@ def q_events_sessions(sf_dir):
             }
         )
 
-    return (
-        ds.map_batches(bucketer, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(sessions, batch_format="pyarrow")
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
+        ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        sessions,
+        num_partitions=16,
     )
 
 

@@ -441,19 +441,28 @@ def run_export_streaming(
     s3 = _S3AssembleWays(mapping, aoi_polygons, polygon_centroid)
     s4 = _S4AssembleRelations(mapping, aoi_polygons, polygon_centroid)
 
-    flow = (
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    np_ = num_buckets if num_buckets < 32 else 32
+    s2_in = (
         elements.map_batches(refs_flow, batch_format="pyarrow")
         .union(elements.map_batches(locs_flow, batch_format="pyarrow"))
         .map_batches(b_k, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: _s2_locate(g.drop_columns(["bucket"])), batch_format="pyarrow")
-        .union(elements.map_batches(members_flow, batch_format="pyarrow"))
-        .map_batches(b_k, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: s3(g.drop_columns(["bucket"])), batch_format="pyarrow")
-        .map_batches(b_k, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: s4(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+    s2_out = grouped_map(
+        s2_in, "bucket", lambda g: _s2_locate(g.drop_columns(["bucket"])), num_partitions=np_
+    )
+    s3_in = s2_out.union(elements.map_batches(members_flow, batch_format="pyarrow")).map_batches(
+        b_k, batch_format="pyarrow"
+    )
+    s3_out = grouped_map(
+        s3_in, "bucket", lambda g: s3(g.drop_columns(["bucket"])), num_partitions=np_
+    )
+    flow = grouped_map(
+        s3_out.map_batches(b_k, batch_format="pyarrow"),
+        "bucket",
+        lambda g: s4(g.drop_columns(["bucket"])),
+        num_partitions=np_,
     )
 
     feature_names = [name for name, _t in FEATURE_FIELDS]

@@ -86,16 +86,19 @@ def ann_topk(embeddings_ds, query_matrix, query_ids, k=10):
         return out.append_column("rank", pa.array(rank[keep].astype(np.int32)))
 
     # final merge: the candidate set is ≤ Q·k·num_blocks rows — tiny
-    return (
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
         partials.map_batches(
             lambda t: t.append_column(
                 "bucket",
                 pa.array((t.column("query_id").to_numpy(zero_copy_only=False) % 16).astype(np.int32)),
             ),
             batch_format="pyarrow",
-        )
-        .groupby("bucket")
-        .map_groups(lambda g: final(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        ),
+        "bucket",
+        lambda g: final(g.drop_columns(["bucket"])),
+        num_partitions=16,
     )
 
 
@@ -183,11 +186,14 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
 
     from osm_export_tool_python_ray.stages.dedup import dedup_pairs
 
-    pairs = (
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    pairs = grouped_map(
         embeddings_ds.map_batches(bucket_rows, batch_format="pyarrow")
-        .map_batches(bucketer, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: group_pairs(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
     return dedup_pairs(pairs, num_buckets=num_buckets)
 
@@ -353,13 +359,16 @@ def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, npr
         keep = rank < k
         return g.filter(pa.array(keep)).append_column("rank", pa.array(rank[keep].astype(np.int32)))
 
-    return (
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
         partials.map_batches(
             lambda t: t.append_column(
                 "bucket", pa.array((t.column("query_id").to_numpy(zero_copy_only=False) % 16).astype(np.int32))
             ),
             batch_format="pyarrow",
-        )
-        .groupby("bucket")
-        .map_groups(lambda g: final(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        ),
+        "bucket",
+        lambda g: final(g.drop_columns(["bucket"])),
+        num_partitions=16,
     )

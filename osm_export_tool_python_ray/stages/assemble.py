@@ -188,13 +188,13 @@ def assemble_ways(ways_ds, nodes_ds, num_partitions=16, num_buckets=256, carry_p
             [("node_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
         ),
     )
-    return (
-        joined.map_batches(make_bucketer("way_id", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: assemble_ways_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow",
-        )
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
+        joined.map_batches(make_bucketer("way_id", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: assemble_ways_bucket(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
 
 
@@ -663,11 +663,11 @@ def assemble_relations(rels_ds, way_geoms_ds, num_partitions=16, num_buckets=64)
             [("way_id", pa.int64()), ("lons", pa.list_(pa.float64())), ("lats", pa.list_(pa.float64())), ("complete", pa.bool_())]
         ),
     )
-    return (
-        joined.map_batches(make_bucketer("relation_id", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda grp: assemble_relations_bucket(grp.drop_columns(["bucket"])),
-            batch_format="pyarrow",
-        )
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
+        joined.map_batches(make_bucketer("relation_id", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda grp: assemble_relations_bucket(grp.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from osm_export_tool_python_ray.state.metrics import report_cap
+from osm_export_tool_python_ray.stages.exchange import grouped_map
 
 from osm_export_tool_python_ray.functions.text import (
     fingerprint,
@@ -79,11 +80,12 @@ def exact_dedup(docs_ds, num_buckets=64):
             {"doc_id": pa.array(ids), "n_dups": pa.array(counts.astype(np.int64))}
         )
 
-    return (
+    return grouped_map(
         docs_ds.map_batches(add_hash, batch_format="pyarrow")
-        .map_batches(_bucket_on("h1", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: first_per_hash(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_batches(_bucket_on("h1", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: first_per_hash(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
 
 
@@ -202,11 +204,12 @@ def minhash_lsh_pairs(docs_ds, num_perm=64, bands=16, threshold=0.5, shingle_k=5
             }
         )
 
-    candidates = (
+    candidates = grouped_map(
         docs_ds.map_batches(band_rows, batch_format="pyarrow")
-        .map_batches(_bucket_on("band_key", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_batches(_bucket_on("band_key", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: group_pairs(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
     return dedup_pairs(candidates, num_buckets=num_buckets)
 
@@ -228,11 +231,12 @@ def dedup_pairs(pairs_ds, num_buckets=64):
         keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) if len(a) else np.array([], dtype=bool)
         return g.filter(pa.array(keep)).drop_columns(["bucket", "pkey"])
 
-    return (
+    return grouped_map(
         pairs_ds.map_batches(add_key, batch_format="pyarrow")
-        .map_batches(_bucket_on("pkey", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(first, batch_format="pyarrow")
+        .map_batches(_bucket_on("pkey", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        first,
+        num_partitions=min(num_buckets, 32),
     )
 
 
@@ -366,12 +370,13 @@ def dedup_clusters(pairs_ds, num_buckets=64, max_rounds=16, driver_limit=2_000_0
             v = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
             return t.append_column("bucket", pa.array((v % np.uint64(num_buckets)).astype(np.int32)))
 
-        merged = (
+        merged = grouped_map(
             with_lbl.map_batches(proposals, batch_format="pyarrow")
             .union(labels.map_batches(own_rows, batch_format="pyarrow"))
-            .map_batches(bucketer, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(lambda g: reduce_min(g.drop_columns(["bucket"])), batch_format="pyarrow")
+            .map_batches(bucketer, batch_format="pyarrow"),
+            "bucket",
+            lambda g: reduce_min(g.drop_columns(["bucket"])),
+            num_partitions=min(num_buckets, 32),
         ).materialize()
 
         n_changed = merged.sum("changed")
@@ -400,8 +405,11 @@ def _dedup_label_rows(labels_ds, num_buckets):
         keep = np.concatenate([[True], n[1:] != n[:-1]]) if len(n) else np.array([], dtype=bool)
         return g.filter(pa.array(keep)).drop_columns(["bucket"])
 
-    return labels_ds.map_batches(bucketer, batch_format="pyarrow").groupby("bucket").map_groups(
-        first, batch_format="pyarrow"
+    return grouped_map(
+        labels_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        first,
+        num_partitions=min(num_buckets, 32),
     )
 
 
@@ -454,11 +462,12 @@ def simhash_pairs(docs_ds, max_hamming=3, num_buckets=64, max_group=512):
             }
         )
 
-    candidates = (
+    candidates = grouped_map(
         docs_ds.map_batches(band_rows, batch_format="pyarrow")
-        .map_batches(_bucket_on("band_key", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_batches(_bucket_on("band_key", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: group_pairs(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
     return dedup_pairs(candidates, num_buckets=num_buckets)
 
@@ -524,10 +533,11 @@ def ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, num_buckets=64, max_gram_do
         )
 
     grams = docs_ds.map_batches(gram_rows, batch_format="pyarrow")
-    pair_rows = (
-        grams.map_batches(_bucket_on("gram", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g: gram_group_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    pair_rows = grouped_map(
+        grams.map_batches(_bucket_on("gram", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: gram_group_pairs(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
 
     def add_pkey(t: pa.Table) -> pa.Table:
@@ -537,13 +547,12 @@ def ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, num_buckets=64, max_gram_do
             key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
         return t.append_column("pkey", pa.array(key, type=pa.uint64()))
 
-    counted = (
+    counted = grouped_map(
         pair_rows.map_batches(add_pkey, batch_format="pyarrow")
-        .map_batches(_bucket_on("pkey", num_buckets), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: count_pairs(g.drop_columns(["bucket", "pkey"])), batch_format="pyarrow"
-        )
+        .map_batches(_bucket_on("pkey", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: count_pairs(g.drop_columns(["bucket", "pkey"])),
+        num_partitions=min(num_buckets, 32),
     )
 
     sizes = docs_ds.map_batches(size_rows, batch_format="pyarrow")

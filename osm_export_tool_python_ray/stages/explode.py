@@ -273,12 +273,13 @@ def dedup_elements_light(ds, num_buckets=64, loser_limit=20_000_000):
             }
         )
 
-    loser_ds = (
-        ds.map_batches(key_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: losers_per_key(g.drop_columns(["bucket"])), batch_format="pyarrow"
-        )
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    loser_ds = grouped_map(
+        ds.map_batches(key_rows, batch_format="pyarrow"),
+        "bucket",
+        lambda g: losers_per_key(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
     parts = []
     n_losers = 0
@@ -364,6 +365,11 @@ def dedup_elements(ds, num_buckets=64):
         keep[1:] = ek[1:] != ek[:-1]
         return g.filter(pa.array(keep)).drop_columns(["bucket"])
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
-        first_per_key, batch_format="pyarrow"
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "bucket",
+        first_per_key,
+        num_partitions=min(num_buckets, 32),
     )

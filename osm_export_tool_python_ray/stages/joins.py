@@ -105,8 +105,13 @@ def bucket_join(left_ds, right_ds, key, num_buckets=64, how="inner", left_schema
             cols[name] = arr
         return pa.table(cols)
 
-    return unioned.groupby("__bucket").map_groups(
-        lambda g: merge(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    return grouped_map(
+        unioned,
+        "__bucket",
+        lambda g: merge(g.drop_columns(["__bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
 
 

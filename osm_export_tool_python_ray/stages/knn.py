@@ -182,14 +182,13 @@ def knn_nearest_features(features_ds, queries_ds, k=5, res=DEFAULT_RES, ring=1, 
             "bucket", pa.array((c % np.uint64(num_buckets)).astype(np.int32))
         )
 
-    per_cell = (
-        q.union(f)
-        .map_batches(bucketer_cell, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda g, k=k: _topk_group(g.drop_columns(["bucket"]), k),
-            batch_format="pyarrow",
-        )
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    per_cell = grouped_map(
+        q.union(f).map_batches(bucketer_cell, batch_format="pyarrow"),
+        "bucket",
+        lambda g, k=k: _topk_group(g.drop_columns(["bucket"]), k),
+        num_partitions=min(num_buckets, 32),
     )
 
     def bucketer_q(t: pa.Table) -> pa.Table:
@@ -224,10 +223,9 @@ def knn_nearest_features(features_ds, queries_ds, k=5, res=DEFAULT_RES, ring=1, 
             }
         )
 
-    return (
-        per_cell.map_batches(bucketer_q, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: final_merge(g.drop_columns(["bucket"])), batch_format="pyarrow"
-        )
+    return grouped_map(
+        per_cell.map_batches(bucketer_q, batch_format="pyarrow"),
+        "bucket",
+        lambda g: final_merge(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
     )
