@@ -19,16 +19,30 @@ implementations, selectable per call site (``strategy=``) or globally
   aggregator-actor concat), applied per PARTITION with no sorting
   anywhere.
 
-Measured A/B on the 24,576-shard corpus at 32 cpus (round 3): the hash
-exchange is ~2x FASTER for light-payload exchanges (tile assignment:
-6-7s vs 10-13s — rows are a key plus a couple of ids) and ~2x SLOWER
-for the export's heavy nested-payload exchanges (export 87-126s vs
-49-65s — map<>/list<> columns make the per-shard actor-call
-serialization and the 8-actor serial concat the bottleneck, and actor
-pool startup adds ~2s per exchange that small pipelines never
-amortize). Hence: default ``sort``, ``strategy="hash"`` at the
+* ``task``: a from-scratch two-stage shuffle on raw Ray tasks (map:
+  argsort+take split per block, num_returns=P; reduce: concat + kernel
+  as plain tasks) — no actors, no exchange sort, construction eager.
+
+Measured A/B on the 24,576-shard corpus at 32 cpus (round 3):
+
+* hash is ~2x FASTER for light-payload exchanges (tile assignment:
+  6-7s vs 10-13s — rows are a key plus a couple of ids) and ~2x SLOWER
+  for the export's heavy nested-payload exchanges (export 87-126s vs
+  49-65s — map<>/list<> columns make the per-shard actor-call
+  serialization and the 8-actor serial concat the bottleneck, and
+  actor pool startup adds ~2s per exchange that small pipelines never
+  amortize).
+* task also LOSES to sort on the heavy dedup exchange (14.7-20.1s vs
+  13.3-16.0s for the full parse+dedup at 24,576/32, identical output).
+
+The instructive negative result: round-1 profiling attributed ~60% of
+export wall to "the sorts", but replacing the sort with two sort-free
+exchanges did NOT recover that time — the cost is the GATHER + data
+movement of nested payloads, which every exchange pays; Ray's sort
+exchange gathers once and then hands out zero-copy contiguous ranges,
+and pipelines best. Hence: default ``sort``, ``strategy="hash"`` at
 light-payload call sites (tiling), and the whole suite passes under
-either strategy (set ``OSM_RAY_EXCHANGE=hash`` to run everything on
+any strategy (set ``OSM_RAY_EXCHANGE=hash`` to run everything on
 hash).
 
 Scale/deadlock notes (the reason this is centralized here):
@@ -119,6 +133,8 @@ def grouped_map(ds, key, fn, *, num_partitions, batch_format="pyarrow", strategy
     a schema-less block), and (b) skip zero-row/zero-column batches in
     the wrapper; ``fn`` never sees them."""
     strategy = strategy or _STRATEGY
+    if strategy == "task":
+        return _task_exchange(ds, key, fn, num_partitions)
     if strategy != "hash":
         return ds.groupby(key, num_partitions=num_partitions).map_groups(
             fn, batch_format=batch_format, **kwargs
@@ -135,3 +151,72 @@ def grouped_map(ds, key, fn, *, num_partitions, batch_format="pyarrow", strategy
     return shuffled.map_batches(
         apply_partition, batch_size=None, batch_format=batch_format, **kwargs
     )
+
+
+def _task_exchange(ds, key, fn, num_partitions):
+    """Raw-task map/reduce hash exchange (strategy="task"): classic
+    two-stage shuffle with PLAIN TASKS on both sides — no aggregator
+    actors, no exchange-level sort, reduce parallelism = num_partitions
+    regular tasks schedulable on every core.
+
+    Map: one task per upstream block; splits the block by key%P with one
+    argsort + P zero-copy takes; returns P shard tables (num_returns=P so
+    each shard is an independent object the reduce side fetches directly).
+    Reduce: one task per partition; concats its shards and applies ``fn``.
+
+    The upstream is consumed via ``iter_internal_ref_bundles`` — map tasks
+    launch as blocks stream out of the upstream executor, so upstream
+    compute and the map side overlap; the reduce wave launches when the
+    upstream is exhausted (an exchange is inherently a barrier). The
+    result is re-wrapped with ``from_arrow_refs`` so downstream stages
+    keep streaming. NOTE: construction is eager (the upstream executes
+    when grouped_map is called, not at first downstream consumption)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=num_partitions)
+    def _split(block):
+        if block.num_columns == 0 or block.num_rows == 0:
+            return tuple([None] * num_partitions) if num_partitions > 1 else None
+        v = block.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (v % num_partitions).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sorted_parts = part[order]
+        bounds = np.searchsorted(sorted_parts, np.arange(num_partitions + 1))
+        out = []
+        for p in range(num_partitions):
+            sel = order[bounds[p] : bounds[p + 1]]
+            out.append(block.take(pa.array(sel)) if len(sel) else None)
+        return tuple(out) if num_partitions > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def _reduce(*shards):
+        tables = [s for s in shards if s is not None]
+        if not tables:
+            return None, 0
+        t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        out = fn(t)
+        return out, out.num_rows
+
+    shard_refs = [[] for _ in range(num_partitions)]
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = _split.remote(block_ref)
+            if num_partitions == 1:
+                refs = [refs]
+            for p, r in enumerate(refs):
+                shard_refs[p].append(r)
+
+    results, counts = [], []
+    for p in range(num_partitions):
+        out_ref, n_ref = _reduce.remote(*shard_refs[p])
+        results.append(out_ref)
+        counts.append(n_ref)
+    nrows = ray.get(counts)
+    live = [r for r, n in zip(results, nrows) if n]
+    if not live:
+        # empty exchange: preserve emptiness without a schema guess
+        return ray.data.from_items([]).map_batches(lambda b: b)
+    return ray.data.from_arrow_refs(live)

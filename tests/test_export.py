@@ -398,3 +398,34 @@ class TestBroadcastAssembly:
         assert norm(a) == norm(b)
         # the corpus plants one incomplete way per shard
         assert any(not r["complete"] for r in a)
+
+
+class TestExchangeStrategies:
+    """The three exchange implementations (sort / hash / task) must be
+    result-identical — same deduped elements, same export features."""
+
+    def test_dedup_equivalence_across_strategies(self, ray_session):
+        import ray.data
+
+        import osm_export_tool_python_ray.stages.exchange as EX
+        from osm_export_tool_python_ray.pipelines.export import parse_elements
+        from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
+
+        docs = ray.data.from_arrow(generate_corpus_table(n_shards=6, density=2.0))
+        prev = EX._STRATEGY
+        outs = {}
+        try:
+            for mode in ("sort", "hash", "task"):
+                EX._STRATEGY = mode
+                t = (
+                    parse_elements(docs, num_buckets=8)
+                    .to_pandas()
+                    .sort_values(["ekey", "doc_id", "offset"])
+                    .reset_index(drop=True)
+                )
+                outs[mode] = t[["ekey", "kind", "element_id", "doc_id", "offset"]]
+        finally:
+            EX._STRATEGY = prev
+        assert len(outs["sort"]) > 0
+        assert outs["sort"].equals(outs["hash"])
+        assert outs["sort"].equals(outs["task"])
