@@ -656,18 +656,123 @@ def q_embedding_near_dup(sf_dir):
 
 
 def q_embedding_kmeans(sf_dir):
-    """Distributed Lloyd's k-means cluster assignments (rows-only;
-    inertia-decrease + determinism asserted in pytest)."""
+    """Nearest-centroid assignment with the SQL-re-derivable strided
+    sample init and ZERO Lloyd iterations — the oracle derives identical
+    centroids from the table (rank + position formula) so assignments are
+    value-exact. The Lloyd refinement loop itself is iterative (not SQL-
+    expressible) and is pinned by pytest instead (planted-blob recovery,
+    inertia decrease, two-parallelism determinism)."""
     from osm_export_tool_python_ray.stages.ann import embedding_kmeans
 
-    return embedding_kmeans(_read(sf_dir, "embeddings"), k=8, iters=8).sort("vec_id")
+    return embedding_kmeans(
+        _read(sf_dir, "embeddings"), k=8, iters=0, init="strided"
+    ).sort("vec_id")
+
+
+SQL_EMBEDDING_KMEANS = """
+WITH samp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM embeddings ORDER BY vec_id LIMIT 2048
+),
+cnt AS (SELECT count(*) AS n FROM samp),
+cents AS (
+  SELECT i.i AS cidx, s.v AS cv
+  FROM range(8) i(i), cnt, samp s
+  WHERE s.rn = least((i.i * cnt.n) // 8, cnt.n - 1)
+),
+d AS (
+  SELECT e.vec_id, c.cidx,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC, c.cidx ASC
+         ) AS r
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, CAST(cidx AS INTEGER) AS cluster FROM d WHERE r = 1 ORDER BY vec_id
+"""
 
 
 def q_ivf_topk(sf_dir):
+    """IVF probe + assignment pipeline with the SQL-re-derivable strided
+    centroids and no refinement (float64) — the full inverted-file path
+    (assign vectors to nearest centroid, probe nprobe centroids per
+    query, per-query top-k over candidates) is value-exact against the
+    oracle. The seeded/Lloyd-refined init stays available
+    (ivf_topk(init="seeded")) with pytest recall coverage."""
     from osm_export_tool_python_ray.stages.ann import ivf_topk
 
     qm, qids = _query_vectors(sf_dir, 4)
-    return ivf_topk(_read(sf_dir, "embeddings"), qm, qids, k=5)
+    out = ivf_topk(
+        _read(sf_dir, "embeddings"), qm, qids, k=5, init="strided", refine_iters=0
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("cos_sim"), "cos_sim", pc.round(t.column("cos_sim"), 5)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_IVF_TOPK = """
+WITH samp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM embeddings ORDER BY vec_id LIMIT 2048
+),
+cnt AS (SELECT count(*) AS n FROM samp),
+cents AS (
+  SELECT i.i AS cidx,
+         list_transform(s.v, x -> x / greatest(sqrt(list_dot_product(s.v, s.v)), 1e-12)) AS cn
+  FROM range(64) i(i), cnt, samp s
+  WHERE s.rn = least((i.i * cnt.n) // 64, cnt.n - 1)
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 1e-12)) AS nv
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, cidx FROM (
+    SELECT e.vec_id, c.cidx,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.nv, c.cn) DESC, c.cidx ASC
+           ) AS r
+    FROM nv e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probe AS (
+  SELECT query_id, cidx FROM (
+    SELECT q.vec_id AS query_id, c.cidx,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.nv, c.cn) DESC, c.cidx ASC
+           ) AS r
+    FROM nv q CROSS JOIN cents c
+    WHERE q.vec_id IN (0,1,2,3)
+  ) WHERE r <= 8
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cidx = p.cidx
+),
+ranked AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(q.nv, e.nv), 5) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_dot_product(q.nv, e.nv) DESC, c.vec_id ASC
+         ) - 1 AS rank
+  FROM cand c
+  JOIN nv e ON e.vec_id = c.vec_id
+  JOIN nv q ON q.vec_id = c.query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank < 5
+"""
 
 
 # ------------------------------------------------------------- relational
@@ -1253,6 +1358,8 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "q1_lineitem": SQL_Q1_LINEITEM,
     "top_orders": SQL_TOP_ORDERS,
     "customer_orders_join": SQL_CUSTOMER_ORDERS_JOIN,

@@ -198,7 +198,25 @@ def embedding_near_dup(embeddings_ds, threshold=0.95, num_planes=12, seed=42, nu
     return dedup_pairs(pairs, num_buckets=num_buckets)
 
 
-def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048):
+def strided_sample_centroids(embeddings_ds, k, sample_size=2048, normalize=False):
+    """Deterministic, SQL-re-derivable centroid init: take the vec_id-ordered
+    first ``sample_size`` vectors and pick positions floor(i*n/k), i<k.
+    No randomness, no iteration — a DuckDB oracle derives the IDENTICAL
+    centroids from the same table (rank + join on the position formula),
+    which is what makes the ivf/kmeans driver-contract queries
+    value-exact against SQL (VERDICT r2 item 6). Duplicate positions when
+    n < k are kept (both sides agree)."""
+    sample = embeddings_ds.sort("vec_id").limit(sample_size).to_pandas()
+    sm = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+    n = len(sm)
+    if n == 0:
+        raise ValueError("empty embedding table")
+    pos = np.minimum((np.arange(k, dtype=np.int64) * n) // k, n - 1)
+    cents = sm[pos]
+    return _normalize(cents) if normalize else cents
+
+
+def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048, init="fps"):
     """Distributed Lloyd's k-means over the embedding column.
 
     Per iteration: centroids broadcast via ``ray.put``; each batch computes
@@ -210,18 +228,24 @@ def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048):
     → (vec_id, cluster:int32) assignment Dataset."""
     import ray
 
-    sample = embeddings_ds.limit(sample_size).to_pandas()
-    sm = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
-    # deterministic farthest-point init (k-means++ greedy variant): robust
-    # against the collapsed-centroid failure of plain random init
-    kk = min(k, len(sm))
-    cents = [sm[0]]
-    d2 = ((sm - cents[0]) ** 2).sum(axis=1)
-    for _ in range(kk - 1):
-        nxt = int(d2.argmax())
-        cents.append(sm[nxt])
-        d2 = np.minimum(d2, ((sm - sm[nxt]) ** 2).sum(axis=1))
-    cents = np.vstack(cents)
+    if init == "strided":
+        # SQL-re-derivable init (see strided_sample_centroids); with
+        # iters=0 the whole operator is oracle-exact nearest-centroid
+        # assignment — the Lloyd loop below stays pytest-covered
+        cents = strided_sample_centroids(embeddings_ds, k, sample_size)
+    else:
+        sample = embeddings_ds.limit(sample_size).to_pandas()
+        sm = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+        # deterministic farthest-point init (k-means++ greedy variant): robust
+        # against the collapsed-centroid failure of plain random init
+        kk = min(k, len(sm))
+        cents = [sm[0]]
+        d2 = ((sm - cents[0]) ** 2).sum(axis=1)
+        for _ in range(kk - 1):
+            nxt = int(d2.argmax())
+            cents.append(sm[nxt])
+            d2 = np.minimum(d2, ((sm - sm[nxt]) ** 2).sum(axis=1))
+        cents = np.vstack(cents)
 
     for _ in range(iters):
         cref = ray.put(cents)
@@ -285,30 +309,39 @@ def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048):
     return embeddings_ds.map_batches(assign_fn, batch_format="pyarrow")
 
 
-def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, nprobe=8, seed=42, sample_size=2048):
+def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, nprobe=8, seed=42, sample_size=2048, init="seeded", refine_iters=5):
     """IVF-style ANN: k-means-ish centroids from a deterministic sample,
     vectors assigned to nearest centroid (one groupby key), queries probe
     the ``nprobe`` nearest centroids only. The scale path when the corpus
     is too large for full brute force; recall < 1 by design."""
     import ray
 
-    sample = embeddings_ds.limit(sample_size).to_pandas()
-    sm = _normalize(np.vstack(sample["embedding"].to_numpy()).astype(np.float32))
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(sm), size=min(num_centroids, len(sm)), replace=False)
-    cents = sm[idx]
-    for _ in range(5):  # few Lloyd iterations on the sample
-        assign = (sm @ cents.T).argmax(axis=1)
-        for c in range(len(cents)):
-            members = sm[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-        cents = _normalize(cents)
+    dtype = np.float64 if init == "strided" else np.float32
+    if init == "strided":
+        # SQL-re-derivable centroids, no refinement: the oracle-exact
+        # variant used by the driver contract (float64 so sims agree with
+        # DuckDB's double arithmetic; probe/assignment pipeline identical)
+        cents = strided_sample_centroids(
+            embeddings_ds, num_centroids, sample_size, normalize=True
+        ).astype(dtype)
+    else:
+        sample = embeddings_ds.limit(sample_size).to_pandas()
+        sm = _normalize(np.vstack(sample["embedding"].to_numpy()).astype(np.float32))
+        rng = np.random.RandomState(seed)
+        idx = rng.choice(len(sm), size=min(num_centroids, len(sm)), replace=False)
+        cents = sm[idx]
+        for _ in range(refine_iters):  # few Lloyd iterations on the sample
+            assign = (sm @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = sm[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+            cents = _normalize(cents)
     cref = ray.put(cents)
 
-    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    qm = _normalize(np.asarray(query_matrix, dtype=dtype))
     qids = np.asarray(query_ids, dtype=np.int64)
-    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe); stable → ties by centroid index
     probe_ref = ray.put(probe)
     qref = ray.put(qm)
 
@@ -316,7 +349,7 @@ def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, npr
         c = ray.get(cref)
         q = ray.get(qref)
         pr = ray.get(probe_ref)
-        m = _normalize(_to_matrix(t.column("embedding")))
+        m = _normalize(_to_matrix(t.column("embedding"), dtype))
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table(
@@ -332,7 +365,10 @@ def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, npr
             sv = sims[qi][cand]
             vids = ids[cand]
             kk = min(k, len(sv))
-            part = np.argpartition(-sv, kk - 1)[:kk]
+            # deterministic tie-break (lowest vec_id at equal sim) so the
+            # partial top-k is reproducible under any partitioning — and
+            # matches the oracle's ORDER BY sim DESC, vec_id ASC
+            part = np.lexsort((vids, -sv))[:kk]
             out_q.append(np.full(kk, qids[qi]))
             out_v.append(vids[part])
             out_s.append(sv[part])
