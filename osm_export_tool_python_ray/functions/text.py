@@ -378,5 +378,37 @@ def simhash(token_hashes, weights=None):
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash_batch(texts):
+    """64-bit SimHash per text over DISTINCT lowered whitespace tokens —
+    batch form of ``simhash(word_ngrams(x, 1))`` with the IDENTICAL hash
+    family (md5-LE64 per token, so the SQL oracle is unchanged). The
+    per-doc work is one C-regex token pass + a memoized md5 per distinct
+    token; the bit-vote accumulation is one unpackbits + segment reduceat
+    over the whole batch instead of a (tokens, 64) matrix per doc."""
+    n = len(texts)
+    counts = np.empty(n, dtype=np.int64)
+    per_doc = []
+    cache = {}
+    for i, t in enumerate(texts):
+        hs = {
+            cache.get(w) or cache.setdefault(w, hash_bytes(w.encode("utf-8")))
+            for w in (w.lower() for w in _TOKEN_RE.findall(t or ""))
+        }
+        counts[i] = len(hs)
+        per_doc.append(hs)
+    total = int(counts.sum())
+    sigs = np.zeros(n, dtype=np.uint64)
+    if not total:
+        return sigs
+    flat = np.fromiter((h for hs in per_doc for h in hs), dtype=np.uint64, count=total)
+    bits = np.unpackbits(flat.view(np.uint8).reshape(total, 8), axis=1, bitorder="little")
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    nonempty = np.nonzero(counts > 0)[0]
+    ssum = np.add.reduceat(bits.astype(np.int64), offsets[:-1][nonempty], axis=0)
+    votes = 2 * ssum - counts[nonempty, None]
+    sigs[nonempty] = ((votes > 0).astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]).sum(axis=1)
+    return sigs
+
+
 def hamming64(a, b):
     return bin(int(a) ^ int(b)).count("1")

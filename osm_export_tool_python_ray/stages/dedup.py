@@ -27,7 +27,7 @@ from osm_export_tool_python_ray.functions.text import (
     minhash_params,
     minhash_signatures_batch,
     popcount64,
-    simhash,
+    simhash_batch,
     word_ngrams,
 )
 
@@ -421,9 +421,7 @@ def simhash_pairs(docs_ds, max_hamming=3, num_buckets=64, max_group=512):
     def band_rows(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        sigs = np.array(
-            [simhash(list(word_ngrams(x, 1))) for x in texts], dtype=np.uint64
-        )
+        sigs = simhash_batch(texts)
         n = len(ids)
         keys, rid, rsig = [], [], []
         for b in range(4):
