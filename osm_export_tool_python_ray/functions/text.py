@@ -378,6 +378,56 @@ def simhash(token_hashes, weights=None):
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def word_ngram_hashes_batch(texts, n=3):
+    """Per-doc DISTINCT word-n-gram keys, batch-vectorized.
+
+    Gram key = order-sensitive mix64 fold of the per-token
+    ``hash_strings_128`` h1 values over each n-token window (docs with
+    fewer than n tokens fold all their tokens — mirroring
+    ``word_ngrams``'s whole-doc gram). The key family differs from
+    ``word_ngrams`` (md5 of the joined gram STRING) but is equally
+    collision-resistant; the n-gram Jaccard oracle joins gram STRINGS,
+    so any behavioral divergence would surface there. Returns
+    ``(flat_keys, offsets)`` — keys deduplicated within each doc.
+
+    Vectorization: one C-regex token pass per doc, ONE vectorized hash
+    over the whole batch's token stream, a shifted-array fold for the
+    windows, and a single lexsort for the per-doc dedup — no per-gram
+    Python and no per-gram md5."""
+    import pyarrow as pa
+
+    toks_per_doc = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    ntoks = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts))
+    flat_tokens = [w for ts in toks_per_doc for w in ts]
+    if not flat_tokens:
+        return np.array([], dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+    h1, _h2 = hash_strings_128(pa.array(flat_tokens, type=pa.string()))
+    tok_off = np.concatenate([[0], np.cumsum(ntoks)])
+    # windows per doc: T-n+1 if T>=n else (1 if T>0 else 0)
+    counts = np.where(ntoks >= n, ntoks - n + 1, (ntoks > 0).astype(np.int64))
+    g_off = np.concatenate([[0], np.cumsum(counts)])
+    total = int(g_off[-1])
+    doc_of = np.repeat(np.arange(len(texts)), counts)
+    within = np.arange(total) - np.repeat(g_off[:-1], counts)
+    starts = tok_off[:-1][doc_of] + within
+    wlen = np.minimum(ntoks, n)[doc_of]
+    with np.errstate(over="ignore"):
+        acc = _mix64(np.full(total, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64))
+        for j in range(n):
+            live = j < wlen
+            nxt = _mix64(acc * _POLY_P1 ^ h1[np.minimum(starts + j, len(h1) - 1)])
+            acc = np.where(live, nxt, acc)
+    # per-doc dedup: sort (doc, key), keep first occurrences
+    order = np.lexsort((acc, doc_of))
+    d_s, k_s = doc_of[order], acc[order]
+    first = np.ones(total, dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+    d_u, k_u = d_s[first], k_s[first]
+    u_counts = np.bincount(d_u, minlength=len(texts)).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(u_counts)])
+    return k_u, offsets
+
+
 def simhash_batch(texts):
     """64-bit SimHash per text over DISTINCT lowered whitespace tokens —
     batch form of ``simhash(word_ngrams(x, 1))`` with the IDENTICAL hash

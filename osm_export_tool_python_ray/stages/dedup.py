@@ -28,6 +28,7 @@ from osm_export_tool_python_ray.functions.text import (
     minhash_signatures_batch,
     popcount64,
     simhash_batch,
+    word_ngram_hashes_batch,
     word_ngrams,
 )
 
@@ -481,27 +482,22 @@ def ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, num_buckets=64, max_gram_do
     def gram_rows(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        gs, ds_, sizes = [], [], np.empty(len(ids), dtype=np.int64)
-        for i, x in enumerate(texts):
-            grams = word_ngrams(x, n)
-            sizes[i] = len(grams)
-            gs.extend(grams)
-            ds_.extend([ids[i]] * len(grams))
+        keys, offsets = word_ngram_hashes_batch(texts, n)
+        rep = np.repeat(ids, np.diff(offsets))
         return pa.table(
             {
-                "gram": pa.array(np.array(gs, dtype=np.uint64), type=pa.uint64()),
-                "doc_id": pa.array(np.array(ds_, dtype=np.int64)),
+                "gram": pa.array(keys, type=pa.uint64()),
+                "doc_id": pa.array(rep.astype(np.int64)),
             }
         )
 
     def size_rows(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
+        _keys, offsets = word_ngram_hashes_batch(texts, n)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "set_size": pa.array(
-                    np.array([len(word_ngrams(x, n)) for x in texts], dtype=np.int64)
-                ),
+                "set_size": pa.array(np.diff(offsets).astype(np.int64)),
             }
         )
 
