@@ -44,6 +44,10 @@ FEATURE_FIELDS = [
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
     ("source_kind", pa.string()),
+    # per-row theme-match bitmask (bit i = mapping.themes[i] matched for
+    # this row's geom class) — evaluated once in the builders, consumed
+    # and dropped by ThemeRouter, so matchers never run twice per row
+    ("theme_bits", pa.uint64()),
 ]
 FEATURE_SCHEMA = pa.schema(FEATURE_FIELDS)
 
@@ -54,7 +58,7 @@ def _empty_features():
     )
 
 
-def _feature_table(osm_id, geom_type, match_geom_type, tags, wkb_col, lon, lat, bbox, doc_id, offset, source_kind):
+def _feature_table(osm_id, geom_type, match_geom_type, tags, wkb_col, lon, lat, bbox, doc_id, offset, source_kind, theme_bits):
     n = len(osm_id)
     cx = (bbox[:, 0] + bbox[:, 2]) / 2.0 if n else np.array([])
     cy = (bbox[:, 1] + bbox[:, 3]) / 2.0 if n else np.array([])
@@ -78,6 +82,7 @@ def _feature_table(osm_id, geom_type, match_geom_type, tags, wkb_col, lon, lat, 
             "source_kind": pa.array(source_kind, type=pa.string())
             if not isinstance(source_kind, str)
             else pa.array([source_kind] * n, type=pa.string()),
+            "theme_bits": pa.array(np.asarray(theme_bits, dtype=np.uint64), type=pa.uint64()),
         }
     )
 
@@ -109,7 +114,8 @@ class PointFeatures:
         if isinstance(tags, pa.ChunkedArray):
             tags = tags.combine_chunks()
         keep = tag_count(tags) > 0
-        keep &= self.compiled.union_mask(tags, GeomType.POINT)
+        bits = self.compiled.bitmask(tags, GeomType.POINT)
+        keep &= bits != 0
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         if self.prep is not None:
@@ -136,6 +142,7 @@ class PointFeatures:
             sub.column("doc_id"),
             sub.column("offset"),
             "node",
+            bits[idx],
         )
 
 
@@ -160,17 +167,16 @@ class WayFeatures:
         is_poly = closed & closed_way_is_polygon_mask(tags)
 
         n_pts = batch.column("n_pts").to_numpy(zero_copy_only=False)
-        line_cand = (
-            tagged & ~is_poly & complete & (n_pts >= 2)
-            & self.compiled.union_mask(tags, GeomType.LINE)
-        )
-        area_cand = tagged & is_poly & complete & self.compiled.union_mask(tags, GeomType.POLYGON)
+        line_bits = self.compiled.bitmask(tags, GeomType.LINE)
+        area_bits = self.compiled.bitmask(tags, GeomType.POLYGON)
+        line_cand = tagged & ~is_poly & complete & (n_pts >= 2) & (line_bits != 0)
+        area_cand = tagged & is_poly & complete & (area_bits != 0)
 
         way_id = batch.column("way_id").to_numpy(zero_copy_only=False)
         lons_col = batch.column("lons")
         lats_col = batch.column("lats")
 
-        rows = {k: [] for k in ("osm_id", "gt", "mgt", "ti", "wkb", "lon", "lat", "bbox")}
+        rows = {k: [] for k in ("osm_id", "gt", "mgt", "ti", "wkb", "lon", "lat", "bbox", "bits")}
 
         def emit(i, gt, mgt, buf, lon=np.nan, lat=np.nan, bbox=None):
             rows["osm_id"].append(way_id[i])
@@ -181,6 +187,7 @@ class WayFeatures:
             rows["lon"].append(lon)
             rows["lat"].append(lat)
             rows["bbox"].append(bbox)
+            rows["bits"].append(line_bits[i] if mgt == 2 else area_bits[i])
 
         vector_lines = None
         if self.prep is None:
@@ -207,6 +214,7 @@ class WayFeatures:
                     sub.column("doc_id"),
                     sub.column("offset"),
                     "way",
+                    line_bits[line_idx],
                 )
         else:
             # vectorized bbox-vs-AOI prefilter (ADVICE round-1 #5): rows
@@ -242,6 +250,7 @@ class WayFeatures:
                         sub.column("doc_id"),
                         sub.column("offset"),
                         "way",
+                        line_bits[inside],
                     )
             if len(exact_lines):
                 lons = lons_col.to_pylist()
@@ -326,6 +335,7 @@ class WayFeatures:
             sub.column("doc_id"),
             sub.column("offset"),
             "way",
+            rows["bits"],
         )
 
 
@@ -339,16 +349,17 @@ class RelationAreaFeatures(WayFeatures):
         if isinstance(tags, pa.ChunkedArray):
             tags = tags.combine_chunks()
         valid = batch.column("valid").to_numpy(zero_copy_only=False)
+        rel_bits = self.compiled.bitmask(tags, GeomType.POLYGON)
         cand = (
             valid
             & (tag_count(tags) > 0)
             & closed_way_is_polygon_mask(tags)
-            & self.compiled.union_mask(tags, GeomType.POLYGON)
+            & (rel_bits != 0)
         )
         rel_id = batch.column("relation_id").to_numpy(zero_copy_only=False)
         wkbs = batch.column("wkb").to_pylist()
 
-        rows = {k: [] for k in ("osm_id", "gt", "mgt", "ti", "wkb", "lon", "lat", "bbox")}
+        rows = {k: [] for k in ("osm_id", "gt", "mgt", "ti", "wkb", "lon", "lat", "bbox", "bits")}
 
         def emit(i, gt, mgt, buf, lon=np.nan, lat=np.nan, bbox=None):
             rows["osm_id"].append(-rel_id[i])
@@ -359,6 +370,7 @@ class RelationAreaFeatures(WayFeatures):
             rows["lon"].append(lon)
             rows["lat"].append(lat)
             rows["bbox"].append(bbox)
+            rows["bits"].append(rel_bits[i])
 
         cand_idx = np.nonzero(cand)[0]
         cls = None
@@ -407,29 +419,19 @@ class ThemeRouter:
         self.compiled = CompiledThemes(mapping.themes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tags = batch.column("tags")
-        if isinstance(tags, pa.ChunkedArray):
-            tags = tags.combine_chunks()
-        n = batch.num_rows
-        cols = extract_tag_columns(tags, self.compiled.keys)
-        mgt = batch.column("match_geom_type").to_numpy(zero_copy_only=False)
+        # matchers already ran in the feature builders (bitmask on the
+        # theme_bits column, bit i = themes[i]); routing is pure bit tests
+        bits = batch.column("theme_bits").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bi = batch.schema.get_field_index("theme_bits")
         parts = []
-        for t in self.compiled.themes:
-            allowed = np.zeros(n, dtype=bool)
-            if t.points:
-                allowed |= mgt == 1
-            if t.lines:
-                allowed |= mgt == 2
-            if t.polygons:
-                allowed |= mgt == 3
-            mask = allowed & eval_expr(t.matcher.expr, cols, n)
-            idx = np.nonzero(mask)[0]
+        for i, t in enumerate(self.compiled.themes):
+            idx = np.nonzero((bits >> np.uint64(i)) & np.uint64(1))[0]
             if len(idx) == 0:
                 continue
-            sub = batch.take(pa.array(idx))
+            sub = batch.take(pa.array(idx)).remove_column(bi)
             sub = sub.append_column("theme", pa.array([t.name] * len(idx), type=pa.string()))
             parts.append(sub)
         if not parts:
-            empty = _empty_features()
+            empty = _empty_features().drop_columns(["theme_bits"])
             return empty.append_column("theme", pa.array([], type=pa.string()))
         return pa.concat_tables(parts)

@@ -163,6 +163,24 @@ class CompiledThemes:
             acc |= m
         return acc
 
+    def bitmask(self, tags, geom_type):
+        """→ uint64 per row: bit i set iff ``self.themes[i]`` (matcher AND
+        geom-class) matches. Evaluated ONCE in the feature builders and
+        carried on the ``theme_bits`` column so the ThemeRouter never
+        re-runs the matchers (round-2 finding: double matcher
+        evaluation). Bit index = theme position in the mapping — stable
+        between builder and router since both compile the same mapping."""
+        assert len(self.themes) <= 64, "theme bitmask limited to 64 themes"
+        n = len(tags)
+        acc = np.zeros(n, dtype=np.uint64)
+        cols = extract_tag_columns(tags, self.keys)
+        for i, t in enumerate(self.themes):
+            if not t.geom_type_mask().__contains__(geom_type):
+                continue
+            m = eval_expr(t.matcher.expr, cols, n)
+            acc |= m.astype(np.uint64) << np.uint64(i)
+        return acc
+
 
 def closed_way_is_polygon_mask(tags):
     """Vectorized ``closed_way_is_polygon`` (reference tabular.py:20-27)."""
