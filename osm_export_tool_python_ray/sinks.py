@@ -98,9 +98,32 @@ def _atomic_write(ds, path):
     os.replace(staging, path)
 
 
+def _iter_layer_batches(path):
+    """Stream a staged layer's parquet parts one record batch at a time
+    (O(batch) memory for the container-encode tail)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for fn in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        pf = pq.ParquetFile(fn)
+        for batch in pf.iter_batches():
+            yield pa.Table.from_batches([batch])
+
+
+def _batch_cols(t, field_names, has_id):
+    wkb_vals = t.column("wkb").to_pylist()
+    osm_ids = t.column("osm_id").to_pylist() if has_id else None
+    field_cols = [t.column(n).to_pylist() for n in field_names]
+    return wkb_vals, osm_ids, field_cols
+
+
 class Geopackage:
-    """gpkg analog: ``<output_name>.gpkg.d/<theme>/part-*.parquet`` — one
-    layer per theme, geometry classes mixed (reference tabular.py:146-196)."""
+    """Real ``<output_name>.gpkg`` (stdlib-sqlite3 GeoPackage,
+    functions/containers.py) — one layer per theme, geometry classes mixed
+    (reference tabular.py:146-196) — plus the distributed staging layout
+    ``<output_name>.gpkg.d/<theme>/part-*.parquet`` the container is
+    streamed from (the resumable scale path)."""
 
     suffix = ".gpkg.d"
     launder = False
@@ -112,85 +135,177 @@ class Geopackage:
         self.omit = omit_osm_ids
         self.polygon_centroid = polygon_centroid
         self.files = []
+        self._staged = []  # (theme, geom_class|None, staged_path|None)
+
+    def _geom_layers(self, theme):
+        """geom classes the reference would create layers for
+        (tabular.py:60-68,120-128; centroid quirk: polygon rows arrive as
+        points, see staging note below)."""
+        out = []
+        if theme.points or (self.polygon_centroid and theme.polygons):
+            out.append(1)
+        if theme.lines:
+            out.append(2)
+        if theme.polygons:
+            out.append(3)
+        return out
 
     def write_from(self, features):
         root = self.output_name + self.suffix
         os.makedirs(root, exist_ok=True)
         for theme in self.mapping.themes:
             ds = _theme_ds(features, theme.name)
-            if ds is None:
-                continue
             if self.split_geom:
-                for gt, gname in _GEOM_NAMES.items():
+                for gt in self._geom_layers(theme):
                     # under --centroid, polygon features arrive as
                     # geom_type=1 rows even for polygon-only themes — emit
                     # the points layer for them instead of dropping
                     # (reference would KeyError here, tabular.py:73,134)
-                    if gt == 1 and not theme.points and not (
-                        self.polygon_centroid and theme.polygons
-                    ):
-                        continue
-                    if gt == 2 and not theme.lines:
-                        continue
-                    if gt == 3 and not theme.polygons:
-                        continue
-                    import pyarrow.compute as pc
-
-                    sub = ds.map_batches(
-                        lambda t, gt=gt: t.filter(pc.equal(t.column("geom_type"), gt)),
-                        batch_format="pyarrow",
-                    ).map_batches(
-                        ThemeProjector(theme, self.omit, self.launder), batch_format="pyarrow"
-                    )
                     name = "%s_%s_%s" % (
                         os.path.basename(self.output_name),
                         make_filename(theme.name),
-                        gname,
+                        _GEOM_NAMES[gt],
                     )
                     path = os.path.join(root, name)
-                    _atomic_write(sub, path)
+                    if ds is not None:
+                        import pyarrow.compute as pc
+
+                        sub = ds.map_batches(
+                            lambda t, gt=gt: t.filter(pc.equal(t.column("geom_type"), gt)),
+                            batch_format="pyarrow",
+                        ).map_batches(
+                            ThemeProjector(theme, self.omit, self.launder),
+                            batch_format="pyarrow",
+                        )
+                        _atomic_write(sub, path)
+                        self.files.append(
+                            File(self.format_name, [path], {"theme": theme.name})
+                        )
+                    self._staged.append((theme, gt, path if ds is not None else None))
+            else:
+                path = os.path.join(root, make_filename(theme.name))
+                if ds is not None:
+                    proj = ds.map_batches(
+                        ThemeProjector(theme, self.omit, self.launder),
+                        batch_format="pyarrow",
+                    )
+                    _atomic_write(proj, path)
                     self.files.append(
                         File(self.format_name, [path], {"theme": theme.name})
                     )
-            else:
-                proj = ds.map_batches(
-                    ThemeProjector(theme, self.omit, self.launder), batch_format="pyarrow"
-                )
-                path = os.path.join(root, make_filename(theme.name))
-                _atomic_write(proj, path)
-                self.files.append(File(self.format_name, [path], {"theme": theme.name}))
+                self._staged.append((theme, None, path if ds is not None else None))
+        self._encode_containers()
         return self.files
 
     format_name = "gpkg"
+
+    # -- real binary container (streamed from the staged layout) ----------
+
+    def _layer_fields(self, theme):
+        keys = sorted(theme.keys)
+        return [launder_name(k) for k in keys] if self.launder else keys
+
+    def _theme_has_id(self, theme):
+        return bool(theme.osm_id) and not self.omit
+
+    def _encode_containers(self):
+        from osm_export_tool_python_ray.functions.containers import GeoPackageFile
+
+        cpath = self.output_name + ".gpkg"
+        tmp = cpath + ".part"
+        g = GeoPackageFile(tmp)
+        for theme in self.mapping.themes:
+            g.add_layer(theme.name, self._layer_fields(theme), self._theme_has_id(theme))
+        for theme, _gt, path in self._staged:
+            if path is None:
+                continue
+            fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
+            for t in _iter_layer_batches(path):
+                g.write_batch(theme.name, *_batch_cols(t, fields, has_id))
+        g.close()
+        os.replace(tmp, cpath)
+        self.files.insert(0, File("gpkg", [cpath]))
 
     def finalize(self):
         pass
 
 
 class MultiGeopackage(Geopackage):
-    """One dataset per theme (reference tabular.py:199-249)."""
+    """One real .gpkg per theme (reference tabular.py:199-249)."""
 
     suffix = ".mgpkg.d"
     format_name = "gpkg"
 
+    def _encode_containers(self):
+        from osm_export_tool_python_ray.functions.containers import GeoPackageFile
 
-class Shapefile(Geopackage):
-    """Per theme×geomtype with laundered 10-char field names
-    (reference tabular.py:86-144)."""
+        staged_by_theme = {t.name: p for t, _g, p in self._staged}
+        for theme in self.mapping.themes:
+            cpath = "%s_%s.gpkg" % (self.output_name, make_filename(theme.name))
+            tmp = cpath + ".part"
+            g = GeoPackageFile(tmp)
+            fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
+            g.add_layer(theme.name, fields, has_id)
+            path = staged_by_theme.get(theme.name)
+            if path is not None:
+                for t in _iter_layer_batches(path):
+                    g.write_batch(theme.name, *_batch_cols(t, fields, has_id))
+            g.close()
+            os.replace(tmp, cpath)
+            self.files.insert(0, File("gpkg", [cpath], {"theme": theme.name}))
+
+
+class _SplitContainerMixin:
+    def _encode_containers(self):
+        for theme, gt, path in self._staged:
+            base = "%s_%s_%s" % (
+                self.output_name,
+                make_filename(theme.name),
+                _GEOM_NAMES[gt],
+            )
+            fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
+            writer, file_rec = self._open_layer(base, theme, gt, fields, has_id)
+            if path is not None:
+                for t in _iter_layer_batches(path):
+                    writer.write_batch(*_batch_cols(t, fields, has_id))
+            writer.close()
+            self.files.insert(0, file_rec)
+
+
+class Shapefile(_SplitContainerMixin, Geopackage):
+    """Real .shp/.shx/.dbf/.prj/.cpg per theme×geomtype with laundered
+    10-char field names (reference tabular.py:86-144)."""
 
     suffix = ".shp.d"
     launder = True
     split_geom = True
     format_name = "shp"
 
+    def _open_layer(self, base, theme, gt, fields, has_id):
+        from osm_export_tool_python_ray.functions.containers import ShapefileLayerWriter
 
-class Kml(Geopackage):
-    """Per theme×geomtype, full field names (reference tabular.py:32-84)."""
+        return (
+            ShapefileLayerWriter(base, gt, fields, has_id),
+            File.shp(base, {"theme": theme.name}),
+        )
+
+
+class Kml(_SplitContainerMixin, Geopackage):
+    """Real .kml per theme×geomtype, full field names
+    (reference tabular.py:32-84)."""
 
     suffix = ".kml.d"
     launder = False
     split_geom = True
     format_name = "kml"
+
+    def _open_layer(self, base, theme, gt, fields, has_id):
+        from osm_export_tool_python_ray.functions.containers import KmlFile
+
+        return (
+            KmlFile(base + ".kml", theme.name, fields, has_id),
+            File("kml", [base + ".kml"], {"theme": theme.name}),
+        )
 
 
 def create_package(destination, files, boundary_geom=None, output_name="zip"):

@@ -1,0 +1,320 @@
+"""Binary container formats (functions/containers.py): GeoPackage via
+sqlite3 introspection, Shapefile via an independent struct-level reader
+written here (not the encoder's code paths), KML via xml.etree.
+
+Fixture geometries cover every WKB class the engine emits: point,
+linestring, multilinestring, polygon with hole, multipolygon."""
+
+import os
+import sqlite3
+import struct
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_export_tool_python_ray.functions import wkb as wkbmod
+from osm_export_tool_python_ray.mapping import Mapping
+from osm_export_tool_python_ray.sinks import Geopackage, Kml, MultiGeopackage, Shapefile
+
+MAPPING_YAML = """
+buildings:
+  types:
+    - polygons
+  select:
+    - name
+    - addr:housenumber
+  where: building IS NOT NULL
+roads:
+  types:
+    - lines
+  select:
+    - highway
+places:
+  types:
+    - points
+  select:
+    - name
+  where: place IS NOT NULL
+empty_theme:
+  types:
+    - points
+  select:
+    - name
+  where: barber IS NOT NULL
+"""
+
+SQUARE = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+HOLE = np.array([(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)])  # CW
+TRI = np.array([(10.0, 10.0), (12.0, 10.0), (11.0, 12.0), (10.0, 10.0)])
+LINE_A = np.array([(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)])
+LINE_B = np.array([(5.0, 5.0), (6.0, 6.0)])
+
+
+def _tags(d):
+    return d
+
+
+@pytest.fixture(scope="module")
+def sink_features(ray_session):
+    import ray.data
+
+    rows = [
+        # buildings: polygon w/ hole, multipolygon, and a row with a null tag
+        ("buildings", 11, {"building": "yes", "name": "Casa"},
+         3, wkbmod.polygon_wkb([SQUARE, HOLE])),
+        ("buildings", -12, {"building": "yes", "addr:housenumber": "7b"},
+         3, wkbmod.multipolygon_wkb([[SQUARE], [TRI]])),
+        # roads: linestring + multilinestring
+        ("roads", 21, {"highway": "residential"},
+         2, wkbmod.linestring_wkb(LINE_A)),
+        ("roads", 22, {"highway": "primary"},
+         2, wkbmod.multilinestring_wkb([LINE_A, LINE_B])),
+        # places: points (incl. xml-escaping-worthy value)
+        ("places", 31, {"place": "town", "name": "St. A & B <x>"},
+         1, wkbmod.point_wkb(3.5, -1.25)),
+        ("places", 32, {"place": "village"},
+         1, wkbmod.point_wkb(-122.25, 47.5)),
+    ]
+    t = pa.table(
+        {
+            "theme": pa.array([r[0] for r in rows]),
+            "osm_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "tags": pa.array(
+                [list(r[2].items()) for r in rows],
+                type=pa.map_(pa.string(), pa.string()),
+            ),
+            "geom_type": pa.array([r[3] for r in rows], type=pa.int8()),
+            "wkb": pa.array([r[4] for r in rows], type=pa.binary()),
+        }
+    )
+    return ray.data.from_arrow(t), Mapping(MAPPING_YAML), rows
+
+
+def _gpb_wkb(blob):
+    """Strip and verify the GeoPackage binary header → raw WKB."""
+    assert blob[:2] == b"GP"
+    assert blob[2] == 0  # version
+    flags = blob[3]
+    envelope_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[(flags >> 1) & 0x7]
+    (srs,) = struct.unpack("<i", blob[4:8])
+    assert srs == 4326
+    return blob[8 + envelope_len :]
+
+
+class TestGeoPackage:
+    def test_container_structure_and_roundtrip(self, sink_features, tmp_path):
+        ds, mapping, rows = sink_features
+        out = str(tmp_path / "demo")
+        Geopackage(out, mapping).write_from(ds)
+        db = sqlite3.connect(out + ".gpkg")
+        (app_id,) = db.execute("PRAGMA application_id").fetchone()
+        assert app_id == 0x47504B47  # "GPKG"
+        srs = dict(
+            db.execute("SELECT srs_id, organization FROM gpkg_spatial_ref_sys")
+        )
+        assert srs[4326] == "EPSG" and -1 in srs and 0 in srs
+        contents = {
+            r[0]: r
+            for r in db.execute(
+                "SELECT table_name, data_type, min_x, max_y FROM gpkg_contents"
+            )
+        }
+        # every theme gets a layer — including the empty one
+        assert set(contents) == {"buildings", "roads", "places", "empty_theme"}
+        assert all(c[1] == "features" for c in contents.values())
+        assert contents["empty_theme"][2] is None  # no extent when empty
+        gc = dict(
+            db.execute("SELECT table_name, geometry_type_name FROM gpkg_geometry_columns")
+        )
+        assert gc["buildings"] == "GEOMETRY"
+
+        got = db.execute(
+            'SELECT osm_id, name, "addr:housenumber", geom FROM buildings ORDER BY osm_id'
+        ).fetchall()
+        assert [(r[0], r[1], r[2]) for r in got] == [(-12, None, "7b"), (11, "Casa", None)]
+        code, geom = wkbmod.decode(_gpb_wkb(got[1][3]))
+        assert code == wkbmod.POLYGON
+        np.testing.assert_array_equal(geom[0], SQUARE)
+        np.testing.assert_array_equal(geom[1], HOLE)
+        code, geom = wkbmod.decode(_gpb_wkb(got[0][3]))
+        assert code == wkbmod.MULTIPOLYGON and len(geom) == 2
+        # contents extent covers the buildings bbox
+        assert contents["buildings"][2] == 0.0 and contents["buildings"][3] == 12.0
+        assert db.execute("SELECT COUNT(*) FROM empty_theme").fetchone() == (0,)
+        db.close()
+
+    def test_multigeopackage_one_file_per_theme(self, sink_features, tmp_path):
+        ds, mapping, _rows = sink_features
+        out = str(tmp_path / "multi")
+        files = MultiGeopackage(out, mapping).write_from(ds)
+        for theme in ("buildings", "roads", "places", "empty_theme"):
+            p = "%s_%s.gpkg" % (out, theme)
+            assert os.path.isfile(p)
+            db = sqlite3.connect(p)
+            assert db.execute(
+                "SELECT table_name FROM gpkg_contents"
+            ).fetchall() == [(theme,)]
+            db.close()
+        assert sum(1 for f in files if f.parts[0].endswith(".gpkg")) == 4
+
+    def test_omit_osm_ids(self, sink_features, tmp_path):
+        ds, mapping, _rows = sink_features
+        out = str(tmp_path / "noid")
+        Geopackage(out, mapping, omit_osm_ids=True).write_from(ds)
+        db = sqlite3.connect(out + ".gpkg")
+        cols = [r[1] for r in db.execute("PRAGMA table_info(places)")]
+        assert cols == ["fid", "geom", "name"]
+        db.close()
+
+
+# ---------------------------------------------------------------------------
+# independent shapefile reader (struct-level, no encoder code reused)
+# ---------------------------------------------------------------------------
+
+
+def read_shp(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    (file_code,) = struct.unpack(">i", data[:4])
+    (file_len_words,) = struct.unpack(">i", data[24:28])
+    version, shape_type = struct.unpack("<2i", data[28:36])
+    bbox = struct.unpack("<4d", data[36:68])
+    assert file_code == 9994 and version == 1000
+    assert file_len_words * 2 == len(data)
+    recs = []
+    off = 100
+    while off < len(data):
+        recno, content_words = struct.unpack(">2i", data[off : off + 8])
+        off += 8
+        (stype,) = struct.unpack("<i", data[off : off + 4])
+        body = data[off + 4 : off + content_words * 2]
+        if stype == 1:
+            recs.append((stype, struct.unpack("<2d", body)))
+        elif stype in (3, 5):
+            nparts, npts = struct.unpack("<2i", body[32:40])
+            parts = struct.unpack("<%di" % nparts, body[40 : 40 + 4 * nparts])
+            pts = np.frombuffer(
+                body, dtype="<f8", count=2 * npts, offset=40 + 4 * nparts
+            ).reshape(npts, 2)
+            bounds = list(parts) + [npts]
+            recs.append(
+                (stype, [pts[bounds[i] : bounds[i + 1]] for i in range(nparts)])
+            )
+        off += content_words * 2
+    return shape_type, bbox, recs
+
+
+def read_dbf(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    nrec, hdr_size, rec_size = struct.unpack("<IHH", data[4:12])
+    fields = []
+    off = 32
+    while data[off] != 0x0D:
+        name = data[off : off + 11].split(b"\x00")[0].decode()
+        typ = chr(data[off + 11])
+        width = data[off + 16]
+        fields.append((name, typ, width))
+        off += 32
+    rows = []
+    off = hdr_size
+    for _ in range(nrec):
+        rec = data[off : off + rec_size]
+        pos = 1
+        row = {}
+        for name, typ, width in fields:
+            raw = rec[pos : pos + width]
+            txt = raw.decode("utf-8", "replace").strip()
+            row[name] = (int(txt) if txt else None) if typ == "N" else (txt or None)
+            pos += width
+        rows.append(row)
+        off += rec_size
+    return fields, rows
+
+
+def _shoelace(r):
+    return 0.5 * float(np.dot(r[:, 0], np.roll(r[:, 1], -1)) - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
+
+
+class TestShapefile:
+    def test_polygons_layer(self, sink_features, tmp_path):
+        ds, mapping, _rows = sink_features
+        out = str(tmp_path / "shp")
+        Shapefile(out, mapping).write_from(ds)
+        base = out + "_buildings_polygons"
+        for ext in (".shp", ".shx", ".dbf", ".prj", ".cpg"):
+            assert os.path.isfile(base + ext)
+        shape_type, bbox, recs = read_shp(base + ".shp")
+        assert shape_type == 5 and len(recs) == 2
+        assert bbox == (0.0, 0.0, 12.0, 12.0)
+        fields, rows = read_dbf(base + ".dbf")
+        assert [f[0] for f in fields] == ["osm_id", "addrhousen", "name"]
+        assert {r["osm_id"] for r in rows} == {11, -12}
+        by_id = {r["osm_id"]: r for r in rows}
+        assert by_id[11]["name"] == "Casa" and by_id[11]["addrhousen"] is None
+        assert by_id[-12]["addrhousen"] == "7b"
+        # ring orientation: exteriors CW (negative shoelace), holes CCW
+        rec_sq = recs[rows.index(by_id[11])]
+        assert _shoelace(rec_sq[1][0]) < 0
+        assert _shoelace(rec_sq[1][1]) > 0
+        np.testing.assert_array_equal(np.sort(rec_sq[1][0][:, 0]), np.sort(SQUARE[:, 0]))
+        # multipolygon flattens to one Polygon record with 2 parts
+        rec_mp = recs[rows.index(by_id[-12])]
+        assert len(rec_mp[1]) == 2
+
+    def test_points_and_lines_layers(self, sink_features, tmp_path):
+        ds, mapping, _rows = sink_features
+        out = str(tmp_path / "shp2")
+        Shapefile(out, mapping).write_from(ds)
+        stype, _bbox, recs = read_shp(out + "_places_points.shp")
+        assert stype == 1
+        assert sorted(r[1] for r in recs) == [(-122.25, 47.5), (3.5, -1.25)]
+        stype, _bbox, recs = read_shp(out + "_roads_lines.shp")
+        assert stype == 3
+        nparts = sorted(len(r[1]) for r in recs)
+        assert nparts == [1, 2]  # linestring + multilinestring
+        # empty layer still a valid file with zero records
+        stype, bbox, recs = read_shp(out + "_empty_theme_points.shp")
+        assert stype == 1 and recs == [] and bbox == (0.0, 0.0, 0.0, 0.0)
+        with open(out + "_places_points.prj") as f:
+            assert "GCS_WGS_1984" in f.read()
+        with open(out + "_places_points.cpg") as f:
+            assert f.read() == "UTF-8"
+
+
+class TestKml:
+    NS = {"k": "http://www.opengis.net/kml/2.2"}
+
+    def test_placemarks(self, sink_features, tmp_path):
+        ds, mapping, _rows = sink_features
+        out = str(tmp_path / "kml")
+        Kml(out, mapping).write_from(ds)
+        root = ET.parse(out + "_places_points.kml").getroot()
+        pms = root.findall(".//k:Placemark", self.NS)
+        assert len(pms) == 2
+        vals = {}
+        for pm in pms:
+            sd = {
+                e.get("name"): e.text
+                for e in pm.findall(".//k:SimpleData", self.NS)
+            }
+            coords = pm.find(".//k:Point/k:coordinates", self.NS).text
+            vals[sd["osm_id"]] = (sd, coords)
+        assert vals["31"][0]["name"] == "St. A & B <x>"  # xml round-trips escapes
+        assert vals["31"][1] == "3.5,-1.25"
+        assert "name" not in vals["32"][0]  # absent tag ⇒ no SimpleData
+        # polygon + hole nest as outer/innerBoundaryIs
+        root = ET.parse(out + "_buildings_polygons.kml").getroot()
+        polys = root.findall(".//k:Placemark", self.NS)
+        assert len(polys) == 2
+        outer = root.findall(".//k:outerBoundaryIs//k:coordinates", self.NS)
+        inner = root.findall(".//k:innerBoundaryIs//k:coordinates", self.NS)
+        assert len(outer) == 3 and len(inner) == 1  # square+hole, 2 MP parts
+        # multilinestring → MultiGeometry
+        root = ET.parse(out + "_roads_lines.kml").getroot()
+        assert len(root.findall(".//k:MultiGeometry", self.NS)) == 1
+        # empty layer parses and has zero placemarks
+        root = ET.parse(out + "_empty_theme_points.kml").getroot()
+        assert root.findall(".//k:Placemark", self.NS) == []

@@ -61,7 +61,9 @@ class TestSinks:
         # schema parity: osm_id + sorted select keys as strings + geometry
         assert t.schema.names == ["osm_id", "addr:housenumber", "name", "geom_type", "wkb"]
         assert t.num_rows > 0
-        assert {f.extra["theme"] for f in files} <= {"buildings", "roads"}
+        assert {f.extra.get("theme") for f in files} <= {"buildings", "roads", None}
+        # the real binary container exists alongside the staged layout
+        assert os.path.isfile(out + ".gpkg")
 
     def test_shapefile_laundering(self, export_workdir, tmp_path):
         wd, mapping = export_workdir
