@@ -118,6 +118,52 @@ def _batch_cols(t, field_names, has_id):
     return wkb_vals, osm_ids, field_cols
 
 
+def _encode_one_layer(kind, target, layer_name, gt, fields, has_id, staged_path):
+    """Encode ONE independent container file (a shp 5-file set, a kml, or a
+    single-theme gpkg) from its staged parquet layer. Pure function of
+    primitives so it runs as a Ray task — every layer of a Shapefile / KML /
+    MultiGeopackage export is its own file, so the container tail
+    parallelizes O(layers) instead of looping on the driver. Assumes the
+    output directory is shared/visible across workers (same contract as
+    ``Dataset.write_parquet`` to a local path)."""
+    from osm_export_tool_python_ray.functions import containers as C
+
+    if kind == "shp":
+        w = C.ShapefileLayerWriter(target, gt, fields, has_id)
+        write, close = w.write_batch, w.close
+    elif kind == "kml":
+        w = C.KmlFile(target + ".kml", layer_name, fields, has_id)
+        write, close = w.write_batch, w.close
+    else:  # one-theme gpkg (MultiGeopackage)
+        tmp = target + ".part"
+        g = C.GeoPackageFile(tmp)
+        g.add_layer(layer_name, fields, has_id)
+        write = lambda *a: g.write_batch(layer_name, *a)  # noqa: E731
+
+        def close():
+            g.close()
+            os.replace(tmp, target)
+
+    if staged_path is not None:
+        for t in _iter_layer_batches(staged_path):
+            write(*_batch_cols(t, fields, has_id))
+    close()
+
+
+def _run_layer_tasks(specs):
+    """specs: [(kind, target, layer_name, gt, fields, has_id, staged_path)].
+    One Ray task per independent container file; sequential fallback when
+    Ray isn't up (plain library use)."""
+    import ray
+
+    if len(specs) > 1 and ray.is_initialized():
+        fn = ray.remote(num_cpus=1)(_encode_one_layer)
+        ray.get([fn.remote(*s) for s in specs])
+    else:
+        for s in specs:
+            _encode_one_layer(*s)
+
+
 class Geopackage:
     """Real ``<output_name>.gpkg`` (stdlib-sqlite3 GeoPackage,
     functions/containers.py) — one layer per theme, geometry classes mixed
@@ -237,26 +283,23 @@ class MultiGeopackage(Geopackage):
     format_name = "gpkg"
 
     def _encode_containers(self):
-        from osm_export_tool_python_ray.functions.containers import GeoPackageFile
-
         staged_by_theme = {t.name: p for t, _g, p in self._staged}
+        specs, recs = [], []
         for theme in self.mapping.themes:
             cpath = "%s_%s.gpkg" % (self.output_name, make_filename(theme.name))
-            tmp = cpath + ".part"
-            g = GeoPackageFile(tmp)
             fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
-            g.add_layer(theme.name, fields, has_id)
-            path = staged_by_theme.get(theme.name)
-            if path is not None:
-                for t in _iter_layer_batches(path):
-                    g.write_batch(theme.name, *_batch_cols(t, fields, has_id))
-            g.close()
-            os.replace(tmp, cpath)
-            self.files.insert(0, File("gpkg", [cpath], {"theme": theme.name}))
+            specs.append(
+                ("gpkg", cpath, theme.name, None, fields, has_id, staged_by_theme.get(theme.name))
+            )
+            recs.append(File("gpkg", [cpath], {"theme": theme.name}))
+        _run_layer_tasks(specs)
+        for rec in recs:
+            self.files.insert(0, rec)
 
 
 class _SplitContainerMixin:
     def _encode_containers(self):
+        specs, recs = [], []
         for theme, gt, path in self._staged:
             base = "%s_%s_%s" % (
                 self.output_name,
@@ -264,12 +307,11 @@ class _SplitContainerMixin:
                 _GEOM_NAMES[gt],
             )
             fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
-            writer, file_rec = self._open_layer(base, theme, gt, fields, has_id)
-            if path is not None:
-                for t in _iter_layer_batches(path):
-                    writer.write_batch(*_batch_cols(t, fields, has_id))
-            writer.close()
-            self.files.insert(0, file_rec)
+            specs.append((self.format_name, base, theme.name, gt, fields, has_id, path))
+            recs.append(self._layer_file(base, theme))
+        _run_layer_tasks(specs)
+        for rec in recs:
+            self.files.insert(0, rec)
 
 
 class Shapefile(_SplitContainerMixin, Geopackage):
@@ -281,13 +323,8 @@ class Shapefile(_SplitContainerMixin, Geopackage):
     split_geom = True
     format_name = "shp"
 
-    def _open_layer(self, base, theme, gt, fields, has_id):
-        from osm_export_tool_python_ray.functions.containers import ShapefileLayerWriter
-
-        return (
-            ShapefileLayerWriter(base, gt, fields, has_id),
-            File.shp(base, {"theme": theme.name}),
-        )
+    def _layer_file(self, base, theme):
+        return File.shp(base, {"theme": theme.name})
 
 
 class Kml(_SplitContainerMixin, Geopackage):
@@ -299,13 +336,8 @@ class Kml(_SplitContainerMixin, Geopackage):
     split_geom = True
     format_name = "kml"
 
-    def _open_layer(self, base, theme, gt, fields, has_id):
-        from osm_export_tool_python_ray.functions.containers import KmlFile
-
-        return (
-            KmlFile(base + ".kml", theme.name, fields, has_id),
-            File("kml", [base + ".kml"], {"theme": theme.name}),
-        )
+    def _layer_file(self, base, theme):
+        return File("kml", [base + ".kml"], {"theme": theme.name})
 
 
 def create_package(destination, files, boundary_geom=None, output_name="zip"):
