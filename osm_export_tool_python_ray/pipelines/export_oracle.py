@@ -240,6 +240,23 @@ def sql_export_theme_counts(corpus_path, mapping):
     )
 
 
+def sql_gpkg_layer_counts(corpus_path, mapping):
+    """Per-layer × geometry-class row counts and osm_id sums, re-derived
+    from the raw corpus. The engine side reads these numbers BACK out of
+    the finished binary .gpkg (sqlite3 + GPKG blob parsing,
+    queries.q_gpkg_layer_counts), so any loss in the container encode —
+    dropped row, corrupted osm_id, mislabelled WKB class — hash-mismatches
+    here. Layer name == theme name (sinks.Geopackage one-layer-per-theme,
+    reference tabular.py:146-196)."""
+    return (
+        "WITH %s,\n%s\n"
+        "SELECT theme AS layer, CAST(geom_type AS BIGINT) AS geom_type,"
+        " count(*) AS n, CAST(sum(osm_id) AS BIGINT) AS id_sum\n"
+        "FROM feat GROUP BY theme, geom_type"
+        % (_base_ctes(corpus_path), _themed_feature_selects(mapping))
+    )
+
+
 def sql_tile_assignment(corpus_path, mapping, zoom=12):
     """One row per deduped tile payload with the count of themed-feature
     bbox overlaps (stages/tiling.py assign_features_to_tiles, zooms=[{z}]).

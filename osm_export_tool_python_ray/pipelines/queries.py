@@ -1287,6 +1287,75 @@ def q_media_features(sf_dir):
     ).sort("media_ref")
 
 
+def q_gpkg_layer_counts(sf_dir):
+    """Container round-trip proof (S6 as an oracle row): flagship export →
+    REAL binary GeoPackage (sinks.Geopackage → functions/containers.py,
+    stdlib sqlite3) → the finished ``.gpkg`` is read BACK with sqlite3 and
+    aggregated per layer × WKB geometry class (row count + osm_id sum).
+    Matching the DuckDB re-derivation over the raw corpus proves the whole
+    sink path — staging parquet, ThemeProjector, WKB encode, GPKG blob
+    framing, sqlite insert — preserved every row, id and geometry class.
+    The read-back loops Python rows by design: it is the *verifier* of a
+    binary container, not a pipeline stage (the scale path writes the
+    container from streamed staged parquet and never reads it back)."""
+    import shutil
+    import sqlite3
+    import struct
+    import tempfile
+
+    import ray.data
+
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export
+    from osm_export_tool_python_ray.sinks import Geopackage
+
+    docs = ray.data.read_parquet(corpus_path(n_shards=4))
+    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
+        mapping = Mapping(f.read())
+    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    tmpdir = tempfile.mkdtemp(prefix="gpkg_oracle_", dir="/tmp")
+    try:
+        Geopackage(os.path.join(tmpdir, "out"), mapping).write_from(themed)
+        db = sqlite3.connect(os.path.join(tmpdir, "out.gpkg"))
+        try:
+            layers = [
+                r[0]
+                for r in db.execute(
+                    "SELECT table_name FROM gpkg_contents"
+                    " WHERE data_type='features' ORDER BY table_name"
+                )
+            ]
+            # WKB type → engine geometry class (Multi* folds onto its base)
+            klass = {1: 1, 4: 1, 2: 2, 5: 2, 3: 3, 6: 3}
+            rows = []
+            for name in layers:
+                cols = [c[1] for c in db.execute('PRAGMA table_info("%s")' % name)]
+                has_id = "osm_id" in cols
+                sel = 'SELECT geom%s FROM "%s"' % (", osm_id" if has_id else "", name)
+                agg = {}
+                for row in db.execute(sel):
+                    # 8-byte GP header, then WKB: endian byte + u32 type
+                    code = struct.unpack_from("<I", row[0], 9)[0]
+                    gc = klass[code]
+                    c, s = agg.get(gc, (0, 0))
+                    agg[gc] = (c + 1, s + (row[1] if has_id else 0))
+                for gc in sorted(agg):
+                    c, s = agg[gc]
+                    rows.append((name, gc, c, s))
+        finally:
+            db.close()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return pa.table(
+        {
+            "layer": pa.array([r[0] for r in rows], type=pa.string()),
+            "geom_type": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n": pa.array([r[2] for r in rows], type=pa.int64()),
+            "id_sum": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -1318,6 +1387,7 @@ QUERIES = {
     "tile_assignment": q_tile_assignment,
     "aoi_extract": q_aoi_extract,
     "media_features": q_media_features,
+    "gpkg_layer_counts": q_gpkg_layer_counts,
 }
 
 def export_surface_oracles():
@@ -1330,6 +1400,7 @@ def export_surface_oracles():
     from osm_export_tool_python_ray.pipelines.export_oracle import (
         sql_aoi_extract,
         sql_export_theme_counts,
+        sql_gpkg_layer_counts,
         sql_tile_assignment,
     )
 
@@ -1340,6 +1411,7 @@ def export_surface_oracles():
         "export_theme_counts": sql_export_theme_counts(path, mapping),
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
         "aoi_extract": sql_aoi_extract(path, mapping),
+        "gpkg_layer_counts": sql_gpkg_layer_counts(path, mapping),
     }
 
 
