@@ -257,6 +257,18 @@ def sql_gpkg_layer_counts(corpus_path, mapping):
     )
 
 
+def sql_shp_layer_counts(corpus_path, mapping):
+    """Same re-derivation as :func:`sql_gpkg_layer_counts` — the engine
+    side differs (raw .shp/.dbf parsed back instead of sqlite), the truth
+    does not: per theme × geometry class counts and osm_id sums."""
+    return sql_gpkg_layer_counts(corpus_path, mapping)
+
+
+def sql_kml_layer_counts(corpus_path, mapping):
+    """Same re-derivation, engine side reads the .kml XML back."""
+    return sql_gpkg_layer_counts(corpus_path, mapping)
+
+
 def sql_tile_assignment(corpus_path, mapping, zoom=12):
     """One row per deduped tile payload with the count of themed-feature
     bbox overlaps (stages/tiling.py assign_features_to_tiles, zooms=[{z}]).

@@ -1303,16 +1303,9 @@ def q_gpkg_layer_counts(sf_dir):
     import struct
     import tempfile
 
-    import ray.data
-
-    from osm_export_tool_python_ray.mapping import Mapping
-    from osm_export_tool_python_ray.pipelines.export import run_export
     from osm_export_tool_python_ray.sinks import Geopackage
 
-    docs = ray.data.read_parquet(corpus_path(n_shards=4))
-    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
-        mapping = Mapping(f.read())
-    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    mapping, themed = _run_default_export()
     tmpdir = tempfile.mkdtemp(prefix="gpkg_oracle_", dir="/tmp")
     try:
         Geopackage(os.path.join(tmpdir, "out"), mapping).write_from(themed)
@@ -1356,6 +1349,176 @@ def q_gpkg_layer_counts(sf_dir):
     )
 
 
+def _default_mapping():
+    from osm_export_tool_python_ray.mapping import Mapping
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
+        return Mapping(f.read())
+
+
+def _run_default_export():
+    import ray.data
+
+    from osm_export_tool_python_ray.pipelines.export import run_export
+
+    mapping = _default_mapping()
+    docs = ray.data.read_parquet(corpus_path(n_shards=4))
+    return mapping, run_export(docs, mapping, num_partitions=4, num_buckets=16)
+
+
+def _split_layer_specs(mapping, out_base):
+    """(theme_name, geom_class, container base path) for every layer a
+    split-geometry sink (Shapefile/Kml) creates — the sink's deterministic
+    naming contract (sinks._SplitContainerMixin), reconstructed here so the
+    read-back opens files by name instead of trusting the sink's records."""
+    from osm_export_tool_python_ray.sinks import _GEOM_NAMES
+    from osm_export_tool_python_ray import make_filename
+
+    specs = []
+    for theme in mapping.themes:
+        for gt, flag in ((1, theme.points), (2, theme.lines), (3, theme.polygons)):
+            if flag:
+                specs.append(
+                    (
+                        theme.name,
+                        gt,
+                        "%s_%s_%s" % (out_base, make_filename(theme.name), _GEOM_NAMES[gt]),
+                    )
+                )
+    return specs
+
+
+def _read_shp_dbf(base):
+    """Parse a raw .shp/.dbf pair back to [(geom_class, osm_id|None)] —
+    an independent decoder for the custom binary Shapefile encoder
+    (functions/containers.ShapefileLayerWriter), stdlib struct only."""
+    import struct
+
+    cls = {1: 1, 3: 2, 5: 3}  # SHP_POINT / SHP_POLYLINE / SHP_POLYGON
+    with open(base + ".shp", "rb") as f:
+        data = f.read()
+    shapes, off = [], 100
+    while off + 12 <= len(data):
+        _recno, clen = struct.unpack_from(">2i", data, off)
+        shape = struct.unpack_from("<i", data, off + 8)[0]
+        shapes.append(cls[shape])
+        off += 8 + clen * 2
+    with open(base + ".dbf", "rb") as f:
+        d = f.read()
+    nrec, hdr, rsz = struct.unpack_from("<IHH", d, 4)
+    fields, p = [], 32
+    while d[p] != 0x0D:
+        name = d[p : p + 11].split(b"\x00")[0].decode("ascii")
+        fields.append((name, d[p + 16]))
+        p += 32
+    has_id = bool(fields) and fields[0][0] == "osm_id"
+    ids = []
+    for i in range(nrec):
+        if has_id:
+            txt = d[hdr + i * rsz + 1 : hdr + i * rsz + 1 + fields[0][1]].strip()
+            ids.append(int(txt) if txt else None)
+        else:
+            ids.append(None)
+    if len(shapes) != nrec:
+        raise ValueError("shp/dbf record count mismatch at %s" % base)
+    return list(zip(shapes, ids))
+
+
+def _read_kml(path):
+    """Parse a .kml layer back to [(geom_class, osm_id|None)] via stdlib
+    ElementTree — independent of the string-building KmlFile encoder."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://www.opengis.net/kml/2.2}"
+    out = []
+    for pm in ET.parse(path).getroot().iter(ns + "Placemark"):
+        oid = None
+        for sd in pm.iter(ns + "SimpleData"):
+            if sd.get("name") == "osm_id" and sd.text is not None:
+                oid = int(sd.text)
+        gc = None
+        for tag, c in ((ns + "Point", 1), (ns + "LineString", 2), (ns + "Polygon", 3)):
+            if pm.find(tag) is not None:
+                gc = c
+        mg = pm.find(ns + "MultiGeometry")
+        if mg is not None:
+            gc = 2 if mg.find(ns + "LineString") is not None else 3
+        if gc is None:
+            raise ValueError("Placemark without geometry in %s" % path)
+        out.append((gc, oid))
+    return out
+
+
+def _layer_counts_table(rows):
+    """rows: [(layer, geom_class, osm_id|None)] → aggregated Arrow table
+    (layer, geom_type, n, id_sum) sorted by key."""
+    agg = {}
+    for layer, gc, oid in rows:
+        c, s = agg.get((layer, gc), (0, 0))
+        agg[(layer, gc)] = (c + 1, s + (oid or 0))
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "layer": pa.array([k[0] for k in keys], type=pa.string()),
+            "geom_type": pa.array([k[1] for k in keys], type=pa.int64()),
+            "n": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+            "id_sum": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def q_shp_layer_counts(sf_dir):
+    """Container round-trip proof (S7): flagship export → REAL binary
+    Shapefile sets (.shp/.shx/.dbf, functions/containers.py) → the raw
+    files are parsed BACK with an independent stdlib decoder and
+    aggregated per theme × shape class (count + osm_id sum from the DBF
+    numeric field). Matching the DuckDB re-derivation over the raw corpus
+    proves the split-geometry staging, WKB→SHP record encode and DBF
+    attribute encode preserved every row, id and geometry class."""
+    import shutil
+    import tempfile
+
+    from osm_export_tool_python_ray.sinks import Shapefile
+
+    mapping, themed = _run_default_export()
+    tmpdir = tempfile.mkdtemp(prefix="shp_oracle_", dir="/tmp")
+    try:
+        out = os.path.join(tmpdir, "out")
+        Shapefile(out, mapping).write_from(themed)
+        rows = []
+        for theme_name, _gt, base in _split_layer_specs(mapping, out):
+            if os.path.exists(base + ".shp"):
+                rows.extend((theme_name, gc, oid) for gc, oid in _read_shp_dbf(base))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return _layer_counts_table(rows)
+
+
+def q_kml_layer_counts(sf_dir):
+    """Container round-trip proof (S8): flagship export → REAL .kml layers
+    (functions/containers.KmlFile) → parsed BACK with stdlib ElementTree
+    and aggregated per theme × KML geometry class. Same oracle shape as
+    the gpkg/shp rows; proves the XML encode (escaping, schema data,
+    geometry serialization) preserved every row, id and geometry class."""
+    import shutil
+    import tempfile
+
+    from osm_export_tool_python_ray.sinks import Kml
+
+    mapping, themed = _run_default_export()
+    tmpdir = tempfile.mkdtemp(prefix="kml_oracle_", dir="/tmp")
+    try:
+        out = os.path.join(tmpdir, "out")
+        Kml(out, mapping).write_from(themed)
+        rows = []
+        for theme_name, _gt, base in _split_layer_specs(mapping, out):
+            if os.path.exists(base + ".kml"):
+                rows.extend((theme_name, gc, oid) for gc, oid in _read_kml(base + ".kml"))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return _layer_counts_table(rows)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -1388,6 +1551,8 @@ QUERIES = {
     "aoi_extract": q_aoi_extract,
     "media_features": q_media_features,
     "gpkg_layer_counts": q_gpkg_layer_counts,
+    "shp_layer_counts": q_shp_layer_counts,
+    "kml_layer_counts": q_kml_layer_counts,
 }
 
 def export_surface_oracles():
@@ -1401,6 +1566,8 @@ def export_surface_oracles():
         sql_aoi_extract,
         sql_export_theme_counts,
         sql_gpkg_layer_counts,
+        sql_kml_layer_counts,
+        sql_shp_layer_counts,
         sql_tile_assignment,
     )
 
@@ -1412,6 +1579,8 @@ def export_surface_oracles():
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
         "aoi_extract": sql_aoi_extract(path, mapping),
         "gpkg_layer_counts": sql_gpkg_layer_counts(path, mapping),
+        "shp_layer_counts": sql_shp_layer_counts(path, mapping),
+        "kml_layer_counts": sql_kml_layer_counts(path, mapping),
     }
 
 

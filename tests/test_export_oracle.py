@@ -131,6 +131,38 @@ class TestExportOracleSmall:
             (r["layer"], r["geom_type"]): (r["n"], r["id_sum"]) for r in mine
         } == theirs
 
+    @pytest.mark.parametrize("qname", ["shp_layer_counts", "kml_layer_counts"])
+    def test_split_container_roundtrip(self, ray_session, tmp_path, monkeypatch, qname):
+        """Shapefile (.shp/.dbf binary) and KML (XML) read-back equals the
+        same DuckDB re-derivation: the independent stdlib decoders in
+        queries.py must recover every row, id and geometry class from the
+        real container bytes."""
+        from osm_export_tool_python_ray.mapping import Mapping
+        from osm_export_tool_python_ray.pipelines import queries as Q
+        from osm_export_tool_python_ray.pipelines.export_oracle import (
+            sql_gpkg_layer_counts,
+        )
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+        corpus = str(tmp_path / "c.parquet")
+        write_corpus_parquet(corpus, n_shards=2)
+        monkeypatch.setattr(Q, "corpus_path", lambda n_shards, density=1.0: corpus)
+        mine = Q.QUERIES[qname](None).to_pylist()
+        with open(
+            "/root/repo/osm_export_tool_python_ray/mappings/default.yml"
+        ) as f:
+            mapping = Mapping(f.read())
+        theirs = {
+            (l, int(g)): (int(n), int(s))
+            for l, g, n, s in duckdb.connect()
+            .execute(sql_gpkg_layer_counts(corpus, mapping))
+            .fetchall()
+        }
+        assert len(mine) > 0
+        assert {
+            (r["layer"], r["geom_type"]): (r["n"], r["id_sum"]) for r in mine
+        } == theirs
+
 
 class TestMatcherSqlHypothesis:
     """Randomized differential: matcher_sql (DuckDB) vs Matcher._match on
