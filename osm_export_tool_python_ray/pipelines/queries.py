@@ -1181,15 +1181,9 @@ def q_export_theme_counts(sf_dir):
     """Flagship export over the deterministic interleaved corpus (the
     input_hint shape) with the reference's default.yml: per-theme counts.
     Not SQL-expressible (geometry assembly) → rows-only + pytest goldens."""
-    import ray.data
+    from osm_export_tool_python_ray.pipelines.export import theme_counts
 
-    from osm_export_tool_python_ray.mapping import Mapping
-    from osm_export_tool_python_ray.pipelines.export import run_export, theme_counts
-
-    docs = ray.data.read_parquet(corpus_path(n_shards=4))
-    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
-        mapping = Mapping(f.read())
-    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    _mapping, themed = _run_default_export()
     return theme_counts(themed).sort(["theme", "geom_type"])
 
 
@@ -1198,15 +1192,10 @@ def q_tile_assignment(sf_dir):
     Rows-only (geometry assembly upstream)."""
     import ray.data
 
-    from osm_export_tool_python_ray.mapping import Mapping
-    from osm_export_tool_python_ray.pipelines.export import run_export
     from osm_export_tool_python_ray.stages.explode import explode_tiles
     from osm_export_tool_python_ray.stages.tiling import assign_features_to_tiles, dedup_tiles
 
-    docs = ray.data.read_parquet(corpus_path(n_shards=4))
-    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
-        mapping = Mapping(f.read())
-    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    _mapping, themed = _run_default_export()
     feats = themed.map_batches(
         lambda t: t.select(["osm_id", "minx", "miny", "maxx", "maxy"]),
         batch_format="pyarrow",
@@ -1227,16 +1216,9 @@ def q_tile_assignment(sf_dir):
 def q_aoi_extract(sf_dir):
     """AOI spatial semi-join (J4 — the OsmExpress region-extract analog):
     features of the corpus restricted to a 1°×1° AOI. Rows-only."""
-    import ray.data
-
-    from osm_export_tool_python_ray.mapping import Mapping
-    from osm_export_tool_python_ray.pipelines.export import run_export
     from osm_export_tool_python_ray.stages.spatial_filter import aoi_semi_join
 
-    docs = ray.data.read_parquet(corpus_path(n_shards=4))
-    with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
-        mapping = Mapping(f.read())
-    themed = run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    _mapping, themed = _run_default_export()
     aoi = [[np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])]]
     out = aoi_semi_join(themed, aoi)
     return out.map_batches(
@@ -1356,14 +1338,29 @@ def _default_mapping():
         return Mapping(f.read())
 
 
+_EXPORT_CACHE = {}
+
+
 def _run_default_export():
+    """(mapping, themed features Dataset) for the default corpus+mapping.
+    Memoized per process on the corpus path, with the themed Dataset
+    materialized: six driver-contract queries consume the same export
+    surface, and Ray re-executes lineage per consumption — without the
+    cache the correctness gate runs the full export pipeline six times.
+    Materializing here is driver-gate-sized (sf0.01 corpus); bench.py and
+    the CLI never go through this path."""
     import ray.data
 
     from osm_export_tool_python_ray.pipelines.export import run_export
 
-    mapping = _default_mapping()
-    docs = ray.data.read_parquet(corpus_path(n_shards=4))
-    return mapping, run_export(docs, mapping, num_partitions=4, num_buckets=16)
+    path = corpus_path(n_shards=4)
+    if path not in _EXPORT_CACHE:
+        mapping = _default_mapping()
+        themed = run_export(
+            ray.data.read_parquet(path), mapping, num_partitions=4, num_buckets=16
+        ).materialize()
+        _EXPORT_CACHE[path] = (mapping, themed)
+    return _EXPORT_CACHE[path]
 
 
 def _split_layer_specs(mapping, out_base):
