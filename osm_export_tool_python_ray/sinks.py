@@ -340,6 +340,41 @@ class Kml(_SplitContainerMixin, Geopackage):
         return File("kml", [base + ".kml"], {"theme": theme.name})
 
 
+def write_to_plugin(features, plugin, batch_size=1024):
+    """Adapter for reference-style duck-typed output plugins (SURVEY
+    §2.10; reference cmd.py:55-62 feeds any object exposing
+    ``.write(osm_id, layer_name, geom_type, geom, tags)`` /
+    ``.finalize()`` / ``.files`` — tabular.py:71,131,182,235).
+
+    Parity: the reference calls ``write`` once per (theme, element) from
+    a single osmium thread with the element's FULL tag dict
+    (Handler.node/way/area, tabular.py:263-341). This adapter preserves
+    those semantics from a themed-features Dataset (or staged parquet
+    dir): batches stream to the driver via ``iter_batches`` (bounded
+    memory) and the plugin is invoked per row. Deviations, documented:
+    ``geom`` is ISO-WKB bytes rather than an ``osgeo.ogr.Geometry`` (no
+    GDAL here — decode with ``functions/wkb.py`` or shapely), and row
+    order is the engine's deterministic shard order, not PBF scan order.
+    Inherently serial by the plugin contract (single-file writers); use
+    the native distributed sinks for scale.
+    """
+    import ray.data
+
+    from osm_export_tool_python_ray import GeomType
+
+    ds = ray.data.read_parquet(features) if isinstance(features, str) else features
+    for t in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+        ids = t.column("osm_id").to_pylist()
+        themes = t.column("theme").to_pylist()
+        gts = t.column("geom_type").to_pylist()
+        wkbs = t.column("wkb").to_pylist()
+        tags = t.column("tags").to_pylist()
+        for i in range(len(ids)):
+            plugin.write(ids[i], themes[i], GeomType(gts[i]), wkbs[i], dict(tags[i]))
+    plugin.finalize()
+    return getattr(plugin, "files", [])
+
+
 def create_package(destination, files, boundary_geom=None, output_name="zip"):
     """Zip all file parts + clipping_boundary.geojson
     (reference package.py:10-18). Directory parts are zipped recursively."""

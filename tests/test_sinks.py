@@ -103,6 +103,48 @@ class TestSinks:
             assert m["contents"]
 
 
+class TestPluginDuckType:
+    """write_to_plugin feeds a reference-style output plugin one row per
+    (theme, element) with the FULL tag dict and WKB geom (reference
+    cmd.py:55-62, tabular.py:263-341 semantics)."""
+
+    class Recorder:
+        def __init__(self):
+            self.rows = []
+            self.finalized = False
+            self.files = ["dummy"]
+
+        def write(self, osm_id, layer_name, geom_type, geom, tags):
+            self.rows.append((osm_id, layer_name, geom_type, geom, tags))
+
+        def finalize(self):
+            self.finalized = True
+
+    def test_rows_match_themed_features(self, export_workdir):
+        import ray.data
+
+        from osm_export_tool_python_ray import GeomType
+        from osm_export_tool_python_ray.sinks import write_to_plugin
+
+        wd, _mapping = export_workdir
+        plugin = self.Recorder()
+        files = write_to_plugin(os.path.join(wd, "features"), plugin, batch_size=64)
+        assert plugin.finalized and files == ["dummy"]
+
+        themed = ray.data.read_parquet(os.path.join(wd, "features")).take_all()
+        assert len(plugin.rows) == len(themed) > 0
+        expect = {
+            (r["theme"], r["osm_id"], int(r["geom_type"])): (r["wkb"], dict(r["tags"]))
+            for r in themed
+        }
+        for osm_id, layer, gt, wkb, tags in plugin.rows:
+            assert isinstance(gt, GeomType)
+            w, tg = expect[(layer, osm_id, gt.value)]
+            assert w == wkb  # ISO-WKB bytes pass through unchanged
+            assert tg == tags  # full tag dict, not the theme projection
+            assert isinstance(tags, dict)
+
+
 class TestSpanSequenceInvariant:
     """FIXTURES.md F1: per-row span-sequence equality on
     (kind, text, media_ref, order) must hold through the explode stage."""
