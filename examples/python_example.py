@@ -78,6 +78,33 @@ def main():
         os.path.join(tempdir, "example.tar.gz"), files, "Example", "example", "demo bundle", aoi
     )
 
+    # custom output plugin (reference duck-type: .write/.finalize/.files) —
+    # a GeoJSONL writer fed per row by write_to_plugin
+    from osm_export_tool_python_ray.functions import wkb as wkbmod
+    from osm_export_tool_python_ray.sinks import write_to_plugin
+
+    class GeoJsonSeq:
+        def __init__(self, path):
+            self.path = path
+            self.f = open(path, "w")
+            self.files = [path]
+            self.n = 0
+
+        def write(self, osm_id, layer_name, geom_type, geom, tags):
+            code, g = wkbmod.decode(geom)  # geom arrives as ISO-WKB bytes
+            self.f.write(
+                '{"id": %d, "layer": "%s", "wkb_type": %d, "tags": %d}\n'
+                % (osm_id, layer_name, code, len(tags))
+            )
+            self.n += 1
+
+        def finalize(self):
+            self.f.close()
+
+    plugin = GeoJsonSeq(os.path.join(tempdir, "example.geojsonl"))
+    write_to_plugin(features, plugin)
+    print("plugin wrote", plugin.n, "rows to", plugin.files[0])
+
     print(theme_counts(ray.data.read_parquet(features)).to_pandas().to_string())
     for f in files:
         print(f)

@@ -175,11 +175,27 @@ class Geopackage:
     launder = False
     split_geom = False
 
-    def __init__(self, output_name, mapping, omit_osm_ids=False, polygon_centroid=False):
+    def __init__(
+        self,
+        output_name,
+        mapping,
+        omit_osm_ids=False,
+        polygon_centroid=False,
+        encode_container=True,
+    ):
+        """``encode_container=False`` stops after the staged parquet layout
+        (the distributed, resumable product) and skips the binary
+        container tail. The scale posture, explicit: a SINGLE .gpkg is an
+        intentionally serial final-mile artifact — sqlite has one writer —
+        so at 100 TB the staging layout is what ships, and per-layer
+        formats (MultiGeopackage/Shapefile/KML) encode as parallel Ray
+        tasks (_run_layer_tasks); the one-file GeoPackage streams layer
+        parts through O(batch) memory on the driver."""
         self.output_name = output_name
         self.mapping = mapping
         self.omit = omit_osm_ids
         self.polygon_centroid = polygon_centroid
+        self.encode_container = encode_container
         self.files = []
         self._staged = []  # (theme, geom_class|None, staged_path|None)
 
@@ -240,7 +256,8 @@ class Geopackage:
                         File(self.format_name, [path], {"theme": theme.name})
                     )
                 self._staged.append((theme, None, path if ds is not None else None))
-        self._encode_containers()
+        if self.encode_container:
+            self._encode_containers()
         return self.files
 
     format_name = "gpkg"

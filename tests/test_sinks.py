@@ -103,6 +103,21 @@ class TestSinks:
             assert m["contents"]
 
 
+class TestStagingOnly:
+    def test_encode_container_opt_out(self, export_workdir, tmp_path):
+        """encode_container=False ships only the staged parquet layout —
+        the distributed/resumable scale product — and skips the serial
+        single-file container tail."""
+        wd, mapping = export_workdir
+        out = str(tmp_path / "staged")
+        files = Geopackage(out, mapping, encode_container=False).write_from(
+            os.path.join(wd, "features")
+        )
+        assert not os.path.exists(out + ".gpkg")
+        assert os.path.isdir(out + ".gpkg.d/buildings")
+        assert all(f.output_name == "gpkg" for f in files)
+
+
 class TestPluginDuckType:
     """write_to_plugin feeds a reference-style output plugin one row per
     (theme, element) with the FULL tag dict and WKB geom (reference
