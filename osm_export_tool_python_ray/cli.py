@@ -32,6 +32,12 @@ def main(argv=None):
     parser.add_argument("--centroid", action="store_true", help="polygon centroids as points")
     parser.add_argument("--workdir", help="checkpoint dir (resumable)")
     parser.add_argument(
+        "--staging-only",
+        action="store_true",
+        help="stop at the staged parquet layer layout (the distributed, "
+        "resumable scale product); skip the serial binary container tail",
+    )
+    parser.add_argument(
         "--partitions",
         type=int,
         default=0,
@@ -120,6 +126,7 @@ def main(argv=None):
             sink = sink_cls[fmt](
                 args.output_name, mapping,
                 omit_osm_ids=args.omit_osm_ids, polygon_centroid=args.centroid,
+                encode_container=not args.staging_only,
             )
             files.extend(sink.write_from(themed))
             sink.finalize()
@@ -139,6 +146,7 @@ def main(argv=None):
             sink = sink_cls[fmt](
                 args.output_name, mapping,
                 omit_osm_ids=args.omit_osm_ids, polygon_centroid=args.centroid,
+                encode_container=not args.staging_only,
             )
             files.extend(sink.write_from(features_path))
             sink.finalize()

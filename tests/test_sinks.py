@@ -230,6 +230,27 @@ class TestCli:
         rc = main([corpus, out, "-m", mp, "-f", "gpkg", "--workdir", str(tmp_path / "wd")])
         assert rc == 0
         assert os.path.isdir(out + ".gpkg.d")
+        assert os.path.isfile(out + ".gpkg")
+
+    def test_cli_staging_only(self, ray_session, tmp_path):
+        """--staging-only stops at the staged parquet layout (the
+        distributed scale product) and skips the serial container tail."""
+        from osm_export_tool_python_ray.cli import main
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+
+        corpus = str(tmp_path / "c.parquet")
+        write_corpus_parquet(corpus, n_shards=1)
+        mp = str(tmp_path / "m.yml")
+        with open(mp, "w") as f:
+            f.write(MAPPING_YAML)
+        out = str(tmp_path / "stageout")
+        rc = main(
+            [corpus, out, "-m", mp, "-f", "gpkg", "--staging-only",
+             "--workdir", str(tmp_path / "wd")]
+        )
+        assert rc == 0
+        assert os.path.isdir(out + ".gpkg.d")
+        assert not os.path.exists(out + ".gpkg")
 
     def test_cli_invalid_mapping(self, ray_session, tmp_path, capsys):
         from osm_export_tool_python_ray.cli import main
