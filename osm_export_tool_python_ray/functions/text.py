@@ -18,6 +18,13 @@ import numpy as np
 _TOKEN_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[.!?,;:]")
 _WS_RE = re.compile(r"\s+")
+# GPT-2-style pre-tokenizer, restricted to an RE2-compatible subset (no
+# lookahead, ASCII classes) so DuckDB's regexp_extract_all reproduces it
+# exactly; re.ASCII pins Python's \s to RE2's ASCII semantics. Alternation
+# order matters (leftmost-FIRST in both engines): contraction suffixes,
+# then space-glued letter runs, digit runs, other-symbol runs, whitespace.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+_BPE_TOKEN_RE = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
 _WORD_RE = re.compile(r"[a-zA-Z]+")
 
 STOPWORDS = {
@@ -31,6 +38,17 @@ STOPWORDS = {
 def token_count(texts):
     """Whitespace-token count per text (vectorized loop, C regex)."""
     return np.array([len(_TOKEN_RE.findall(t or "")) for t in texts], dtype=np.int64)
+
+
+def bpe_token_count(texts):
+    """BPE-ish pre-tokenizer segment count per text (the second token
+    notion a training pipeline budgets with, alongside whitespace tokens).
+    Counts segments of ``BPE_TOKEN_PATTERN`` — a LOWER BOUND on the real
+    BPE token count of a GPT-2-family tokenizer (each segment splits into
+    ≥1 BPE tokens), deterministic, and ~4 chars/segment on English text."""
+    return np.array(
+        [len(_BPE_TOKEN_RE.findall(t or "")) for t in texts], dtype=np.int64
+    )
 
 
 def punct_count(texts):

@@ -73,6 +73,26 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_token_budget(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_budget, batch_format="pyarrow")
+
+
+# The engine's BPE_TOKEN_PATTERN is restricted to the RE2 subset precisely
+# so the oracle can count the same segments with regexp_extract_all
+# (leftmost-first alternation in both engines; re.ASCII pins \s parity).
+SQL_TOKEN_BUDGET = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'
+       )) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_doc_stats(sf_dir):
     from osm_export_tool_python_ray.stages.textstages import doc_stats
 
@@ -1519,6 +1539,7 @@ def q_kml_layer_counts(sf_dir):
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
+    "token_budget": q_token_budget,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_score": q_quality_score,
     "lang_counts": q_lang_counts,
@@ -1584,6 +1605,7 @@ def export_surface_oracles():
 ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_stats": SQL_DOC_STATS,
+    "token_budget": SQL_TOKEN_BUDGET,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_counts": SQL_LANG_COUNTS,

@@ -7,9 +7,11 @@ import numpy as np
 import pyarrow as pa
 
 from osm_export_tool_python_ray.functions.text import (
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_stats,
+    token_count,
 )
 
 
@@ -25,6 +27,20 @@ def doc_stats(t: pa.Table) -> pa.Table:
             "n_chars_calc": pa.array(chars),
             "punct_ratio": pa.array(pr),
             "mean_token_len": pa.array(mtl),
+        }
+    )
+
+
+def token_budget(t: pa.Table) -> pa.Table:
+    """→ doc_id, n_ws_tokens, n_bpe_tokens: both token notions a
+    training-data pipeline budgets with, side by side (column names match
+    the DuckDB oracle)."""
+    texts = t.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_ws_tokens": pa.array(token_count(texts)),
+            "n_bpe_tokens": pa.array(bpe_token_count(texts)),
         }
     )
 

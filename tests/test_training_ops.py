@@ -189,6 +189,48 @@ class TestTextStages:
         qs = {r["doc_id"]: r["quality"] for r in ds.map_batches(quality_score, batch_format="pyarrow").take_all()}
         assert 0.0 <= qs[1] <= 1.0
 
+    def test_token_budget(self, ray_session):
+        """BPE-ish segment counts: hand-computed expectations, plus the
+        DuckDB regexp_extract_all parity the oracle depends on (the
+        pattern is deliberately RE2-restricted; leftmost-first in both)."""
+        import duckdb
+        import ray.data
+        from osm_export_tool_python_ray.functions.text import (
+            BPE_TOKEN_PATTERN,
+            bpe_token_count,
+        )
+        from osm_export_tool_python_ray.stages.textstages import token_budget
+
+        # "don't stop" → ["don", "'t", " stop"]; "a1b" → ["a","1","b"]
+        texts = [
+            "don't stop",
+            "a1b",
+            "hello, world!",
+            "",
+            "price $1,234.56",
+            "café naïve",   # non-ASCII letters hit the symbol class
+            "x y",               # unicode NBSP is NOT \s under re.ASCII
+        ]
+        counts = bpe_token_count(texts)
+        assert list(counts) == [3, 3, 4, 0, 7, 5, 3]
+
+        t = doc_table(texts)
+        rows = {
+            r["doc_id"]: r
+            for r in ray.data.from_arrow(t)
+            .map_batches(token_budget, batch_format="pyarrow")
+            .take_all()
+        }
+        assert rows[0]["n_bpe_tokens"] == 3 and rows[0]["n_ws_tokens"] == 2
+
+        con = duckdb.connect()
+        sql_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+        for s, expect in zip(texts, counts):
+            got = con.execute(
+                "SELECT len(regexp_extract_all(?, '%s'))" % sql_pat, [s]
+            ).fetchone()[0]
+            assert got == expect, (s, got, expect)
+
     def test_langid(self, ray_session):
         from osm_export_tool_python_ray.functions.text import lang_id
 
