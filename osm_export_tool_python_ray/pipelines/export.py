@@ -196,7 +196,9 @@ def run_export(
         batch_format="pyarrow",
     )
 
-    features = point_feats.union(way_feats, rel_feats)
+    from osm_export_tool_python_ray.stages.exchange import union_all
+
+    features = union_all(point_feats, way_feats, rel_feats)
     themed = features.map_batches(ThemeRouter(mapping), batch_format="pyarrow")
     if workdir:
         from osm_export_tool_python_ray.state.checkpoint import checkpoint

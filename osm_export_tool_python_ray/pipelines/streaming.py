@@ -473,8 +473,10 @@ def run_export_streaming(
         batch_format="pyarrow",
     )
 
+    from osm_export_tool_python_ray.stages.exchange import union_all
+
     router = ThemeRouter(mapping)
-    themed = point_feats.union(flow_feats).map_batches(router, batch_format="pyarrow").map_batches(
+    themed = union_all(point_feats, flow_feats).map_batches(router, batch_format="pyarrow").map_batches(
         lambda t: t.append_column("media_ref", pa.nulls(t.num_rows, type=pa.string())),
         batch_format="pyarrow",
     )
@@ -501,5 +503,5 @@ def run_export_streaming(
                 )
             )
 
-        themed = themed.union(elements.map_batches(tiles_out, batch_format="pyarrow"))
+        themed = union_all(themed, elements.map_batches(tiles_out, batch_format="pyarrow"))
     return themed

@@ -67,6 +67,12 @@ Scale/deadlock notes (the reason this is centralized here):
   Consequence: later ``groupby().aggregate()`` calls on the same lineage
   also plan as hash aggregates (fine — they need no global order either)
   and inherit ``default_hash_shuffle_parallelism`` set here.
+* ``Dataset.union`` adopts only the FIRST operand's context, so a hash
+  exchange on a non-first branch is invisible to the planner at the root
+  — a branch-merge must go through ``union_all`` below, which re-inherits
+  the hash settings onto the union's context (the round-3 CLI/workdir
+  failure: point features rode a fresh checkpoint-read context while
+  way/relation assembly exchanged).
 * Row order within a group is arrival order (nondeterministic); every
   kernel passed to ``grouped_map`` must impose its own total order, which
   all engine kernels already do (two-parallelism determinism tests pin
@@ -108,6 +114,28 @@ def _enable_hash(ctx, num_partitions):
     ctx.max_hash_shuffle_aggregators = int(
         os.environ.get("OSM_RAY_MAX_AGGREGATORS", "8")
     )
+
+
+def union_all(first, *rest):
+    """``Dataset.union`` with exchange-context inheritance.
+
+    Ray plans the WHOLE physical DAG with the root dataset's DataContext,
+    but ``union`` adopts (a copy of) only the FIRST operand's context
+    (``Dataset.union`` → ``LogicalPlan(op, self.context)``). If a non-first
+    operand's lineage contains a keyed repartition (our hash exchange), and
+    the first operand's lineage does not — e.g. the point-features branch
+    read straight from a checkpoint while way/relation assembly exchanged —
+    physical planning under the root's SORT context rejects the repartition
+    outright (``plan_all_to_all_op.py``: "Key-based repartitioning only
+    supported for HASH_SHUFFLE"). Use this instead of ``.union`` at any
+    site where the result can reach execution without a later
+    ``grouped_map`` on the same lineage."""
+    out = first.union(*rest)
+    for s in (first,) + rest:
+        if s.context.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+            _enable_hash(out.context, s.context.default_hash_shuffle_parallelism)
+            break
+    return out
 
 
 def grouped_map(ds, key, fn, *, num_partitions, batch_format="pyarrow", strategy=None, **kwargs):
