@@ -247,6 +247,68 @@ def minhash_signatures_batch(texts, seeds, k=5, chunk_windows=1 << 18):
     return out
 
 
+def winnow_fingerprints_batch(texts, k=8, w=4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    the rolling-hash fingerprint family — k-byte gram hashes in position
+    order, then the DISTINCT minima of every trailing window of ``w``
+    consecutive hashes. Guarantees every match of length ≥ k+w-1 shares a
+    fingerprint while keeping ~2/(w+1) density.
+
+    Spec (shared verbatim with the DuckDB oracle): gram hash =
+    mix64(le64-pack(bytes) XOR len<<56) (the injective window pack of
+    ``shingle_windows_batch`` through the ``_mix64`` avalanche, unseeded);
+    a doc with 0 < c < w gram hashes yields one fingerprint = min of all
+    (its last trailing window covers the whole doc); window-min selection
+    is "positions p with p ≥ w-1 OR p = c-1", deduplicated per doc.
+
+    Returns ``(doc_idx, fp)``: int64 row indices into ``texts`` and the
+    uint64 fingerprints, one row per distinct (doc, fingerprint).
+    Vectorized: one global sliding-window min over the concatenated hash
+    array + a grouped arange to index per-doc trailing windows."""
+    x, offsets = shingle_windows_batch(texts, k)
+    counts = np.diff(offsets)
+    n = len(counts)
+    if not len(x):
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    tmp = np.empty_like(x)
+    with np.errstate(over="ignore"):
+        _mix64_inplace(x, tmp)
+
+    # full windows: leading-window mins over the concatenated array, then
+    # per-doc gather of starts offsets[d] .. offsets[d]+c-w (windows that
+    # stay inside the doc = exactly the trailing windows at p >= w-1)
+    sel = np.maximum(counts - (w - 1), 0)
+    if sel.sum():
+        lead = np.min(
+            np.lib.stride_tricks.sliding_window_view(x, w), axis=1
+        )
+        rep = np.repeat(np.arange(n), sel)
+        within = np.arange(int(sel.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(sel)])[:-1], sel
+        )
+        docs = rep
+        fps = lead[offsets[:-1][rep] + within]
+    else:
+        docs = np.array([], dtype=np.int64)
+        fps = np.array([], dtype=np.uint64)
+
+    short = np.nonzero((counts > 0) & (counts < w))[0]
+    if len(short):
+        smins = np.array(
+            [x[offsets[d] : offsets[d + 1]].min() for d in short], dtype=np.uint64
+        )
+        docs = np.concatenate([docs, short])
+        fps = np.concatenate([fps, smins])
+
+    # distinct per doc
+    order = np.lexsort((fps, docs))
+    docs, fps = docs[order], fps[order]
+    keep = np.concatenate(
+        [[True], (docs[1:] != docs[:-1]) | (fps[1:] != fps[:-1])]
+    )
+    return docs[keep].astype(np.int64), fps[keep]
+
+
 def word_ngrams(text, n=3):
     toks = [w.lower() for w in _TOKEN_RE.findall(text or "")]
     if len(toks) < n:

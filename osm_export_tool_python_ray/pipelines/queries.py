@@ -533,6 +533,63 @@ SQL_MINHASH_PAIRS = (
     % (_MH_MATCHES, _MH_MATCHES)
 )
 
+def q_winnow_fingerprints(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import winnow_fp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(winnow_fp, batch_format="pyarrow")
+
+
+def _build_winnow_sql(k=8, w=4):
+    """Winnowing fingerprints re-derived in SQL: 8-byte gram hashes in
+    position order (hex(encode(nt)) byte parsing → le64 pack XOR len<<56 →
+    mix64, the same unseeded hash as functions/text.py
+    winnow_fingerprints_batch), trailing window-min via a ROWS-frame
+    window function, distinct minima at positions p ≥ w-1 or p = cnt-1
+    (short docs: the last trailing window covers the whole doc)."""
+    hexdig = "0123456789ABCDEF"
+    win_le = _le64_expr("substr(hx, 2*i + 1, %d)" % (2 * k), nbytes=k, digits=hexdig)
+    short_le = _le64_expr("rpad(hx, 16, '0')", nbytes=8, digits=hexdig)
+    return r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
+),
+nhx AS (
+  SELECT doc_id, hex(encode(nt)) AS hx, octet_length(encode(nt)) AS n FROM norm
+),
+grams AS (
+  SELECT doc_id, i AS pos, {mix_win} AS h
+  FROM nhx, UNNEST(range(0, n - {km1})) r(i)
+  WHERE n >= {k}
+  UNION ALL
+  SELECT doc_id, 0 AS pos, {mix_short} AS h
+  FROM nhx WHERE n BETWEEN 1 AND {km1}
+),
+wins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {wm1} PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM grams
+)
+SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE pos >= {wm1} OR pos = cnt - 1
+""".format(
+        mix_win=_sql_mix64(
+            "xor(%s, CAST('%d' AS UBIGINT))" % (win_le, k << 56)
+        ),
+        mix_short=_sql_mix64(
+            "xor(%s, CAST(n AS UBIGINT) * CAST('72057594037927936' AS UBIGINT))"
+            % short_le
+        ),
+        k=k,
+        km1=k - 1,
+        wm1=w - 1,
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = _build_winnow_sql()
+
+
 # connected components over the MinHash pair graph: recursive min-label CTE
 SQL_DEDUP_CLUSTERS = (
     "WITH RECURSIVE "
@@ -1541,6 +1598,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "token_budget": q_token_budget,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "quality_score": q_quality_score,
     "lang_counts": q_lang_counts,
     "theme_filter": q_theme_filter,
@@ -1607,6 +1665,7 @@ ORACLES = {
     "doc_stats": SQL_DOC_STATS,
     "token_budget": SQL_TOKEN_BUDGET,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_counts": SQL_LANG_COUNTS,
     "theme_filter": SQL_THEME_FILTER,

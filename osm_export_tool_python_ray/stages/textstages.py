@@ -12,6 +12,7 @@ from osm_export_tool_python_ray.functions.text import (
     lang_id,
     quality_stats,
     token_count,
+    winnow_fingerprints_batch,
 )
 
 
@@ -41,6 +42,21 @@ def token_budget(t: pa.Table) -> pa.Table:
             "doc_id": t.column("doc_id"),
             "n_ws_tokens": pa.array(token_count(texts)),
             "n_bpe_tokens": pa.array(bpe_token_count(texts)),
+        }
+    )
+
+
+def winnow_fp(t: pa.Table) -> pa.Table:
+    """→ (doc_id, fp) rows: winnowing rolling-hash fingerprints (distinct
+    trailing-window minima of k-byte gram hashes — see
+    functions/text.py winnow_fingerprints_batch; column names match the
+    DuckDB oracle)."""
+    texts = t.column("text").to_pylist()
+    idx, fps = winnow_fingerprints_batch(texts)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id").take(pa.array(idx)),
+            "fp": pa.array(fps, type=pa.uint64()),
         }
     )
 

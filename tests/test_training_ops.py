@@ -189,6 +189,41 @@ class TestTextStages:
         qs = {r["doc_id"]: r["quality"] for r in ds.map_batches(quality_score, batch_format="pyarrow").take_all()}
         assert 0.0 <= qs[1] <= 1.0
 
+    def test_winnow_fingerprints(self, ray_session):
+        """Winnowing guarantee: any shared substring of length ≥ k+w-1
+        (= 11 bytes at k=8, w=4) produces a shared fingerprint; plus
+        short-doc and dedup behavior."""
+        import ray.data
+        from osm_export_tool_python_ray.functions.text import winnow_fingerprints_batch
+        from osm_export_tool_python_ray.stages.textstages import winnow_fp
+
+        shared = "the quick brown fox jumps over"
+        texts = [
+            "AAAA %s BBBB" % shared,
+            "cccc dddd %s eeee" % shared,
+            "completely unrelated words here with zero overlap at all",
+            "tiny",        # < k bytes → one whole-doc hash → one fp
+            "exactly9!",   # 9 bytes → 2 grams < w → one fp (min)
+            "",            # no grams → no rows
+        ]
+        idx, fps = winnow_fingerprints_batch(texts)
+        per_doc = {d: set() for d in range(len(texts))}
+        for d, f in zip(idx, fps):
+            per_doc[d].add(int(f))
+        assert per_doc[0] & per_doc[1], "shared 30-byte substring must share a fingerprint"
+        assert not (per_doc[2] & per_doc[0])
+        assert len(per_doc[3]) == 1 and len(per_doc[4]) == 1
+        assert len(per_doc[5]) == 0
+        # rows are distinct per (doc, fp)
+        assert len(set(zip(idx.tolist(), fps.tolist()))) == len(idx)
+
+        t = doc_table(texts)
+        rows = ray.data.from_arrow(t).map_batches(winnow_fp, batch_format="pyarrow").take_all()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert got[0] == per_doc[0] and got[3] == per_doc[3]
+
     def test_token_budget(self, ray_session):
         """BPE-ish segment counts: hand-computed expectations, plus the
         DuckDB regexp_extract_all parity the oracle depends on (the
