@@ -15,16 +15,26 @@ import re
 
 import numpy as np
 
-_TOKEN_RE = re.compile(r"\S+")
+# Whitespace/token classes are EXPLICIT, not \s/\S: the DuckDB oracles run
+# RE2, whose \s is exactly [\t\n\f\r ] — Python's \s additionally matches
+# \x0b (even under re.ASCII) and, without the flag, Unicode spaces like
+# NBSP. Writing the RE2 class out verbatim on both sides makes every
+# text oracle exact on ALL inputs, not just the ASCII corpus. Likewise
+# .strip(" ") below mirrors DuckDB trim() (spaces only).
+_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")  # == RE2 \S+
 _PUNCT_RE = re.compile(r"[.!?,;:]")
-_WS_RE = re.compile(r"\s+")
+_WS_RE = re.compile(r"[\t\n\f\r ]+")  # == RE2 \s+
 # GPT-2-style pre-tokenizer, restricted to an RE2-compatible subset (no
-# lookahead, ASCII classes) so DuckDB's regexp_extract_all reproduces it
-# exactly; re.ASCII pins Python's \s to RE2's ASCII semantics. Alternation
-# order matters (leftmost-FIRST in both engines): contraction suffixes,
-# then space-glued letter runs, digit runs, other-symbol runs, whitespace.
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
-_BPE_TOKEN_RE = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
+# lookahead, explicit ASCII classes) so DuckDB's regexp_extract_all
+# reproduces it exactly (SQL_TOKEN_BUDGET interpolates THIS constant).
+# Alternation order matters (leftmost-FIRST in both engines): contraction
+# suffixes, then space-glued letter runs, digit runs, other-symbol runs,
+# whitespace runs.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\t\n\f\r ']+|[\t\n\f\r ]+"
+)
+_BPE_TOKEN_RE = re.compile(BPE_TOKEN_PATTERN)
 _WORD_RE = re.compile(r"[a-zA-Z]+")
 
 STOPWORDS = {
@@ -78,7 +88,7 @@ def fingerprint(texts):
     md5(lower(regexp_replace(trim(text),'\\s+',' ','g'))))."""
     out = []
     for t in texts:
-        norm = _WS_RE.sub(" ", (t or "").strip().lower())
+        norm = _WS_RE.sub(" ", (t or "").strip(" ").lower())
         out.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
     return out
 
@@ -122,7 +132,7 @@ def char_shingles(text, k=5):
     all their bytes (the length term disambiguates them from true k-byte
     windows)."""
     assert k <= 8
-    norm = _WS_RE.sub(" ", (text or "").strip().lower()).encode("utf-8")
+    norm = _WS_RE.sub(" ", (text or "").strip(" ").lower()).encode("utf-8")
     if not norm:
         return set()
     if len(norm) < k:
@@ -147,7 +157,7 @@ def shingle_windows_batch(texts, k=5):
     viewed as uint64. Docs with empty normalized text get zero windows."""
     assert k <= 8
     n = len(texts)
-    norms = [_WS_RE.sub(" ", (t or "").strip().lower()).encode("utf-8") for t in texts]
+    norms = [_WS_RE.sub(" ", (t or "").strip(" ").lower()).encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in norms), dtype=np.int64, count=n)
     # windows per doc: len-k+1 for len>=k, 1 for 0<len<k, 0 for empty
     counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))

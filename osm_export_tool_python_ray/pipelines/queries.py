@@ -80,17 +80,24 @@ def q_token_budget(sf_dir):
     return ds.map_batches(token_budget, batch_format="pyarrow")
 
 
-# The engine's BPE_TOKEN_PATTERN is restricted to the RE2 subset precisely
-# so the oracle can count the same segments with regexp_extract_all
-# (leftmost-first alternation in both engines; re.ASCII pins \s parity).
-SQL_TOKEN_BUDGET = r"""
+def _build_token_budget_sql():
+    """The engine's BPE_TOKEN_PATTERN is restricted to the RE2 subset
+    (no lookahead, explicit [\\t\\n\\f\\r ] whitespace classes) precisely
+    so the oracle can count the same segments with regexp_extract_all —
+    leftmost-first alternation in both engines. The pattern is
+    interpolated from the Python constant so the two sides cannot
+    drift."""
+    from osm_export_tool_python_ray.functions.text import BPE_TOKEN_PATTERN
+
+    return r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-       len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'
-       )) AS n_bpe_tokens
+       len(regexp_extract_all(text, '%s')) AS n_bpe_tokens
 FROM documents
-"""
+""" % BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+SQL_TOKEN_BUDGET = _build_token_budget_sql()
 
 
 def q_doc_stats(sf_dir):
@@ -456,6 +463,21 @@ def _sql_mix64(v):
     return s
 
 
+# Shared normalized-text CTEs for every byte-gram hash oracle (MinHash,
+# winnowing): ONE copy of the normalization spec, exactly mirroring
+# functions/text.py shingle_windows_batch — DuckDB trim() strips spaces
+# only (engine: .strip(" ")), RE2 \s+ is [\t\n\f\r ]+ (engine: the same
+# explicit class), lower() is Unicode on both sides.
+_NORM_NHX_CTES = r"""
+norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
+),
+nhx AS (
+  SELECT doc_id, hex(encode(nt)) AS hx, octet_length(encode(nt)) AS n FROM norm
+),
+"""
+
+
 def _build_minhash_pair_ctes():
     """CTE chain re-deriving the FULL MinHash-LSH pipeline in DuckDB
     (oracle for q_minhash_pairs): normalized UTF-8 text → 5-BYTE shingle
@@ -476,13 +498,7 @@ def _build_minhash_pair_ctes():
     hexdig = "0123456789ABCDEF"
     win_le = _le64_expr("substr(hx, 2*i + 1, 10)", nbytes=5, digits=hexdig)
     short_le = _le64_expr("rpad(hx, 16, '0')", nbytes=8, digits=hexdig)
-    return r"""
-norm AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
-),
-nhx AS (
-  SELECT doc_id, hex(encode(nt)) AS hx, octet_length(encode(nt)) AS n FROM norm
-),
+    return _NORM_NHX_CTES + r"""
 shh AS (
   SELECT DISTINCT doc_id,
          xor({win_le}, CAST('{k_shift}' AS UBIGINT)) AS hv
@@ -550,13 +566,7 @@ def _build_winnow_sql(k=8, w=4):
     hexdig = "0123456789ABCDEF"
     win_le = _le64_expr("substr(hx, 2*i + 1, %d)" % (2 * k), nbytes=k, digits=hexdig)
     short_le = _le64_expr("rpad(hx, 16, '0')", nbytes=8, digits=hexdig)
-    return r"""
-WITH norm AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
-),
-nhx AS (
-  SELECT doc_id, hex(encode(nt)) AS hx, octet_length(encode(nt)) AS n FROM norm
-),
+    return "WITH " + _NORM_NHX_CTES + r"""
 grams AS (
   SELECT doc_id, i AS pos, {mix_win} AS h
   FROM nhx, UNNEST(range(0, n - {km1})) r(i)
