@@ -552,3 +552,69 @@ def simhash_batch(texts):
 
 def hamming64(a, b):
     return bin(int(a) ^ int(b)).count("1")
+
+
+# Word tokens for the repetition/vocabulary family: lowered [a-z0-9]+ runs
+# — RE2-identical on both sides (the oracle runs
+# regexp_extract_all(lower(text), '[a-z0-9]+')).
+_ALNUM_RE = re.compile(r"[a-z0-9]+")
+
+
+def alnum_tokens_batch(texts):
+    """Per-doc lowered ``[a-z0-9]+`` word tokens: (flat_token_list,
+    tokens_per_doc int64 array). One C-regex pass per doc; everything
+    downstream of this is numpy over the flattened stream."""
+    toks_per_doc = [_ALNUM_RE.findall((t or "").lower()) for t in texts]
+    ntoks = np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts)
+    )
+    return [w for ts in toks_per_doc for w in ts], ntoks
+
+
+def repetition_stats_batch(texts):
+    """Per-doc Gopher-style repetition stats over lowered [a-z0-9]+ word
+    tokens: ``(n_words, n_uniq_words, top_bigram_count, n_bigrams)`` as
+    int64 arrays (all INTEGER so the DuckDB oracle is exact with no float
+    rounding hazard; downstream filters compare integer cross-products).
+
+    Vectorized: one C-regex token pass per doc, ONE ``hash_strings_128``
+    call over the whole batch's token stream, lexsort-based per-doc
+    distinct count, and a shifted-array mix64 fold for bigram keys with a
+    run-length max per doc. The oracle groups bigram STRINGS, so a u64
+    key collision would surface as a count mismatch."""
+    import pyarrow as pa
+
+    n = len(texts)
+    flat, ntoks = alnum_tokens_batch(texts)
+    n_uniq = np.zeros(n, dtype=np.int64)
+    top_bg = np.zeros(n, dtype=np.int64)
+    n_bg = np.maximum(ntoks - 1, 0)
+    if not flat:
+        return ntoks, n_uniq, top_bg, n_bg
+    h1, _h2 = hash_strings_128(pa.array(flat, type=pa.string()))
+    doc_of = np.repeat(np.arange(n), ntoks)
+    order = np.lexsort((h1, doc_of))
+    d_s, k_s = doc_of[order], h1[order]
+    first = np.ones(len(flat), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+    n_uniq = np.bincount(d_s[first], minlength=n).astype(np.int64)
+    # bigram keys: order-sensitive fold of consecutive token hashes
+    tok_off = np.concatenate([[0], np.cumsum(ntoks)])
+    g_off = np.concatenate([[0], np.cumsum(n_bg)])
+    total = int(g_off[-1])
+    if total:
+        bdoc = np.repeat(np.arange(n), n_bg)
+        within = np.arange(total) - np.repeat(g_off[:-1], n_bg)
+        starts = tok_off[:-1][bdoc] + within
+        with np.errstate(over="ignore"):
+            acc = _mix64(np.full(total, _POLY_P1, dtype=np.uint64))
+            acc = _mix64(acc * _POLY_P1 ^ h1[starts])
+            acc = _mix64(acc * _POLY_P1 ^ h1[starts + 1])
+        order = np.lexsort((acc, bdoc))
+        d_s, k_s = bdoc[order], acc[order]
+        brk = np.ones(total, dtype=bool)
+        brk[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+        idx = np.flatnonzero(brk)
+        runs = np.diff(np.append(idx, total))
+        np.maximum.at(top_bg, d_s[idx], runs)
+    return ntoks, n_uniq, top_bg, n_bg

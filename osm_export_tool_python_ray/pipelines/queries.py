@@ -183,6 +183,170 @@ FROM d
 """
 
 
+def q_repetition_quality(sf_dir):
+    """Gopher-style within-document repetition filters (integer-exact:
+    every output column is a count or an integer-cross-product boolean,
+    so the oracle carries no float rounding hazard)."""
+    from osm_export_tool_python_ray.stages.textstages import repetition_quality
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_quality, batch_format="pyarrow"
+    )
+
+
+SQL_REPETITION_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+wc AS (
+  SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_uniq FROM toks
+),
+bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t))) r(i)
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bgm AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY doc_id)
+SELECT w.doc_id, w.n_words, w.n_uniq,
+       coalesce(m.mx, 0) AS top_bigram_count,
+       greatest(w.n_words - 1, 0) AS n_bigrams,
+       (10 * w.n_uniq) < (7 * w.n_words) AS high_repetition
+FROM wc w LEFT JOIN bgm m USING (doc_id)
+"""
+
+
+def q_vocab_topk(sf_dir):
+    """Corpus vocabulary: top-100 terms by document frequency with tf and
+    idf. Per-batch combiner (stages/textstages.py vocab_partial) collapses
+    the token stream to |vocab| partial rows BEFORE the groupby, so the
+    all-to-all moves vocabulary rows, not tokens; the final sort runs over
+    |vocab| rows only. Ties at the cut rank break by term (both sides)."""
+    from osm_export_tool_python_ray.stages.textstages import vocab_partial
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.column("sum(df)")
+        idf = pc.round(
+            pa.array(np.log((n_docs + 1) / (np.asarray(df).astype(np.float64) + 1.0))),
+            6,
+        )
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "df": df,
+                "tf": t.column("sum(tf)"),
+                "idf": idf,
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["df", "tf"])
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+SQL_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf FROM w GROUP BY term)
+SELECT term, df, tf,
+       round(ln(((SELECT count(*) FROM documents) + 1) / (df + 1.0)), 6) AS idf
+FROM agg ORDER BY df DESC, term LIMIT 100
+"""
+
+
+def q_decontaminate(sf_dir):
+    """Benchmark n-gram-overlap decontamination: broadcast the held-out
+    slice's distinct 5-gram keys, probe per batch — no shuffle on the
+    corpus side (stages/decontam.py)."""
+    from osm_export_tool_python_ray.stages.decontam import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# Gram semantics mirror _NGRAM_PAIR_CTES with n=5 (lowered \S+ tokens,
+# whole-doc gram for 1..4-token docs, DISTINCT per doc); the oracle joins
+# gram STRINGS, so an engine u64 key collision would surface here.
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), s -> lower(s)) AS tk
+  FROM documents
+),
+grams_all AS (
+  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(tk) - 3)) AS r(i)
+  WHERE len(tk) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) BETWEEN 1 AND 4
+),
+gset AS (SELECT DISTINCT doc_id, gram FROM grams_all),
+bench AS (SELECT DISTINCT gram FROM gset WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_overlap
+  FROM gset g JOIN bench b ON b.gram = g.gram
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def q_pii_redact(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import pii_redact
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pii_redact, batch_format="pyarrow"
+    )
+
+
+def _build_pii_redact_sql():
+    """Patterns interpolated from the engine constants (RE2-restricted,
+    no single quotes) so the two sides cannot drift; the md5 of the
+    redacted text verifies the scrubbed BYTES, not just span counts."""
+    from osm_export_tool_python_ray.stages.textstages import (
+        PII_EMAIL_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    return r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@mail.example.com or call +1-555-' ||
+         lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') || ' now' AS a
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(a, '{em}')) AS n_emails,
+       len(regexp_extract_all(a, '{ph}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(a, '{em}', '<EMAIL>', 'g'),
+                          '{ph}', '<PHONE>', 'g')) AS red_md5
+FROM aug
+""".format(em=PII_EMAIL_PATTERN, ph=PII_PHONE_PATTERN)
+
+
+SQL_PII_REDACT = _build_pii_redact_sql()
+
+
+def q_hash_sample(sf_dir):
+    from osm_export_tool_python_ray.stages.textstages import hash_sample
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "source"]).map_batches(
+        hash_sample, batch_format="pyarrow"
+    )
+
+
 def q_lang_counts(sf_dir):
     from ray.data.aggregate import Count
 
@@ -306,6 +470,15 @@ def _le64_expr(h, nbytes=8, digits="0123456789abcdef"):
         lo = "CAST(strpos('%s', substr(%s, %d, 1))-1 AS UBIGINT)" % (digits, h, 2 * k + 2)
         terms.append("((%s * 16 + %s) * CAST(%d AS UBIGINT))" % (hi, lo, 1 << (8 * k)))
     return "(" + " + ".join(terms) + ")"
+
+
+# le64(md5(doc_id)) % 10 — the same md5-first-8-LE family as hash_bytes,
+# so the sampled row SET is byte-identical to stages/textstages.py
+# hash_sample.
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ({le}) % 10 = 0
+""".format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
 
 
 # full SimHash re-derivation in SQL (oracle for q_simhash_pairs): per-doc
@@ -1610,6 +1783,11 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "quality_score": q_quality_score,
+    "repetition_quality": q_repetition_quality,
+    "vocab_topk": q_vocab_topk,
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
+    "hash_sample": q_hash_sample,
     "lang_counts": q_lang_counts,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
@@ -1677,6 +1855,11 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "quality_score": SQL_QUALITY_SCORE,
+    "repetition_quality": SQL_REPETITION_QUALITY,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_redact": SQL_PII_REDACT,
+    "hash_sample": SQL_HASH_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

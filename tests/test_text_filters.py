@@ -1,0 +1,207 @@
+"""Round-3b training-data filters: repetition quality (Gopher-style),
+vocabulary top-k, benchmark-n-gram decontamination, PII redaction, and
+deterministic hash sampling — planted-semantics unit tests plus full
+DuckDB oracle parity over a temp documents table (the same comparison
+the driver runs)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def write_sf_dir(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs or ["en"] * n, type=pa.string()),
+            "source": pa.array(sources or ["srcT"] * n, type=pa.string()),
+            "n_chars": pa.array([len(x or "") for x in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def oracle_compare(sf_dir, names):
+    """Run each named query and its oracle over sf_dir, assert the
+    sorted-column frames are identical (the driver's comparison)."""
+    import duckdb
+    import pandas as pd
+
+    from osm_export_tool_python_ray.pipelines.queries import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+        % sf_dir
+    )
+    for name in names:
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+        ora = con.execute(ORACLES[name]).df()
+        rc, oc = sorted(res.columns), sorted(ora.columns)
+        assert rc == oc, (name, rc, oc)
+        a = res[rc].sort_values(rc).reset_index(drop=True)
+        b = ora[oc].sort_values(oc).reset_index(drop=True)
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        for c in rc:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                assert np.allclose(
+                    av.astype(float).round(6), bv.astype(float).round(6), atol=1e-9
+                ), (name, c)
+            else:
+                assert av.astype(str).equals(bv.astype(str)), (name, c)
+
+
+class TestRepetitionQuality:
+    def test_planted(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.textstages import repetition_quality
+
+        texts = [
+            "a a a a",          # 4 words, 1 uniq, bigram 'a a' x3
+            "w x y z",          # all unique
+            "",                 # empty
+            "solo",             # 1 word, 0 bigrams
+            "go go stop go go", # top bigram 'go go' x2
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in ray.data.from_arrow(t)
+            .map_batches(repetition_quality, batch_format="pyarrow")
+            .take_all()
+        }
+        assert rows[0]["n_words"] == 4 and rows[0]["n_uniq"] == 1
+        assert rows[0]["top_bigram_count"] == 3 and rows[0]["n_bigrams"] == 3
+        assert rows[0]["high_repetition"] is True
+        assert rows[1]["n_uniq"] == 4 and rows[1]["high_repetition"] is False
+        assert rows[2]["n_words"] == 0 and rows[2]["high_repetition"] is False
+        assert rows[3]["n_bigrams"] == 0 and rows[3]["top_bigram_count"] == 0
+        assert rows[4]["top_bigram_count"] == 2 and rows[4]["n_bigrams"] == 4
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        texts = [
+            "the cat the cat the cat",
+            "one two three four five six",
+            "",
+            "punct, stays; out! 9lives 9lives",
+            "Tabs\tand  runs   collapse",
+        ] * 3
+        sf = write_sf_dir(tmp_path, texts)
+        oracle_compare(sf, ["repetition_quality", "vocab_topk"])
+
+
+class TestDecontaminate:
+    def test_planted(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.decontam import decontaminate
+
+        # doc 0 is the benchmark slice (0 % 97 == 0); doc 97 also matches
+        # the slice rule and must NOT appear in the output.
+        bench = "alpha beta gamma delta epsilon zeta"
+        texts = {
+            0: bench,
+            1: "prefix alpha beta gamma delta epsilon suffix",  # shares 5-gram
+            2: "totally different words here now then",          # clean
+            3: "alpha beta gamma delta",                         # 4-gram only: clean
+            97: bench,
+        }
+        ids = sorted(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+                "text": pa.array([texts[i] for i in ids]),
+            }
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in decontaminate(ray.data.from_arrow(t)).take_all()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["contaminated"] is True and rows[1]["n_overlap"] >= 1
+        assert rows[2]["contaminated"] is False and rows[2]["n_overlap"] == 0
+        # 4-token doc folds a whole-doc gram, distinct from any 5-gram of
+        # the benchmark AND from the benchmark's own whole-doc gram
+        assert rows[3]["contaminated"] is False
+
+    def test_short_doc_whole_gram_hits(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.decontam import decontaminate
+
+        # benchmark doc is itself short: its whole-doc gram must match an
+        # identical short training doc
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.array([0, 5], dtype=np.int64)),
+                "text": pa.array(["tiny doc", "tiny doc"]),
+            }
+        )
+        rows = decontaminate(ray.data.from_arrow(t)).take_all()
+        assert len(rows) == 1 and rows[0]["contaminated"] is True
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        rng = np.random.RandomState(7)
+        vocab = ["ab", "cd", "ef", "gh", "ij", "kl"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(0, 12)))
+            for _ in range(300)
+        ]
+        sf = write_sf_dir(tmp_path, texts)
+        oracle_compare(sf, ["decontaminate"])
+
+
+class TestPiiAndSample:
+    def test_pii_counts(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.textstages import pii_redact
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.array([3], dtype=np.int64)),
+                "text": pa.array(["reach me at bob.smith+x@corp.io or 44-201-5556"]),
+            }
+        )
+        r = ray.data.from_arrow(t).map_batches(
+            pii_redact, batch_format="pyarrow"
+        ).take_all()[0]
+        # organic email + appended one; organic phone + appended one
+        assert r["n_emails"] == 2 and r["n_phones"] == 2
+        assert len(r["red_md5"]) == 32
+
+    def test_hash_sample_deterministic(self, ray_session):
+        from osm_export_tool_python_ray.stages.textstages import hash_sample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+                "lang": pa.array(["en"] * 1000),
+                "source": pa.array(["s"] * 1000),
+            }
+        )
+        a = hash_sample(t).column("doc_id").to_pylist()
+        b = hash_sample(t).column("doc_id").to_pylist()
+        assert a == b and 0 < len(a) < 1000
+        # rate ~1/10
+        assert 50 < len(a) < 200
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        texts = ["words %d here" % i for i in range(120)]
+        sf = write_sf_dir(tmp_path, texts)
+        oracle_compare(sf, ["pii_redact", "hash_sample"])
