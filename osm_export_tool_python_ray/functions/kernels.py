@@ -366,7 +366,11 @@ def _ring_contains(ring, pt):
 def ring_intersection(subject, clip, _retry=True):
     """Greiner–Hormann ring ∩ ring → list of rings (closed arrays).
     Both inputs may be open or closed, any orientation. Degenerate inputs
-    (vertex exactly on the other ring) retried once with a 1e-9 nudge."""
+    (vertex exactly on the other ring, shared/collinear edges) are routed
+    to the exact snapped-integer overlay (functions/overlay.py) instead of
+    the float pass — deterministic, perturbation-free results; the former
+    1e-9-nudge retry is gone. ``_retry`` kept for signature compatibility
+    (the float pass is never re-entered)."""
     subj = ensure_open(orient(ensure_closed(subject), ccw=True))
     clp = ensure_open(orient(ensure_closed(clip), ccw=True))
     if len(subj) < 3 or len(clp) < 3:
@@ -406,9 +410,12 @@ def ring_intersection(subject, clip, _retry=True):
                 pt = tuple(p + t * rxy)
                 inters.append((sv, t, cv, u, pt))
 
-    if degenerate and _retry:
-        nudged = subj + np.array([1.7e-9, 2.3e-9])
-        return ring_intersection(nudged, clp, _retry=False)
+    if degenerate:
+        from osm_export_tool_python_ray.functions.overlay import (
+            ring_intersection_exact,
+        )
+
+        return ring_intersection_exact(subj, clp)
 
     if not inters:
         if _ring_contains(clp, tuple(subj[0])):
