@@ -80,3 +80,162 @@ class TestPartitionedResume:
             return sorted((r["theme"], r["osm_id"], r["geom_type"], r["wkb"]) for r in rows)
 
         assert canon(partitioned_rows) == canon(single)
+
+
+class TestResidualRecovery:
+    """Reference-closure breaks: a way in one partition referencing nodes
+    in another, and a relation whose member ways live elsewhere, are
+    recovered by the residual pass — output equals the global pipeline."""
+
+    def _docs(self):
+        import json
+
+        import pyarrow as pa
+
+        from osm_export_tool_python_ray.sources.corpus import DOCUMENT_SCHEMA
+
+        def el(d):
+            return {"kind": "osm", "text": json.dumps(d, sort_keys=True), "media_ref": ""}
+
+        def node(i, lon, lat, tags=None):
+            d = {"id": i, "type": "node", "lon": lon, "lat": lat}
+            if tags:
+                d["tags"] = tags
+            return el(d)
+
+        def way(i, refs, tags=None):
+            d = {"id": i, "type": "way", "refs": refs}
+            if tags:
+                d["tags"] = tags
+            return el(d)
+
+        def rel(i, members, tags):
+            return el({"id": i, "type": "relation", "members": members, "tags": tags})
+
+        # docA: nodes + a local complete way; docB: ways/relation whose
+        # geometry lives in docA (cross-fragment references)
+        spansA = [
+            node(1, 0.0, 0.0),
+            node(2, 1.0, 0.0),
+            node(3, 1.0, 1.0),
+            node(4, 0.0, 1.0),
+            node(5, 5.0, 5.0, {"amenity": "bank"}),
+            node(10, 2.0, 0.0),
+            node(11, 3.0, 0.0),
+            way(100, [1, 2], {"highway": "residential"}),  # complete in A
+            way(101, [1, 2, 3, 4, 1]),  # untagged ring, member of rel 200
+        ]
+        spansB = [
+            # incomplete in partition B: nodes live in A
+            way(102, [10, 11], {"highway": "service"}),
+            way(103, [1, 2, 3, 4, 1], {"building": "yes", "name": "x"}),
+            # relation in B, member way 101 (and its nodes) in A
+            rel(
+                200,
+                [{"type": "way", "ref": 101, "role": "outer"}],
+                {"type": "multipolygon", "natural": "water"},
+            ),
+        ]
+
+        def doc(doc_id, spans):
+            return {
+                "doc_id": doc_id,
+                "spans": [dict(s, offset=i) for i, s in enumerate(spans)],
+            }
+
+        return (
+            pa.Table.from_pylist([doc("docA", spansA)], schema=DOCUMENT_SCHEMA),
+            pa.Table.from_pylist([doc("docB", spansB)], schema=DOCUMENT_SCHEMA),
+        )
+
+    @pytest.fixture()
+    def split_corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        a, b = self._docs()
+        d = tmp_path / "corpus"
+        d.mkdir()
+        pq.write_table(a, str(d / "frag0.parquet"))
+        pq.write_table(b, str(d / "frag1.parquet"))
+        return str(d)
+
+    def _water_yaml(self):
+        return MAPPING_YAML + """
+water:
+  types:
+    - polygons
+  select:
+    - natural
+  where: natural = 'water'
+"""
+
+    def test_residual_recovers_cross_partition_refs(
+        self, ray_session, split_corpus, tmp_path
+    ):
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import run_export
+        from osm_export_tool_python_ray.pipelines.partitioned import (
+            run_export_partitioned,
+        )
+
+        mapping = Mapping(self._water_yaml())
+        wd = str(tmp_path / "wd")
+        dirs, metrics = run_export_partitioned(
+            split_corpus, mapping, wd, num_partitions=2, num_buckets=4
+        )
+        r = metrics["residual"]
+        assert r["residual_ways"] >= 2  # 102 and 103 (101 rides as member)
+        assert r["residual_relations"] == 1
+        assert os.path.join(wd, "part=residual", "features") in dirs
+
+        partitioned_rows = []
+        for d in dirs:
+            partitioned_rows.extend(ray.data.read_parquet(d).take_all())
+        single = run_export(
+            ray.data.read_parquet(split_corpus), mapping, num_partitions=2, num_buckets=4
+        ).take_all()
+
+        def canon(rows):
+            return sorted(
+                (r["theme"], r["osm_id"], r["geom_type"], r["wkb"]) for r in rows
+            )
+
+        assert canon(partitioned_rows) == canon(single)
+        # the recovered features include the cross-partition way and the
+        # relation polygon
+        ids = {(r["theme"], r["osm_id"]) for r in partitioned_rows}
+        assert ("roads", 102) in ids
+        assert ("buildings", 103) in ids
+        assert ("water", -200) in ids
+
+    def test_residual_noop_on_closed_partitions(self, ray_session, tmp_path):
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.partitioned import (
+            run_export_partitioned,
+        )
+        from osm_export_tool_python_ray.sources.corpus import corpus_dataset
+
+        d = str(tmp_path / "closed")
+        corpus_dataset(2, docs_per_shard=6).repartition(2).write_parquet(d)
+        wd = str(tmp_path / "wd2")
+        dirs, metrics = run_export_partitioned(
+            d, Mapping(MAPPING_YAML), wd, num_partitions=2, num_buckets=4
+        )
+        r = metrics["residual"]
+        assert r["residual_ways"] == 0 and r["residual_relations"] == 0
+        assert not os.path.exists(os.path.join(wd, "part=residual", "features"))
+
+    def test_residual_resume(self, ray_session, split_corpus, tmp_path):
+        from osm_export_tool_python_ray.pipelines.partitioned import (
+            run_export_partitioned,
+        )
+
+        mapping = Mapping(self._water_yaml())
+        wd = str(tmp_path / "wd3")
+        run_export_partitioned(split_corpus, mapping, wd, num_partitions=2, num_buckets=4)
+        _, metrics2 = run_export_partitioned(
+            split_corpus, mapping, wd, num_partitions=2, num_buckets=4
+        )
+        assert metrics2["residual"]["resumed"] is True
