@@ -1270,6 +1270,123 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+def q_asof_join(sf_dir):
+    """AS-OF join (stages/temporal.py): every event matched to the most
+    recent 'purchase' event of the same user at-or-before its timestamp
+    (tie-break: max event_id), null when no purchase precedes. The two
+    sides are aligned into one tagged schema and exchanged ONCE on the
+    user key; the in-group merge is a lexsort + segmented cummax."""
+    from osm_export_tool_python_ray.stages.temporal import asof_match
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    # one pass over the read emits BOTH tagged copies (probe rows + the
+    # purchase build rows) — branching the lineage would re-execute the scan
+    def tag_both(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        left = t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+        i = left.schema.get_field_index("value")
+        left = left.set_column(i, "value", pa.nulls(n, type=pa.float64()))
+        right = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        m = right.num_rows
+        right = right.append_column("__side", pa.array(np.zeros(m, dtype=np.int8)))
+        j = right.schema.get_field_index("event_type")
+        right = right.set_column(j, "event_type", pa.nulls(m, type=pa.string()))
+        return pa.concat_tables([left, right])
+
+    combined = ds.map_batches(tag_both, batch_format="pyarrow")
+    out = asof_match(
+        combined,
+        key="user_id",
+        time_col="ts",
+        tie_col="event_id",
+        left_cols=["event_id", "user_id", "ts", "event_type"],
+        right_cols=["ts", "value", "event_id"],
+        out_names=["last_purchase_ts", "last_purchase_value", "last_purchase_event_id"],
+    )
+
+    def round_val(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("last_purchase_value")
+        return t.set_column(
+            i, "last_purchase_value", pc.round(t.column("last_purchase_value"), 4)
+        )
+
+    return out.map_batches(round_val, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT e.event_id,
+         p.ts AS last_purchase_ts,
+         round(p.value, 4) AS last_purchase_value,
+         p.event_id AS last_purchase_event_id,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       r.last_purchase_ts, r.last_purchase_value, r.last_purchase_event_id
+FROM events e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON e.event_id = r.event_id
+"""
+
+
+def q_range_join(sf_dir):
+    """Bounded time-RANGE join (stages/temporal.py): per order, how many
+    lineitems (of ANY order) shipped inside [o_orderdate, o_orderdate +
+    3 days), plus their total quantity — an unkeyed interval join done as
+    epoch-bucketed replication (factor ≤ 2) + per-epoch prefix sums, then
+    a tiny keyed fold of the partials."""
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.stages.temporal import range_join_time
+
+    day_us = 86_400_000_000
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def add_end(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return t.append_column("window_end", pa.array(d + 3 * day_us))
+
+    partials = range_join_time(
+        orders.map_batches(add_end, batch_format="pyarrow"),
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]),
+        interval_key="o_orderkey",
+        start_col="o_orderdate",
+        end_col="window_end",
+        point_time="l_shipdate",
+        point_values=["l_quantity"],
+        epoch_us=3 * day_us,
+    )
+    out = partials.groupby("o_orderkey").aggregate(
+        Sum("n", alias_name="n_ship"), Sum("l_quantity", alias_name="sum_qty")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_qty")
+        return t.set_column(i, "sum_qty", pc.round(t.column("sum_qty"), 4))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+SELECT o.o_orderkey,
+       count(l.l_shipdate) AS n_ship,
+       round(coalesce(sum(l.l_quantity), 0), 4) AS sum_qty
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+GROUP BY o.o_orderkey
+"""
+
+
 # ----------------------------------------------------------------- spatial
 
 def _customer_points(t: pa.Table) -> pa.Table:
@@ -1807,6 +1924,8 @@ QUERIES = {
     "part_stats": q_part_stats,
     "events_window": q_events_window,
     "events_sessions": q_events_sessions,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "cell_counts": q_cell_counts,
     "tile_counts": q_tile_counts,
     "knn": q_knn,
@@ -1879,6 +1998,8 @@ ORACLES = {
     "part_stats": SQL_PART_STATS,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "cell_counts": SQL_CELL_COUNTS,
     "tile_counts": SQL_TILE_COUNTS,
     "knn": SQL_KNN,

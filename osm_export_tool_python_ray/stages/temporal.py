@@ -1,0 +1,248 @@
+"""Temporal join operators the reference lacks but a training-data /
+telemetry pipeline needs (engine mandate; no reference analog — the
+reference's only temporal surface is feature timestamps): an AS-OF join
+and a bounded time-RANGE join, both expressed as keyed/epoch bucketed
+exchanges + vectorized in-group merges (SURVEY §2 custom-operator rule:
+composition of map_batches + grouped exchange, no raw actors).
+
+Both kernels honor the ``grouped_map`` hash-path contract: a partition
+batch is a bag of COMPLETE key-groups, possibly several — every kernel
+re-sorts on the true key internally, never assumes one-group-per-call.
+
+Scale notes
+- ``asof_match``: one exchange of (left ∪ right) bucketed by the join
+  key; within a partition the match is a single lexsort + segmented
+  cummax (no per-key Python loop). Skewed keys cost what any keyed
+  exchange costs; there is no replication.
+- ``range_join_time``: the classic unkeyed interval join. Points are
+  hashed to their time EPOCH (epoch length = the window bound), interval
+  probes are replicated to every epoch they overlap — replication factor
+  ≤ window/epoch + 1 (= 2 when epoch == max window). Each point is
+  counted exactly once because every replica clips its interval to its
+  own epoch. Partials then take a small keyed aggregate. A partition may
+  mix epochs (hash path); the clip makes that safe.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+_US = np.int64(1)  # times are handled as int64 microseconds throughout
+
+
+def _ts_i64(col):
+    """Arrow timestamp/int column → int64 microseconds numpy array."""
+    a = col.to_numpy(zero_copy_only=False)
+    if a.dtype.kind == "M":
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64)
+
+
+def asof_match(
+    combined,
+    *,
+    key,
+    time_col,
+    tie_col,
+    left_cols,
+    right_cols,
+    out_names,
+    num_buckets=32,
+    num_partitions=16,
+):
+    """AS-OF join over a pre-aligned union of both sides.
+
+    ``combined`` holds left (probe) rows tagged ``__side == 1`` and right
+    (build) rows tagged ``__side == 0`` in ONE schema (columns missing on
+    a side are typed nulls). Every left row is matched to the right row
+    of the same ``key`` with the greatest ``(time_col, tie_col) <=
+    (left time, +inf)`` — i.e. most recent at-or-before, deterministic
+    under ties via ``tie_col``. Output: the left rows' ``left_cols`` plus
+    the matched right rows' ``right_cols`` renamed to ``out_names``
+    (null where no right row precedes).
+
+    Vectorized merge: lexsort by (key, time, side, tie) puts each left
+    row immediately after every right row visible to it (side 0 < 1 makes
+    the match inclusive at equal times); a running maximum of right-row
+    positions, reset at key-segment starts, is then the match index.
+    """
+    sch = combined.schema()  # ray Schema wrapper: .names / .types (arrow)
+    int_key = pa.types.is_integer(sch.types[sch.names.index(key)])
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        if int_key:
+            b = (k.astype(np.int64) % num_buckets).astype(np.int32)
+        else:
+            from osm_export_tool_python_ray.functions.text import hash_rows_u64
+
+            b = (hash_rows_u64([k]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    out_fields = None  # resolved lazily from the first non-empty group
+
+    def match(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"]).sort_by(
+            [
+                (key, "ascending"),
+                (time_col, "ascending"),
+                ("__side", "ascending"),
+                (tie_col, "ascending"),
+            ]
+        )
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        n = len(k)
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        new_seg = np.ones(n, dtype=bool)
+        if n:
+            new_seg[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        is_left = side == 1
+        match_idx = np.where(last_right >= seg_start, last_right, -1)[is_left]
+        take_left = pa.array(idx[is_left])
+        take_right = pa.array(match_idx, mask=match_idx < 0)  # null idx → null row
+        cols, names = [], []
+        for c in left_cols:
+            col = g.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            cols.append(col.take(take_left))
+            names.append(c)
+        for c, o in zip(right_cols, out_names):
+            col = g.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            cols.append(col.take(take_right))
+            names.append(o)
+        return pa.table(dict(zip(names, cols)))
+
+    return grouped_map(
+        combined.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        match,
+        num_partitions=num_partitions,
+    )
+
+
+def range_join_time(
+    intervals,
+    points,
+    *,
+    interval_key,
+    start_col,
+    end_col,
+    point_time,
+    point_values=(),
+    epoch_us,
+    num_partitions=16,
+):
+    """Bounded time-range join: for each interval row ``[start, end)``,
+    count the point rows with ``point_time`` inside it and sum each of
+    ``point_values`` — with NO join key (the canonical all-to-all risk).
+
+    Points land in exactly one epoch bucket (``floor(t / epoch_us)``);
+    interval probes are replicated to every epoch they overlap, so the
+    caller must keep ``end - start`` bounded by a small multiple of
+    ``epoch_us`` (replication factor = span/epoch + 1). Returns PARTIAL
+    rows ``(interval_key, n, *point_values sums)`` — one per replica —
+    which the caller folds with a tiny keyed aggregate (partials ≪
+    points). Each replica clips to its own epoch, so a point is counted
+    exactly once even when the exchange mixes epochs in one partition.
+    """
+    values = list(point_values)
+
+    def point_bucket(t: pa.Table) -> pa.Table:
+        ts = _ts_i64(t.column(point_time))
+        for v in values:  # align with the probes' NaN-filled float64 columns
+            i = t.schema.get_field_index(v)
+            t = t.set_column(i, v, t.column(v).cast(pa.float64()))
+        t = t.append_column("__t", pa.array(ts))
+        return t.append_column(
+            "bucket", pa.array((ts // epoch_us).astype(np.int64))
+        ).select(["bucket", "__t", "__side"] + values + [interval_key, "__s", "__e"])
+
+    def interval_replicate(t: pa.Table) -> pa.Table:
+        s = _ts_i64(t.column(start_col))
+        e = _ts_i64(t.column(end_col))
+        lo = s // epoch_us
+        hi = np.maximum(lo, (e - 1) // epoch_us)
+        reps = (hi - lo + 1).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        # per-replica epoch: global arange minus each row's replica start
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        epoch = lo[row_idx] + (np.arange(len(row_idx), dtype=np.int64) - starts[row_idx])
+        kcol = t.column(interval_key)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+        out = pa.table(
+            {
+                "bucket": pa.array(epoch),
+                "__t": pa.array(np.zeros(len(row_idx), dtype=np.int64)),
+                "__side": pa.array(np.ones(len(row_idx), dtype=np.int8)),
+                **{v: pa.array(np.full(len(row_idx), np.nan)) for v in values},
+                interval_key: kcol.take(pa.array(row_idx)),
+                "__s": pa.array(s[row_idx]),
+                "__e": pa.array(e[row_idx]),
+            }
+        )
+        return out
+
+    isch = intervals.schema()
+    ktype = isch.types[isch.names.index(interval_key)]
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+        t = t.append_column(interval_key, pa.nulls(n, type=ktype))
+        t = t.append_column("__s", pa.array(np.zeros(n, dtype=np.int64)))
+        return t.append_column("__e", pa.array(np.zeros(n, dtype=np.int64)))
+
+    pts = points.map_batches(tag_points, batch_format="pyarrow").map_batches(
+        point_bucket, batch_format="pyarrow"
+    )
+    probes = intervals.map_batches(interval_replicate, batch_format="pyarrow")
+
+    from osm_export_tool_python_ray.stages.exchange import union_all
+
+    combined = union_all(pts, probes)
+
+    def fold(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        buck = g.column("bucket").to_numpy(zero_copy_only=False)
+        is_pt = side == 0
+        pt = g.filter(pa.array(is_pt))
+        pr = g.filter(pa.array(~is_pt))
+        kcol = pr.column(interval_key)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+        if pr.num_rows == 0:
+            return pa.table(
+                {
+                    interval_key: kcol.slice(0, 0),
+                    "n": pa.array([], type=pa.int64()),
+                    **{v: pa.array([], type=pa.float64()) for v in values},
+                }
+            )
+        # points sorted by (epoch, t): per-epoch contiguous, searchsorted
+        # needs a composite order — epoch ranges never overlap in t-space
+        # (epoch = t // epoch_us), so plain t order IS epoch order.
+        pt = pt.sort_by([("__t", "ascending")])
+        t_sorted = pt.column("__t").to_numpy(zero_copy_only=False)
+        cums = {
+            v: np.concatenate(
+                ([0.0], np.cumsum(pt.column(v).to_numpy(zero_copy_only=False)))
+            )
+            for v in values
+        }
+        s = pr.column("__s").to_numpy(zero_copy_only=False)
+        e = pr.column("__e").to_numpy(zero_copy_only=False)
+        ep = buck[~is_pt]
+        clip_lo = np.maximum(s, ep * epoch_us)
+        clip_hi = np.minimum(e, (ep + 1) * epoch_us)
+        lo = np.searchsorted(t_sorted, clip_lo, side="left")
+        hi = np.searchsorted(t_sorted, np.maximum(clip_lo, clip_hi), side="left")
+        out = {interval_key: kcol, "n": pa.array((hi - lo).astype(np.int64))}
+        for v in values:
+            out[v] = pa.array(cums[v][hi] - cums[v][lo])
+        return pa.table(out)
+
+    return grouped_map(combined, "bucket", fold, num_partitions=num_partitions)

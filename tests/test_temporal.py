@@ -1,0 +1,211 @@
+"""Temporal join operators (stages/temporal.py): as-of join and bounded
+time-range join — planted-semantics units, seeded brute-force
+differentials, and full DuckDB oracle parity at sf0.001 (the driver's
+comparison)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_table(rows):
+    """rows: (event_id, user_id, ts_us, event_type, value)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[2] for r in rows], dtype="datetime64[us]")
+            ),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def _run_asof(tbl, tmp_path):
+    import pyarrow.parquet as pq
+
+    from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+    d = tmp_path / "sf_asof"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return (
+        QUERIES["asof_join"](str(d))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+class TestAsofJoin:
+    def test_planted(self, ray_session, tmp_path):
+        rows = [
+            # user 1: purchase at t=100 and t=200; views around them
+            (0, 1, 50, "view", 0.0),      # before any purchase -> null
+            (1, 1, 100, "purchase", 9.5), # matches itself (<= inclusive)
+            (2, 1, 150, "view", 0.0),     # -> purchase 1 (t=100)
+            (3, 1, 200, "purchase", 7.25),
+            (4, 1, 200, "view", 0.0),     # equal ts -> purchase 3 inclusive
+            (5, 1, 999, "click", 0.0),    # -> latest purchase 3
+            # user 2: no purchases at all
+            (6, 2, 100, "view", 0.0),
+            # user 3: two purchases at the SAME ts -> max event_id wins
+            # (for BOTH purchases: the <= match at equal ts is the max-id one)
+            (7, 3, 10, "purchase", 1.0),
+            (8, 3, 10, "purchase", 2.0),
+            (9, 3, 11, "view", 0.0),
+        ]
+        out = _run_asof(_events_table(rows), tmp_path)
+        got = {
+            int(r.event_id): (
+                None if pd.isna(r.last_purchase_event_id) else int(r.last_purchase_event_id)
+            )
+            for r in out.itertuples()
+        }
+        assert got == {0: None, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: None, 7: 8, 8: 8, 9: 8}
+        v9 = out.loc[out.event_id == 9, "last_purchase_value"].iloc[0]
+        assert v9 == 2.0
+
+    def test_bruteforce_differential(self, ray_session, tmp_path):
+        rng = np.random.default_rng(7)
+        n = 400
+        rows = [
+            (
+                i,
+                int(rng.integers(0, 12)),
+                int(rng.integers(0, 1000)) * 1000,
+                rng.choice(["view", "purchase", "click"]),
+                float(np.round(rng.uniform(0, 10), 4)),
+            )
+            for i in range(n)
+        ]
+        out = _run_asof(_events_table(rows), tmp_path)
+        purchases = [r for r in rows if r[3] == "purchase"]
+        for r in rows:
+            cands = [p for p in purchases if p[1] == r[1] and p[2] <= r[2]]
+            want = max(cands, key=lambda p: (p[2], p[0]))[0] if cands else None
+            got = out.loc[out.event_id == r[0], "last_purchase_event_id"].iloc[0]
+            got = None if pd.isna(got) else int(got)
+            assert got == want, (r, got, want)
+
+
+class TestRangeJoin:
+    def test_planted_epoch_boundaries(self, ray_session, tmp_path):
+        """Window == epoch length, intervals straddling epoch boundaries:
+        each point counted exactly once despite probe replication."""
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        day = 86_400_000_000
+        base = np.datetime64("1995-01-10", "us").astype(np.int64)
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                # 1: aligned window; 2: straddles an epoch boundary; 3: empty
+                "o_orderdate": pa.array(
+                    np.array(
+                        [base, base + day, base + 50 * day], dtype="datetime64[us]"
+                    )
+                ),
+            }
+        )
+        ship = [base, base + day - 1, base + day, base + 2 * day, base + 3 * day]
+        lineitem = pa.table(
+            {
+                "l_shipdate": pa.array(np.array(ship, dtype="datetime64[us]")),
+                "l_quantity": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+            }
+        )
+        d = tmp_path / "sf_range"
+        d.mkdir()
+        pq.write_table(orders, str(d / "orders.parquet"))
+        pq.write_table(lineitem, str(d / "lineitem.parquet"))
+        out = (
+            QUERIES["range_join"](str(d))
+            .to_pandas()
+            .set_index("o_orderkey")
+            .sort_index()
+        )
+        # order 1: [base, base+3d) -> ships at 0, +1d-1, +1d, +2d = 1+2+4+8
+        assert (out.loc[1, "n_ship"], out.loc[1, "sum_qty"]) == (4, 15.0)
+        # order 2: [base+1d, base+4d) -> +1d, +2d, +3d = 4+8+16
+        assert (out.loc[2, "n_ship"], out.loc[2, "sum_qty"]) == (3, 28.0)
+        assert (out.loc[3, "n_ship"], out.loc[3, "sum_qty"]) == (0, 0.0)
+
+    def test_bruteforce_differential(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rng = np.random.default_rng(11)
+        day = 86_400_000_000
+        base = np.datetime64("1995-01-01", "us").astype(np.int64)
+        od = base + rng.integers(0, 40, size=60) * (day // 2)
+        ship = base + rng.integers(0, 45, size=300) * (day // 3)
+        qty = np.round(rng.uniform(1, 50, size=300), 2)
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(60, dtype=np.int64)),
+                "o_orderdate": pa.array(od.astype("datetime64[us]")),
+            }
+        )
+        lineitem = pa.table(
+            {
+                "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+                "l_quantity": pa.array(qty),
+            }
+        )
+        d = tmp_path / "sf_range2"
+        d.mkdir()
+        pq.write_table(orders, str(d / "orders.parquet"))
+        pq.write_table(lineitem, str(d / "lineitem.parquet"))
+        out = (
+            QUERIES["range_join"](str(d))
+            .to_pandas()
+            .set_index("o_orderkey")
+            .sort_index()
+        )
+        for k in range(60):
+            m = (ship >= od[k]) & (ship < od[k] + 3 * day)
+            assert out.loc[k, "n_ship"] == int(m.sum())
+            assert abs(out.loc[k, "sum_qty"] - round(float(qty[m].sum()), 4)) < 1e-9
+
+
+class TestOracleParity:
+    def test_sf0001_oracles(self, ray_session):
+        import duckdb
+
+        from osm_export_tool_python_ray.pipelines.queries import ORACLES, QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        for t in ["orders", "lineitem", "events"]:
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+                % (t, sf, t)
+            )
+        for name in ["asof_join", "range_join"]:
+            res = QUERIES[name](sf).to_pandas()
+            ora = con.execute(ORACLES[name]).df()
+            rc, oc = sorted(res.columns), sorted(ora.columns)
+            assert rc == oc, (name, rc, oc)
+            a = res[rc].sort_values(rc).reset_index(drop=True)
+            b = ora[oc].sort_values(oc).reset_index(drop=True)
+            assert a.shape == b.shape, (name, a.shape, b.shape)
+            for c in rc:
+                av, bv = a[c], b[c]
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    assert np.allclose(
+                        av.astype(float).fillna(-9e9).round(6),
+                        bv.astype(float).fillna(-9e9).round(6),
+                    ), (name, c)
+                elif av.dtype.kind == "M" or bv.dtype.kind == "M":
+                    assert av.fillna(pd.Timestamp(0)).equals(
+                        bv.fillna(pd.Timestamp(0))
+                    ), (name, c)
+                else:
+                    assert av.astype(str).equals(bv.astype(str)), (name, c)
