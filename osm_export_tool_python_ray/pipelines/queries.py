@@ -360,6 +360,94 @@ def q_lang_counts(sf_dir):
 SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
 
 
+def q_char_quantiles(sf_dir):
+    """EXACT distributed quantiles over a bounded-domain column (doc
+    length per language) — the histogram-combiner pattern: per-batch
+    (lang, value) partial counts collapse the data to |langs|×|distinct
+    values| rows BEFORE the one exchange, then each language group walks
+    its cumulative histogram. No sample/sketch error, no sort of the raw
+    data; at 100 TB the exchange moves only the histogram. Rank
+    convention pinned to DuckDB quantile_disc: 1-indexed ceil(q*n) in
+    C-double arithmetic (np.ceil(q*n) reproduces it bit-for-bit)."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    QS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        v = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs, inv = np.unique(lang, return_inverse=True)
+        pair = inv.astype(np.int64) << np.int64(40) | v  # n_chars < 2^40
+        upair, cnt = np.unique(pair, return_counts=True)
+        li = (upair >> np.int64(40)).astype(np.int64)
+        # bucket = stable hash of the lang VALUE (a batch-local unique
+        # index would scatter one lang's histogram across buckets)
+        from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+        lang_hash, _ = hash_strings_128(pa.array(langs, type=pa.string()))
+        return pa.table(
+            {
+                "lang": pa.array(langs[li], type=pa.string()),
+                "value": pa.array(upair & np.int64((1 << 40) - 1)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array(
+                    (lang_hash[li] % np.uint64(8)).astype(np.int32)
+                ),
+            }
+        )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("lang", "ascending"), ("value", "ascending")])
+        lang = g.column("lang").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        out = {"lang": [], "n_docs": []}
+        for q in QS:
+            out["p%d" % int(q * 100)] = []
+        starts = np.nonzero(
+            np.concatenate(([True], lang[1:] != lang[:-1])) if len(lang) else []
+        )[0]
+        ends = np.append(starts[1:], len(lang))
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            out["lang"].append(lang[s])
+            out["n_docs"].append(n)
+            for q in QS:
+                rank = np.ceil(q * n)  # same doubles as duckdb's ceil
+                out["p%d" % int(q * 100)].append(
+                    int(val[s:e][np.searchsorted(cum, rank, side="left")])
+                )
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                **{
+                    "p%d" % int(q * 100): pa.array(
+                        out["p%d" % int(q * 100)], type=pa.int64()
+                    )
+                    for q in QS
+                },
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_map(ds, "bucket", quantiles, num_partitions=8)
+
+
+SQL_CHAR_QUANTILES = """
+SELECT lang, count(*) AS n_docs,
+       quantile_disc(n_chars, 0.25) AS p25,
+       quantile_disc(n_chars, 0.50) AS p50,
+       quantile_disc(n_chars, 0.75) AS p75,
+       quantile_disc(n_chars, 0.95) AS p95,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 def q_theme_filter(sf_dir):
     """Matcher semantics over a tags map built from document columns —
     exercises the vectorized matcher hot path. WHERE (with the reference's
@@ -1906,6 +1994,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "hash_sample": q_hash_sample,
     "lang_counts": q_lang_counts,
+    "char_quantiles": q_char_quantiles,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -1980,6 +2069,7 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "hash_sample": SQL_HASH_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
+    "char_quantiles": SQL_CHAR_QUANTILES,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

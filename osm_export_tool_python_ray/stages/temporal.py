@@ -75,9 +75,10 @@ def asof_match(
         if int_key:
             b = (k.astype(np.int64) % num_buckets).astype(np.int32)
         else:
-            from osm_export_tool_python_ray.functions.text import hash_rows_u64
+            from osm_export_tool_python_ray.functions.text import hash_strings_128
 
-            b = (hash_rows_u64([k]) % np.uint64(num_buckets)).astype(np.int32)
+            h, _ = hash_strings_128(t.column(key).combine_chunks().cast(pa.string()))
+            b = (h % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
     out_fields = None  # resolved lazily from the first non-empty group

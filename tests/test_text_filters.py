@@ -205,3 +205,39 @@ class TestPiiAndSample:
         texts = ["words %d here" % i for i in range(120)]
         sf = write_sf_dir(tmp_path, texts)
         oracle_compare(sf, ["pii_redact", "hash_sample"])
+
+
+class TestCharQuantiles:
+    """Exact distributed quantiles (histogram combiner): planted values
+    with hand-computed DuckDB quantile_disc ranks, plus oracle parity on
+    rank-boundary-heavy sizes (n=20 with q=0.95 exercises the C-double
+    ceil convention)."""
+
+    def test_planted(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        # lang en: lengths 1..4 (via 'a'*k), rank(0.5)=ceil(0.5*4)=2 -> 2
+        texts = ["a", "aa", "aaa", "aaaa", "b" * 10, "b" * 20]
+        langs = ["en"] * 4 + ["fr"] * 2
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        out = (
+            QUERIES["char_quantiles"](sf)
+            .to_pandas()
+            .set_index("lang")
+            .sort_index()
+        )
+        assert out.loc["en", "n_docs"] == 4
+        assert (out.loc["en", "p25"], out.loc["en", "p50"]) == (1, 2)
+        assert (out.loc["en", "p75"], out.loc["en", "p95"]) == (3, 4)
+        # fr: n=2 -> p50 = ceil(1.0) = first value
+        assert (out.loc["fr", "n_docs"], out.loc["fr", "p50"]) == (2, 10)
+
+    def test_oracle_parity_rank_boundaries(self, ray_session, tmp_path):
+        rng = np.random.default_rng(3)
+        texts, langs = [], []
+        for lang, n in [("en", 20), ("fr", 100), ("de", 7), ("xx", 1)]:
+            for _ in range(n):
+                texts.append("x" * int(rng.integers(1, 50)))
+                langs.append(lang)
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        oracle_compare(sf, ["char_quantiles"])
