@@ -448,6 +448,31 @@ FROM documents GROUP BY lang
 """
 
 
+def q_top_docs(sf_dir):
+    """Group-wise top-k (stages/topk.py): the 5 longest documents per
+    language, deterministic tie-break on doc_id. Combiner-shaped: every
+    input batch is pre-reduced to ≤ langs×5 candidate rows before the one
+    exchange, so the shuffle is O(groups×k), not O(rows)."""
+    from osm_export_tool_python_ray.stages.topk import topk_per_group
+
+    return topk_per_group(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]),
+        group_col="lang",
+        sort_col="n_chars",
+        tie_col="doc_id",
+        k=5,
+    )
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, lang, source, n_chars,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id ASC) AS rank
+FROM documents
+QUALIFY rank <= 5
+"""
+
+
 def q_theme_filter(sf_dir):
     """Matcher semantics over a tags map built from document columns —
     exercises the vectorized matcher hot path. WHERE (with the reference's
@@ -1995,6 +2020,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "lang_counts": q_lang_counts,
     "char_quantiles": q_char_quantiles,
+    "top_docs": q_top_docs,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -2070,6 +2096,7 @@ ORACLES = {
     "hash_sample": SQL_HASH_SAMPLE,
     "lang_counts": SQL_LANG_COUNTS,
     "char_quantiles": SQL_CHAR_QUANTILES,
+    "top_docs": SQL_TOP_DOCS,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

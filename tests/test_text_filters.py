@@ -241,3 +241,65 @@ class TestCharQuantiles:
                 langs.append(lang)
         sf = write_sf_dir(tmp_path, texts, langs=langs)
         oracle_compare(sf, ["char_quantiles"])
+
+
+class TestTopDocsPerGroup:
+    def test_planted_ties_and_rank(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        # en lengths: 9,9,7,5,3,1 -> top5 excludes the length-1 doc; the
+        # two 9s tie-break on doc_id asc
+        texts = ["x" * n for n in [9, 9, 7, 5, 3, 1]] + ["y" * 4]
+        langs = ["en"] * 6 + ["fr"]
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        out = (
+            QUERIES["top_docs"](sf)
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        en = out[out.lang == "en"]
+        assert list(en["doc_id"]) == [0, 1, 2, 3, 4]
+        assert list(en["rank"]) == [1, 2, 3, 4, 5]
+        fr = out[out.lang == "fr"]
+        assert list(fr["doc_id"]) == [6] and list(fr["rank"]) == [1]
+
+    def test_combiner_equivalence_many_batches(self, ray_session):
+        """Partial top-k per batch then merge == global top-k: force many
+        small blocks and int group keys."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.topk import topk_per_group
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        t = pa.table(
+            {
+                "gid": pa.array(rng.integers(0, 7, size=n).astype(np.int64)),
+                "score": pa.array(rng.integers(0, 50, size=n).astype(np.int64)),
+                "rid": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(40)
+        out = (
+            topk_per_group(ds, group_col="gid", sort_col="score", tie_col="rid", k=3)
+            .to_pandas()
+            .sort_values(["gid", "rank"])
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas()
+        want = (
+            df.sort_values(["gid", "score", "rid"], ascending=[True, False, True])
+            .groupby("gid")
+            .head(3)
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(want)
+        assert list(out["rid"]) == list(want["rid"])
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        rng = np.random.default_rng(9)
+        texts = ["z" * int(rng.integers(1, 30)) for _ in range(200)]
+        langs = [["en", "fr", "de"][int(rng.integers(0, 3))] for _ in range(200)]
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        oracle_compare(sf, ["top_docs"])
