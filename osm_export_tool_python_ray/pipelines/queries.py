@@ -1301,6 +1301,107 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_sliding(sf_dir):
+    """SLIDING windowed aggregate (vs q_events_window's tumbling): per
+    event_type and hour, the trailing 3-hour sum/count of values —
+    time-RANGE semantics (missing hours contribute nothing but do not
+    shift the window, unlike a ROWS frame). Combiner-shaped: raw events
+    collapse to hourly partials per batch, the one exchange moves only
+    (type, hour) rows, and each group computes the sliding sums with a
+    cumsum + searchsorted over its sorted hour axis."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    HOUR = 3_600_000_000  # us
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        h = (
+            t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ).astype(np.int64) // HOUR
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        key = inv.astype(np.int64) << np.int64(40) | h  # hour index < 2^40
+        ukey, pos = np.unique(key, return_inverse=True)
+        cnt = np.bincount(pos)
+        sv = np.bincount(pos, weights=v)
+        ti = (ukey >> np.int64(40)).astype(np.int64)
+        from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+        th, _ = hash_strings_128(pa.array(types, type=pa.string()))
+        return pa.table(
+            {
+                "event_type": pa.array(types[ti], type=pa.string()),
+                "hour": pa.array(ukey & np.int64((1 << 40) - 1)),
+                "n": pa.array(cnt.astype(np.int64)),
+                "sum_v": pa.array(sv),
+                "bucket": pa.array((th[ti] % np.uint64(8)).astype(np.int32)),
+            }
+        )
+
+    def sliding(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("event_type", "ascending"), ("hour", "ascending")])
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        h = g.column("hour").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        sv = g.column("sum_v").to_numpy(zero_copy_only=False)
+        out = {"event_type": [], "hour_ts": [], "n_3h": [], "sum_3h": []}
+        if len(et) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "hour_ts": pa.array([], type=pa.timestamp("us")),
+                    "n_3h": pa.array([], type=pa.int64()),
+                    "sum_3h": pa.array([], type=pa.float64()),
+                }
+            )
+        starts = np.nonzero(np.concatenate(([True], et[1:] != et[:-1])))[0]
+        ends = np.append(starts[1:], len(et))
+        for s, e in zip(starts, ends):
+            # the exchange may deliver duplicate (type, hour) partial rows
+            # (one per producing batch): fold them before the window
+            uh, pos = np.unique(h[s:e], return_inverse=True)
+            un = np.bincount(pos, weights=n[s:e]).astype(np.int64)
+            usv = np.bincount(pos, weights=sv[s:e])
+            cum_n = np.concatenate(([0], np.cumsum(un)))
+            cum_v = np.concatenate(([0.0], np.cumsum(usv)))
+            hi = np.arange(1, len(uh) + 1)
+            lo = np.searchsorted(uh, uh - 2, side="left")  # trailing 3 hours
+            out["event_type"].extend([et[s]] * len(uh))
+            out["hour_ts"].extend((uh * HOUR).tolist())
+            out["n_3h"].extend((cum_n[hi] - cum_n[lo]).tolist())
+            out["sum_3h"].extend(np.round(cum_v[hi] - cum_v[lo], 4).tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], type=pa.string()),
+                "hour_ts": pa.array(
+                    np.array(out["hour_ts"], dtype=np.int64).astype("datetime64[us]")
+                ),
+                "n_3h": pa.array(out["n_3h"], type=pa.int64()),
+                "sum_3h": pa.array(out["sum_3h"], type=pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_map(ds, "bucket", sliding, num_partitions=8)
+
+
+SQL_EVENTS_SLIDING = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n, sum(value) AS sum_v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour_ts,
+       CAST(sum(n) OVER w AS BIGINT) AS n_3h,  -- window sum is HUGEINT
+       round(sum(sum_v) OVER w, 4) AS sum_3h
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_sessions(sf_dir):
     """Sessionization (streaming-shaped op): events partitioned by user,
     sorted by ts within the partition, split at >30-minute gaps. Per
@@ -2038,6 +2139,7 @@ QUERIES = {
     "supplier_nation_region": q_supplier_nation_region,
     "part_stats": q_part_stats,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2114,6 +2216,7 @@ ORACLES = {
     "supplier_nation_region": SQL_SUPPLIER_NATION_REGION,
     "part_stats": SQL_PART_STATS,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,

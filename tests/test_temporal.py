@@ -209,3 +209,75 @@ class TestOracleParity:
                     ), (name, c)
                 else:
                     assert av.astype(str).equals(bv.astype(str)), (name, c)
+
+
+class TestSlidingWindow:
+    def test_gap_hours_range_semantics(self, ray_session, tmp_path):
+        """Hours 0, 1, 5: the window at hour 5 must NOT include hour 1
+        (a ROWS-3 frame would) — time-RANGE semantics."""
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        hour = 3_600_000_000
+        rows = [
+            (0, 1, 0 * hour, "click", 1.0),
+            (1, 1, 0 * hour + 60, "click", 2.0),
+            (2, 1, 1 * hour, "click", 4.0),
+            (3, 1, 5 * hour, "click", 8.0),
+            (4, 1, 2 * hour, "view", 16.0),
+        ]
+        d = tmp_path / "sf_slide"
+        d.mkdir()
+        pq.write_table(_events_table(rows), str(d / "events.parquet"))
+        out = (
+            QUERIES["events_sliding"](str(d))
+            .to_pandas()
+            .sort_values(["event_type", "hour_ts"])
+            .reset_index(drop=True)
+        )
+        clicks = out[out.event_type == "click"]
+        assert list(clicks["n_3h"]) == [2, 3, 1]  # h0: 2; h1: 2+1; h5: just itself
+        assert list(clicks["sum_3h"]) == [3.0, 7.0, 8.0]
+        views = out[out.event_type == "view"]
+        assert list(views["n_3h"]) == [1] and list(views["sum_3h"]) == [16.0]
+
+    def test_oracle_parity_multibatch(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import ORACLES, QUERIES
+
+        rng = np.random.default_rng(13)
+        hour = 3_600_000_000
+        rows = [
+            (
+                i,
+                1,
+                int(rng.integers(0, 48)) * hour + int(rng.integers(0, 3600)) * 1_000_000,
+                str(rng.choice(["a", "b", "c"])),
+                float(np.round(rng.uniform(0, 5), 3)),
+            )
+            for i in range(3000)
+        ]
+        d = tmp_path / "sf_slide2"
+        d.mkdir()
+        # several row groups -> several read blocks -> duplicate partials
+        t = _events_table(rows)
+        pq.write_table(t, str(d / "events.parquet"), row_group_size=100)
+        res = QUERIES["events_sliding"](str(d)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet('%s/events.parquet')"
+            % d
+        )
+        ora = con.execute(ORACLES["events_sliding"]).df()
+        rc = sorted(res.columns)
+        a = res[rc].sort_values(rc).reset_index(drop=True)
+        b = ora[rc].sort_values(rc).reset_index(drop=True)
+        assert a.shape == b.shape
+        for c in rc:
+            if a[c].dtype.kind == "f":
+                assert np.allclose(a[c].round(6), b[c].astype(float).round(6)), c
+            else:
+                assert a[c].astype(str).equals(b[c].astype(str)), c
