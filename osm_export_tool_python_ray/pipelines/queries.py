@@ -448,6 +448,51 @@ FROM documents GROUP BY lang
 """
 
 
+def q_pack_assignment(sf_dir):
+    """Sequence packing by token budget (stages/scan.py): every document
+    gets the pack index floor(tokens_before / 2048) where tokens_before
+    is the EXCLUSIVE running whitespace-token total in doc_id order — a
+    distributed ordered prefix-scan (range-bucketed two-phase: tiny
+    bucket-totals exchange + broadcast offsets), the primitive behind
+    fixed-window training-batch packing."""
+    from osm_export_tool_python_ray.functions.text import token_count
+    from osm_export_tool_python_ray.stages.scan import ordered_prefix_scan
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(
+                    token_count(t.column("text").to_pylist()), type=pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        toks, batch_format="pyarrow"
+    )
+    out = ordered_prefix_scan(ds, order_col="doc_id", value_col="n_tokens")
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t.column("cum_excl").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["cum_excl"]).append_column(
+            "pack_id", pa.array((c // 2048).astype(np.int64))
+        )
+
+    return out.map_batches(pack, batch_format="pyarrow")
+
+
+SQL_PACK_ASSIGNMENT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       CAST((sum(len(regexp_extract_all(text, '\S+')))
+                 OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - len(regexp_extract_all(text, '\S+'))) // 2048 AS BIGINT)
+         AS pack_id
+FROM documents
+"""
+
+
 def q_top_docs(sf_dir):
     """Group-wise top-k (stages/topk.py): the 5 longest documents per
     language, deterministic tie-break on doc_id. Combiner-shaped: every
@@ -2122,6 +2167,7 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "char_quantiles": q_char_quantiles,
     "top_docs": q_top_docs,
+    "pack_assignment": q_pack_assignment,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -2199,6 +2245,7 @@ ORACLES = {
     "lang_counts": SQL_LANG_COUNTS,
     "char_quantiles": SQL_CHAR_QUANTILES,
     "top_docs": SQL_TOP_DOCS,
+    "pack_assignment": SQL_PACK_ASSIGNMENT,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
