@@ -263,6 +263,90 @@ FROM agg ORDER BY df DESC, term LIMIT 100
 """
 
 
+def q_unigram_logprob(sf_dir):
+    """Perplexity-style quality scoring (CCNet/C4 family): per-doc mean
+    unigram log-probability under the corpus's own top-1000 vocabulary
+    (out-of-vocabulary tokens get a 0.5 pseudo-count). Two-pass broadcast
+    shape: pass 1 is the vocab_topk combiner pipeline (the exchange moves
+    |vocab| rows, not tokens) whose top-V table + corpus token total are
+    broadcast via ray.put; pass 2 scores every batch map-side with a
+    sorted-array searchsorted lookup — no second shuffle. The driver-side
+    vocabulary collect is bounded by |vocab|, not corpus size."""
+    import ray
+
+    from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
+    from osm_export_tool_python_ray.stages.textstages import vocab_partial
+
+    V = 1000
+    term_rows = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["tf"])
+        .take_all()
+    )
+    terms = np.array([r["term"] for r in term_rows])
+    tf = np.array([r["sum(tf)"] for r in term_rows], dtype=np.int64)
+    total = int(tf.sum())
+    # top-V by (tf desc, term asc) — deterministic at the cut rank
+    sel = np.lexsort((terms, -tf))[:V]
+    vterms, vtf = terms[sel], tf[sel]
+    vorder = np.argsort(vterms)
+    vocab_ref = ray.put((vterms[vorder], vtf[vorder], total))
+
+    def score(t: pa.Table) -> pa.Table:
+        vt, vc, tot = ray.get(vocab_ref)
+        flat, ntoks = alnum_tokens_batch(t.column("text").to_pylist())
+        if tot == 0 or not flat:
+            lp_mean = np.zeros(len(ntoks), dtype=np.float64)
+        else:
+            w = np.array(flat)
+            pos = np.searchsorted(vt, w)
+            hit = (pos < len(vt)) & (vt[np.minimum(pos, len(vt) - 1)] == w)
+            cnt = np.where(hit, vc[np.minimum(pos, len(vt) - 1)], 0.5)
+            lp = np.log(cnt / tot)
+            starts = np.concatenate(([0], np.cumsum(ntoks)[:-1]))
+            # clip: a trailing zero-token doc puts its start at len(lp),
+            # which reduceat rejects; its sum is zeroed below anyway
+            sums = np.add.reduceat(lp, np.minimum(starts, len(lp) - 1))
+            # reduceat returns lp[start] for empty segments: zero them
+            sums = np.where(ntoks > 0, sums, 0.0)
+            lp_mean = np.where(ntoks > 0, sums / np.maximum(ntoks, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_alnum_tokens": pa.array(ntoks),
+                "avg_logprob": pa.array(np.round(lp_mean, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+agg AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM agg),
+topv AS (SELECT term, tf FROM agg ORDER BY tf DESC, term LIMIT 1000),
+scored AS (
+  SELECT w.doc_id, ln(coalesce(CAST(topv.tf AS DOUBLE), 0.5)
+                      / (SELECT total FROM tot)) AS lp
+  FROM w LEFT JOIN topv USING (term)
+)
+SELECT d.doc_id,
+       coalesce(lt.n, 0) AS n_alnum_tokens,
+       round(coalesce(al.m, 0.0), 6) AS avg_logprob
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id) lt USING (doc_id)
+LEFT JOIN (SELECT doc_id, avg(lp) AS m FROM scored GROUP BY doc_id) al USING (doc_id)
+"""
+
+
 def q_decontaminate(sf_dir):
     """Benchmark n-gram-overlap decontamination: broadcast the held-out
     slice's distinct 5-gram keys, probe per batch — no shuffle on the
@@ -2168,6 +2252,7 @@ QUERIES = {
     "char_quantiles": q_char_quantiles,
     "top_docs": q_top_docs,
     "pack_assignment": q_pack_assignment,
+    "unigram_logprob": q_unigram_logprob,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -2246,6 +2331,7 @@ ORACLES = {
     "char_quantiles": SQL_CHAR_QUANTILES,
     "top_docs": SQL_TOP_DOCS,
     "pack_assignment": SQL_PACK_ASSIGNMENT,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -303,3 +303,51 @@ class TestTopDocsPerGroup:
         langs = [["en", "fr", "de"][int(rng.integers(0, 3))] for _ in range(200)]
         sf = write_sf_dir(tmp_path, texts, langs=langs)
         oracle_compare(sf, ["top_docs"])
+
+
+class TestUnigramLogprob:
+    def test_planted_vocab_and_oov(self, ray_session, tmp_path):
+        import math
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        # corpus: 'aa' x3, 'bb' x1 -> total 4 tokens; both in top-V
+        # doc2 has an OOV?? no - every corpus token is in the vocab, so
+        # plant OOV via a doc the vocab DOES include (it is corpus-derived)
+        texts = ["aa aa bb", "aa", ""]
+        sf = write_sf_dir(tmp_path, texts)
+        out = (
+            QUERIES["unigram_logprob"](sf)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        total = 4.0
+        lp_aa, lp_bb = math.log(3 / total), math.log(1 / total)
+        assert out.loc[0, "n_alnum_tokens"] == 3
+        assert abs(out.loc[0, "avg_logprob"] - round((2 * lp_aa + lp_bb) / 3, 6)) < 1e-9
+        assert abs(out.loc[1, "avg_logprob"] - round(lp_aa, 6)) < 1e-9
+        # empty doc: zero tokens, score pinned to 0.0
+        assert out.loc[2, "n_alnum_tokens"] == 0 and out.loc[2, "avg_logprob"] == 0.0
+
+    def test_oov_floor_beyond_topv(self, ray_session, tmp_path):
+        """>1000 distinct terms: the rarest fall outside top-V and take
+        the 0.5 pseudo-count floor; verified via full oracle parity (the
+        oracle re-derives the same cut)."""
+        rng = np.random.default_rng(31)
+        texts = []
+        # 1200 singleton terms + a frequent head so the cut rank is real
+        for i in range(1200):
+            texts.append("unique%04d common" % i)
+        sf = write_sf_dir(tmp_path, texts)
+        oracle_compare(sf, ["unigram_logprob"])
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        rng = np.random.default_rng(29)
+        words = ["w%d" % i for i in range(50)]
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(0, 30)))
+            for _ in range(250)
+        ]
+        sf = write_sf_dir(tmp_path, texts)
+        oracle_compare(sf, ["unigram_logprob"])
