@@ -723,6 +723,53 @@ WHERE ({le}) % 10 = 0
 """.format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
 
 
+def q_stratified_sample(sf_dir):
+    """Exact-k stratified sample: the 20 docs per language with the
+    SMALLEST le64(md5(doc_id)) — deterministic 'random' sampling with an
+    exact per-stratum count (vs hash_sample's bernoulli rate), the same
+    row set on every run and cluster size. Rides topk_per_group
+    (ascending): per-batch bottom-k combiner, one exchange of candidate
+    sets."""
+    import hashlib
+
+    from osm_export_tool_python_ray.stages.topk import topk_per_group
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little")
+                for d in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return t.append_column("skey", pa.array(h))
+
+    out = topk_per_group(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"]).map_batches(
+            add_hash, batch_format="pyarrow"
+        ),
+        group_col="lang",
+        sort_col="skey",
+        tie_col="doc_id",
+        k=20,
+        ascending=True,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["skey"]), batch_format="pyarrow"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY ({le}) ASC, doc_id ASC) AS rank
+FROM documents
+QUALIFY rank <= 20
+""".format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
+
+
 # full SimHash re-derivation in SQL (oracle for q_simhash_pairs): per-doc
 # 64-bit signature from distinct-token md5 bit votes, 4×16-bit LSH bands
 # with the engine's max_group=512 cap, exact Hamming verify via
@@ -2253,6 +2300,7 @@ QUERIES = {
     "top_docs": q_top_docs,
     "pack_assignment": q_pack_assignment,
     "unigram_logprob": q_unigram_logprob,
+    "stratified_sample": q_stratified_sample,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -2332,6 +2380,7 @@ ORACLES = {
     "top_docs": SQL_TOP_DOCS,
     "pack_assignment": SQL_PACK_ASSIGNMENT,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -16,9 +16,12 @@ import pyarrow as pa
 from osm_export_tool_python_ray.stages.exchange import grouped_map
 
 
-def _select_topk(t: pa.Table, group_col, sort_col, tie_col, k, with_rank=False):
+def _select_topk(
+    t: pa.Table, group_col, sort_col, tie_col, k, with_rank=False, ascending=False
+):
     """Vectorized per-group top-k of one table: lexsort rows by
-    (group, -sort, tie), then keep each group's first k."""
+    (group, ±sort, tie), then keep each group's first k. ``ascending``
+    selects the k SMALLEST (bottom-k), e.g. min-hash sampling."""
     if t.num_rows == 0:
         out = t
         if with_rank:
@@ -27,9 +30,13 @@ def _select_topk(t: pa.Table, group_col, sort_col, tie_col, k, with_rank=False):
     g = t.column(group_col).to_numpy(zero_copy_only=False)
     s = t.column(sort_col).to_numpy(zero_copy_only=False)
     tie = t.column(tie_col).to_numpy(zero_copy_only=False)
-    # np.lexsort: last key is primary; group asc, score desc, tie asc
+    # np.lexsort: last key is primary; group asc, score desc/asc, tie asc
     _, ginv = np.unique(g, return_inverse=True)
-    order = np.lexsort((tie, -s, ginv))
+    if not ascending:
+        # ~s is an exact order-reversal for signed AND unsigned ints
+        # (float cast would lose uint64 precision; -s overflows edges)
+        s = np.invert(s) if s.dtype.kind in "iu" else -s
+    order = np.lexsort((tie, s, ginv))
     gs = ginv[order]
     seg_start_mask = np.concatenate(([True], gs[1:] != gs[:-1]))
     seg_starts = np.maximum.accumulate(
@@ -53,14 +60,15 @@ def topk_per_group(
     k,
     num_buckets=16,
     num_partitions=8,
+    ascending=False,
 ):
-    """Top-k rows per ``group_col`` value ordered by (``sort_col`` DESC,
-    ``tie_col`` ASC), with a 1-based ``rank`` column. Deterministic under
-    any parallelism because the order is total (tie_col must be unique
-    within a group)."""
+    """Top-k rows per ``group_col`` value ordered by (``sort_col`` DESC —
+    or ASC with ``ascending=True`` — then ``tie_col`` ASC), with a 1-based
+    ``rank`` column. Deterministic under any parallelism because the
+    order is total (tie_col must be unique within a group)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        t = _select_topk(t, group_col, sort_col, tie_col, k)
+        t = _select_topk(t, group_col, sort_col, tie_col, k, ascending=ascending)
         g = t.column(group_col)
         if pa.types.is_integer(g.type):
             b = (
@@ -75,7 +83,13 @@ def topk_per_group(
 
     def final(t: pa.Table) -> pa.Table:
         return _select_topk(
-            t.drop_columns(["bucket"]), group_col, sort_col, tie_col, k, with_rank=True
+            t.drop_columns(["bucket"]),
+            group_col,
+            sort_col,
+            tie_col,
+            k,
+            with_rank=True,
+            ascending=ascending,
         )
 
     return grouped_map(

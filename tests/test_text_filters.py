@@ -351,3 +351,25 @@ class TestUnigramLogprob:
         ]
         sf = write_sf_dir(tmp_path, texts)
         oracle_compare(sf, ["unigram_logprob"])
+
+
+class TestStratifiedSample:
+    def test_exact_k_deterministic(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        texts = ["d%d" % i for i in range(120)]
+        langs = (["en"] * 80) + (["fr"] * 30) + (["xx"] * 10)
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        a = QUERIES["stratified_sample"](sf).to_pandas()
+        b = QUERIES["stratified_sample"](sf).to_pandas()
+        counts = a.groupby("lang").size().to_dict()
+        # exact k per stratum; strata smaller than k keep everything
+        assert counts == {"en": 20, "fr": 20, "xx": 10}
+        key = lambda df: sorted(map(tuple, df[["lang", "doc_id"]].values.tolist()))
+        assert key(a) == key(b)
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        texts = ["doc %d" % i for i in range(300)]
+        langs = [["en", "fr", "de"][i % 3] for i in range(300)]
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        oracle_compare(sf, ["stratified_sample"])
