@@ -265,8 +265,11 @@ FROM agg ORDER BY df DESC, term LIMIT 100
 
 def q_unigram_logprob(sf_dir):
     """Perplexity-style quality scoring (CCNet/C4 family): per-doc mean
-    unigram log-probability under the corpus's own top-1000 vocabulary
-    (out-of-vocabulary tokens get a 0.5 pseudo-count). Two-pass broadcast
+    unigram log-probability in integer MICRO-NATS under the corpus's own
+    top-1000 vocabulary (out-of-vocabulary tokens get a 0.5 pseudo-count;
+    per-token values quantized to int64 before the sum so the result is
+    summation-order independent — repetition_quality's integer-exact
+    oracle pattern). Two-pass broadcast
     shape: pass 1 is the vocab_topk combiner pipeline (the exchange moves
     |vocab| rows, not tokens) whose top-V table + corpus token total are
     broadcast via ray.put; pass 2 scores every batch map-side with a
@@ -298,25 +301,35 @@ def q_unigram_logprob(sf_dir):
         vt, vc, tot = ray.get(vocab_ref)
         flat, ntoks = alnum_tokens_batch(t.column("text").to_pylist())
         if tot == 0 or not flat:
-            lp_mean = np.zeros(len(ntoks), dtype=np.float64)
+            lp_doc = np.zeros(len(ntoks), dtype=np.int64)
         else:
             w = np.array(flat)
             pos = np.searchsorted(vt, w)
             hit = (pos < len(vt)) & (vt[np.minimum(pos, len(vt) - 1)] == w)
             cnt = np.where(hit, vc[np.minimum(pos, len(vt) - 1)], 0.5)
-            lp = np.log(cnt / tot)
+            # per-token logprob quantized to int64 micro-nats FIRST: the
+            # per-doc sum is then integer-exact and summation-ORDER
+            # independent — a float mean here is a latent flake, because
+            # DuckDB's parallel avg() sums in nondeterministic order and
+            # can flip the 6th decimal at a rounding boundary between runs
+            q = np.round(np.log(cnt / tot) * 1e6).astype(np.int64)
             starts = np.concatenate(([0], np.cumsum(ntoks)[:-1]))
-            # clip: a trailing zero-token doc puts its start at len(lp),
-            # which reduceat rejects; its sum is zeroed below anyway
-            sums = np.add.reduceat(lp, np.minimum(starts, len(lp) - 1))
-            # reduceat returns lp[start] for empty segments: zero them
-            sums = np.where(ntoks > 0, sums, 0.0)
-            lp_mean = np.where(ntoks > 0, sums / np.maximum(ntoks, 1), 0.0)
+            # reduceat over NON-EMPTY segment starts only. Never "clip"
+            # out-of-range starts of trailing empty docs to len(q)-1: that
+            # makes the index list non-monotonic and reduceat then SKIPS
+            # the final token of the last non-empty doc — a bug that only
+            # fires when a batch ends with a zero-token doc (i.e. depends
+            # on how Ray happened to slice the batch).
+            nz = ntoks > 0
+            sums = np.zeros(len(ntoks), dtype=np.int64)
+            if nz.any():
+                sums[nz] = np.add.reduceat(q, starts[nz])
+            lp_doc = np.where(nz, sums // np.maximum(ntoks, 1), 0)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_alnum_tokens": pa.array(ntoks),
-                "avg_logprob": pa.array(np.round(lp_mean, 6)),
+                "lp_micro": pa.array(lp_doc.astype(np.int64)),
             }
         )
 
@@ -334,16 +347,22 @@ agg AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
 tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM agg),
 topv AS (SELECT term, tf FROM agg ORDER BY tf DESC, term LIMIT 1000),
 scored AS (
-  SELECT w.doc_id, ln(coalesce(CAST(topv.tf AS DOUBLE), 0.5)
-                      / (SELECT total FROM tot)) AS lp
+  -- per-token micro-nat quantization BEFORE the sum: integer-exact and
+  -- summation-order independent (parallel float avg() is not)
+  SELECT w.doc_id,
+         CAST(round(ln(coalesce(CAST(topv.tf AS DOUBLE), 0.5)
+                       / (SELECT total FROM tot)) * 1e6) AS BIGINT) AS q
   FROM w LEFT JOIN topv USING (term)
+),
+al AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id,
-       coalesce(lt.n, 0) AS n_alnum_tokens,
-       round(coalesce(al.m, 0.0), 6) AS avg_logprob
-FROM documents d
-LEFT JOIN (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id) lt USING (doc_id)
-LEFT JOIN (SELECT doc_id, avg(lp) AS m FROM scored GROUP BY doc_id) al USING (doc_id)
+       coalesce(al.n, 0) AS n_alnum_tokens,
+       coalesce(al.m, 0) AS lp_micro
+FROM documents d LEFT JOIN al USING (doc_id)
 """
 
 

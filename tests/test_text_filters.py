@@ -323,12 +323,14 @@ class TestUnigramLogprob:
             .sort_index()
         )
         total = 4.0
-        lp_aa, lp_bb = math.log(3 / total), math.log(1 / total)
+        # int64 micro-nats per token, floor-divided mean (order-exact)
+        q_aa = int(np.round(math.log(3 / total) * 1e6))
+        q_bb = int(np.round(math.log(1 / total) * 1e6))
         assert out.loc[0, "n_alnum_tokens"] == 3
-        assert abs(out.loc[0, "avg_logprob"] - round((2 * lp_aa + lp_bb) / 3, 6)) < 1e-9
-        assert abs(out.loc[1, "avg_logprob"] - round(lp_aa, 6)) < 1e-9
-        # empty doc: zero tokens, score pinned to 0.0
-        assert out.loc[2, "n_alnum_tokens"] == 0 and out.loc[2, "avg_logprob"] == 0.0
+        assert out.loc[0, "lp_micro"] == (2 * q_aa + q_bb) // 3
+        assert out.loc[1, "lp_micro"] == q_aa
+        # empty doc: zero tokens, score pinned to 0
+        assert out.loc[2, "n_alnum_tokens"] == 0 and out.loc[2, "lp_micro"] == 0
 
     def test_oov_floor_beyond_topv(self, ray_session, tmp_path):
         """>1000 distinct terms: the rarest fall outside top-V and take
