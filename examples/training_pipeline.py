@@ -45,8 +45,9 @@ def main(sf_dir):
 
     # 3. quality scores (each a streaming per-batch transform)
     lang = {r["doc_id"]: r["lang_pred"] for r in QUERIES["lang_id"](sf_dir).take_all()}
+    # lp_micro = mean unigram logprob in integer micro-nats (ln * 1e6)
     lp = {
-        r["doc_id"]: r["avg_logprob"]
+        r["doc_id"]: r["lp_micro"]
         for r in QUERIES["unigram_logprob"](sf_dir).take_all()
     }
     contaminated = {
@@ -58,7 +59,7 @@ def main(sf_dir):
     kept = [
         d
         for d in sorted(keep_exact - drop_near - contaminated)
-        if lang.get(d) == "en" and lp.get(d, -99.0) > -9.0
+        if lang.get(d) == "en" and lp.get(d, -99_000_000) > -9_000_000
     ]
     print("after filters: %d docs kept" % len(kept))
 

@@ -98,11 +98,19 @@ def detect_residual(workdir, num_parts):
         pdir = os.path.join(workdir, "part=%d" % i)
         wg = glob.glob(os.path.join(pdir, "way_geoms", "*.parquet"))
         el = glob.glob(os.path.join(pdir, "elements", "*.parquet"))
-        if not wg or not el:
+        if not el:
             continue
-        wt = pq.read_table(wg, columns=["way_id", "complete"])
-        wid = wt.column("way_id").to_numpy(zero_copy_only=False)
-        comp = wt.column("complete").to_numpy(zero_copy_only=False)
+        # no way_geoms files just means the partition assembled ZERO ways
+        # (node-only / relation-only input — Ray's parquet sink writes no
+        # files for an all-empty dataset). Its element ids must still be
+        # registered, or cross-partition refs INTO it look globally missing.
+        if wg:
+            wt = pq.read_table(wg, columns=["way_id", "complete"])
+            wid = wt.column("way_id").to_numpy(zero_copy_only=False)
+            comp = wt.column("complete").to_numpy(zero_copy_only=False)
+        else:
+            wid = np.array([], dtype=np.int64)
+            comp = np.array([], dtype=bool)
         inc = np.sort(wid[~comp])
         complete_ids = np.sort(wid[comp])
 
@@ -113,21 +121,24 @@ def detect_residual(workdir, num_parts):
         way_elem_ids[i] = np.sort(eid[kind == "way"])
 
         if len(inc):
-            et = pq.read_table(el, columns=["kind", "element_id", "refs"])
-            et = et.filter(
-                pc.and_(
-                    pc.equal(et.column("kind"), "way"),
-                    pc.is_in(et.column("element_id"), pa.array(inc)),
-                )
+            et = pq.read_table(
+                el,
+                columns=["kind", "element_id", "refs"],
+                filters=[("kind", "=", "way")],
             )
+            et = et.filter(pc.is_in(et.column("element_id"), pa.array(inc)))
             for w, refs in zip(
                 et.column("element_id").to_pylist(), et.column("refs").to_pylist()
             ):
                 cand_ways.append((i, int(w), np.asarray(refs or [], dtype=np.int64)))
 
         rt = _area_relation_filter(
+            # row-group predicate: only relation rows' tags/members reach
+            # the driver, not the whole partition's payload columns
             pq.read_table(
-                el, columns=["kind", "element_id", "tags", "members", "doc_id", "offset"]
+                el,
+                columns=["kind", "element_id", "tags", "members", "doc_id", "offset"],
+                filters=[("kind", "=", "relation")],
             )
         )
         inc_set = set(inc.tolist())
@@ -181,11 +192,7 @@ def _isin_filter(column, ids_ref):
     def fn(t):
         ids = ray.get(ids_ref)
         v = t.column(column).to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            return t.filter(pa.array(np.zeros(len(v), dtype=bool)))
-        pos = np.searchsorted(ids, v)
-        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == v)
-        return t.filter(pa.array(ok))
+        return t.filter(pa.array(_sorted_member(ids, v)))
 
     return fn
 
@@ -226,6 +233,12 @@ def run_residual(
     fdir = os.path.join(rdir, "features")
     if is_complete(fdir):
         return {"part": "residual", "resumed": True, **(manifest(fdir) or {})}
+    # zero-residual runs leave a marker so resumes skip the detection scan
+    # (the per-partition _SUCCESS contract, extended to "nothing to do")
+    none_marker = os.path.join(rdir, "_RESIDUAL_NONE.json")
+    if os.path.exists(none_marker):
+        with open(none_marker) as f:
+            return {"part": "residual", "resumed": True, **json.load(f)}
     res_ways, res_rels, member_ids = detect_residual(workdir, num_parts)
     stats = {
         "part": "residual",
@@ -234,6 +247,9 @@ def run_residual(
         "residual_relations": int(len(res_rels)),
     }
     if len(res_ways) == 0 and len(res_rels) == 0:
+        os.makedirs(rdir, exist_ok=True)
+        with open(none_marker, "w") as f:
+            json.dump({k: v for k, v in stats.items() if k != "resumed"}, f)
         return stats
 
     el_frags = [
@@ -266,11 +282,15 @@ def run_residual(
 
     sliver_buckets = max(4, num_buckets // 4)
     need_ways_ref = ray.put(np.unique(np.concatenate([res_ways, member_ids])))
-    ways = _sliver(
-        "way", ["element_id", "refs", "tags"], need_ways_ref, sliver_buckets
-    ).map_batches(
-        _project(["element_id", "refs", "tags", "doc_id", "offset"]),
-        batch_format="pyarrow",
+    # materialize: consumed by _ref_ids AND assemble_ways — Ray datasets
+    # are linear, an unmaterialized branch re-runs the sliver read+dedup
+    ways = (
+        _sliver("way", ["element_id", "refs", "tags"], need_ways_ref, sliver_buckets)
+        .map_batches(
+            _project(["element_id", "refs", "tags", "doc_id", "offset"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
 
     # node ids needed by the kept ways: small driver collect → broadcast
@@ -291,9 +311,10 @@ def run_residual(
         "node", ["element_id", "lon", "lat"], need_nodes_ref, sliver_buckets
     ).map_batches(_project(["element_id", "lon", "lat"]), batch_format="pyarrow")
 
+    # materialized for the same reason: feeds way_feats AND assemble_relations
     way_geoms = assemble_ways(
         ways, nodes_loc, num_partitions=4, num_buckets=num_buckets
-    )
+    ).materialize()
     res_ways_ref = ray.put(np.sort(res_ways))
     way_feats = way_geoms.map_batches(
         _isin_filter("way_id", res_ways_ref), batch_format="pyarrow"

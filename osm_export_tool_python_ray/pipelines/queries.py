@@ -485,17 +485,15 @@ def q_char_quantiles(sf_dir):
         li = (upair >> np.int64(40)).astype(np.int64)
         # bucket = stable hash of the lang VALUE (a batch-local unique
         # index would scatter one lang's histogram across buckets)
-        from osm_export_tool_python_ray.functions.text import hash_strings_128
+        from osm_export_tool_python_ray.stages.exchange import hash_bucket
 
-        lang_hash, _ = hash_strings_128(pa.array(langs, type=pa.string()))
+        lang_bucket = hash_bucket(pa.array(langs, type=pa.string()), 8)
         return pa.table(
             {
                 "lang": pa.array(langs[li], type=pa.string()),
                 "value": pa.array(upair & np.int64((1 << 40) - 1)),
                 "cnt": pa.array(cnt.astype(np.int64)),
-                "bucket": pa.array(
-                    (lang_hash[li] % np.uint64(8)).astype(np.int32)
-                ),
+                "bucket": pa.array(lang_bucket[li]),
             }
         )
 
@@ -1508,28 +1506,30 @@ def q_events_sliding(sf_dir):
 
     HOUR = 3_600_000_000  # us
 
+    HBIAS = np.int64(1) << np.int64(39)  # pre-1970 ts → negative hour index
+
     def partial(t: pa.Table) -> pa.Table:
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         h = (
             t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ).astype(np.int64) // HOUR
+        ).astype(np.int64) // HOUR + HBIAS  # biased into [0, 2^40)
         v = t.column("value").to_numpy(zero_copy_only=False)
         types, inv = np.unique(et, return_inverse=True)
-        key = inv.astype(np.int64) << np.int64(40) | h  # hour index < 2^40
+        key = inv.astype(np.int64) << np.int64(40) | h  # biased hour < 2^40
         ukey, pos = np.unique(key, return_inverse=True)
         cnt = np.bincount(pos)
         sv = np.bincount(pos, weights=v)
         ti = (ukey >> np.int64(40)).astype(np.int64)
-        from osm_export_tool_python_ray.functions.text import hash_strings_128
+        from osm_export_tool_python_ray.stages.exchange import hash_bucket
 
-        th, _ = hash_strings_128(pa.array(types, type=pa.string()))
+        tb = hash_bucket(pa.array(types, type=pa.string()), 8)
         return pa.table(
             {
                 "event_type": pa.array(types[ti], type=pa.string()),
                 "hour": pa.array(ukey & np.int64((1 << 40) - 1)),
                 "n": pa.array(cnt.astype(np.int64)),
                 "sum_v": pa.array(sv),
-                "bucket": pa.array((th[ti] % np.uint64(8)).astype(np.int32)),
+                "bucket": pa.array(tb[ti]),
             }
         )
 
@@ -1562,7 +1562,7 @@ def q_events_sliding(sf_dir):
             hi = np.arange(1, len(uh) + 1)
             lo = np.searchsorted(uh, uh - 2, side="left")  # trailing 3 hours
             out["event_type"].extend([et[s]] * len(uh))
-            out["hour_ts"].extend((uh * HOUR).tolist())
+            out["hour_ts"].extend(((uh - HBIAS) * HOUR).tolist())
             out["n_3h"].extend((cum_n[hi] - cum_n[lo]).tolist())
             out["sum_3h"].extend(np.round(cum_v[hi] - cum_v[lo], 4).tolist())
         return pa.table(

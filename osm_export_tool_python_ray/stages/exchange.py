@@ -99,6 +99,35 @@ def exchange_strategy():
     return _STRATEGY
 
 
+def hash_bucket(col, num_buckets):
+    """Stable int32 bucket ids for an Arrow/numpy key column: integers
+    bucket by modulo, strings by the vectorized 128-bit string hash — the
+    one bucketing rule every grouped_map call site shares (a batch-LOCAL
+    index must never be a bucket key: the same value would land in
+    different buckets per batch)."""
+    import numpy as np
+    import pyarrow as pa_
+
+    if isinstance(col, pa_.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa_.Array):
+        if pa_.types.is_integer(col.type):
+            k = col.to_numpy(zero_copy_only=False)
+        else:
+            from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+            h, _ = hash_strings_128(col.cast(pa_.string()))
+            return (h % np.uint64(num_buckets)).astype(np.int32)
+    else:
+        k = np.asarray(col)
+        if k.dtype.kind not in "iu":
+            from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+            h, _ = hash_strings_128(pa_.array(k, type=pa_.string()))
+            return (h % np.uint64(num_buckets)).astype(np.int32)
+    return (k.astype(np.int64) % num_buckets).astype(np.int32)
+
+
 def _enable_hash(ctx, num_partitions):
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.default_hash_shuffle_parallelism = num_partitions

@@ -42,11 +42,18 @@ def ordered_prefix_scan(ds, *, order_col, value_col, num_buckets=64, num_partiti
             lambda t: t.append_column("cum_excl", pa.array([], type=pa.int64())),
             batch_format="pyarrow",
         )
-    span = int(mx) + 1
+    mn = int(proj.min(order_col))
+    # bucket by DIVISION over the min-offset id: `o * num_buckets // span`
+    # would overflow int64 for hash-sized ids, and a negative id would
+    # index the offsets array from the tail — both silent corruption
+    span = int(mx) - mn + 1
+    if span > (1 << 62):  # o - mn must stay in int64
+        raise ValueError("order_col span %d exceeds int64-safe range" % span)
+    range_size = -(-span // num_buckets)  # ceil
 
     def add_bucket(t: pa.Table) -> pa.Table:
         o = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (o * num_buckets // span).astype(np.int64)
+        b = (o - mn) // range_size
         return t.append_column("bucket", pa.array(b))
 
     bucketed = proj.map_batches(add_bucket, batch_format="pyarrow")

@@ -67,21 +67,12 @@ def asof_match(
     the match inclusive at equal times); a running maximum of right-row
     positions, reset at key-segment starts, is then the match index.
     """
-    sch = combined.schema()  # ray Schema wrapper: .names / .types (arrow)
-    int_key = pa.types.is_integer(sch.types[sch.names.index(key)])
-
     def bucketer(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        if int_key:
-            b = (k.astype(np.int64) % num_buckets).astype(np.int32)
-        else:
-            from osm_export_tool_python_ray.functions.text import hash_strings_128
+        from osm_export_tool_python_ray.stages.exchange import hash_bucket
 
-            h, _ = hash_strings_128(t.column(key).combine_chunks().cast(pa.string()))
-            b = (h % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("bucket", pa.array(b))
-
-    out_fields = None  # resolved lazily from the first non-empty group
+        return t.append_column(
+            "bucket", pa.array(hash_bucket(t.column(key), num_buckets))
+        )
 
     def match(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["bucket"]).sort_by(

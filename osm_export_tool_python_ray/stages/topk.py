@@ -68,18 +68,12 @@ def topk_per_group(
     order is total (tie_col must be unique within a group)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        t = _select_topk(t, group_col, sort_col, tie_col, k, ascending=ascending)
-        g = t.column(group_col)
-        if pa.types.is_integer(g.type):
-            b = (
-                g.to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
-            ).astype(np.int32)
-        else:
-            from osm_export_tool_python_ray.functions.text import hash_strings_128
+        from osm_export_tool_python_ray.stages.exchange import hash_bucket
 
-            h, _ = hash_strings_128(g.combine_chunks().cast(pa.string()))
-            b = (h % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("bucket", pa.array(b))
+        t = _select_topk(t, group_col, sort_col, tie_col, k, ascending=ascending)
+        return t.append_column(
+            "bucket", pa.array(hash_bucket(t.column(group_col), num_buckets))
+        )
 
     def final(t: pa.Table) -> pa.Table:
         return _select_topk(

@@ -239,3 +239,69 @@ water:
             split_corpus, mapping, wd, num_partitions=2, num_buckets=4
         )
         assert metrics2["residual"]["resumed"] is True
+
+    def test_node_only_partition_registered(self, ray_session, tmp_path):
+        """A partition with zero ways (no way_geoms files at all) must
+        still register its node ids — a way elsewhere referencing them is
+        residual-recoverable, not 'globally missing'."""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import run_export
+        from osm_export_tool_python_ray.pipelines.partitioned import (
+            run_export_partitioned,
+        )
+        from osm_export_tool_python_ray.sources.corpus import DOCUMENT_SCHEMA
+
+        def el(d):
+            return {"kind": "osm", "text": _json.dumps(d, sort_keys=True), "media_ref": ""}
+
+        # frag0: ONLY nodes; frag1: a way whose nodes live in frag0
+        spansA = [
+            el({"id": 1, "type": "node", "lon": 0.0, "lat": 0.0}),
+            el({"id": 2, "type": "node", "lon": 1.0, "lat": 0.0}),
+        ]
+        spansB = [el({"id": 100, "type": "way", "refs": [1, 2],
+                      "tags": {"highway": "residential"}})]
+        d = tmp_path / "corpus2"
+        d.mkdir()
+        for name, spans in [("frag0", spansA), ("frag1", spansB)]:
+            t = pa.Table.from_pylist(
+                [{"doc_id": name, "spans": [dict(s, offset=i) for i, s in enumerate(spans)]}],
+                schema=DOCUMENT_SCHEMA,
+            )
+            pq.write_table(t, str(d / (name + ".parquet")))
+        mapping = Mapping(MAPPING_YAML)
+        wd = str(tmp_path / "wd4")
+        dirs, metrics = run_export_partitioned(
+            str(d), mapping, wd, num_partitions=2, num_buckets=4
+        )
+        assert metrics["residual"]["residual_ways"] == 1
+        rows = [r for dd in dirs for r in ray.data.read_parquet(dd).take_all()]
+        single = run_export(
+            ray.data.read_parquet(str(d)), mapping, num_partitions=2, num_buckets=4
+        ).take_all()
+        canon = lambda rs: sorted((r["theme"], r["osm_id"], r["wkb"]) for r in rs)
+        assert canon(rows) == canon(single)
+        assert ("roads", 100) in {(r["theme"], r["osm_id"]) for r in rows}
+
+    def test_zero_residual_marker_skips_rescan(self, ray_session, tmp_path):
+        import os as _os
+
+        from osm_export_tool_python_ray.pipelines.partitioned import (
+            run_export_partitioned,
+        )
+        from osm_export_tool_python_ray.sources.corpus import corpus_dataset
+
+        d = str(tmp_path / "closed2")
+        corpus_dataset(2, docs_per_shard=6).repartition(2).write_parquet(d)
+        wd = str(tmp_path / "wd5")
+        _, m1 = run_export_partitioned(d, Mapping(MAPPING_YAML), wd, num_partitions=2, num_buckets=4)
+        assert m1["residual"]["resumed"] is False
+        assert _os.path.exists(_os.path.join(wd, "part=residual", "_RESIDUAL_NONE.json"))
+        _, m2 = run_export_partitioned(d, Mapping(MAPPING_YAML), wd, num_partitions=2, num_buckets=4)
+        assert m2["residual"]["resumed"] is True
+        assert m2["residual"]["residual_ways"] == 0

@@ -101,3 +101,24 @@ class TestPackAssignment:
         assert a.shape == b.shape
         for c in rc:
             assert a[c].astype(str).equals(b[c].astype(str)), c
+
+    def test_negative_and_huge_ids(self, ray_session):
+        """Negative order ids and hash-scale magnitudes must scan exactly
+        (the naive o*B//span bucketing would wrap/overflow silently)."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.scan import ordered_prefix_scan
+
+        ids = np.array([-50_000, -3, 0, 7, 2**40, 2**40 + 12], dtype=np.int64)
+        vals = np.array([5, 7, 11, 13, 17, 19], dtype=np.int64)
+        t = pa.table({"oid": pa.array(ids), "v": pa.array(vals)})
+        out = (
+            ordered_prefix_scan(
+                ray.data.from_arrow(t).repartition(3), order_col="oid", value_col="v",
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("oid")
+            .reset_index(drop=True)
+        )
+        assert list(out["cum_excl"]) == [0, 5, 12, 23, 36, 53]

@@ -281,3 +281,34 @@ class TestSlidingWindow:
                 assert np.allclose(a[c].round(6), b[c].astype(float).round(6)), c
             else:
                 assert a[c].astype(str).equals(b[c].astype(str)), c
+
+    def test_pre_1970_hours(self, ray_session, tmp_path):
+        """Negative hour indices (timestamps before 1970) must not corrupt
+        the packed (type, hour) key."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import ORACLES, QUERIES
+
+        hour = 3_600_000_000
+        rows = [
+            (0, 1, -5 * hour, "a", 1.0),
+            (1, 1, -4 * hour, "a", 2.0),
+            (2, 1, -4 * hour, "b", 4.0),
+            (3, 1, 1 * hour, "a", 8.0),
+        ]
+        d = tmp_path / "sf_neg"
+        d.mkdir()
+        pq.write_table(_events_table(rows), str(d / "events.parquet"))
+        res = QUERIES["events_sliding"](str(d)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet('%s/events.parquet')" % d
+        )
+        ora = con.execute(ORACLES["events_sliding"]).df()
+        rc = sorted(res.columns)
+        a = res[rc].sort_values(rc).reset_index(drop=True)
+        b = ora[rc].sort_values(rc).reset_index(drop=True)
+        assert a.shape == b.shape
+        for c in rc:
+            assert a[c].astype(str).equals(b[c].astype(str)), c
