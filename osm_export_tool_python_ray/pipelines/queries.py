@@ -2013,33 +2013,26 @@ def q_aoi_extract(sf_dir):
 
 
 def q_media_features(sf_dir):
-    """Multimodal pipeline over REAL media payloads (PPM images generated
-    deterministically per corpus tile ref, decoded by the pure-numpy codec
-    in functions/codecs.py): actor-pool decode → real histogram features.
-    Rows-only (no SQL image decoder); codec correctness is pytest-verified
-    (tests/test_training_ops.py TestMedia)."""
-    import ray.data
-
-    from osm_export_tool_python_ray.stages.explode import explode_tiles
+    """Multimodal pipeline over REAL media payloads: one PPM image per
+    document ref, generated deterministically per batch (at scale this is
+    the media-store fetch stage — refs never land on the driver), decoded
+    STRICTLY by the pure-numpy codec in an actor-pool map_batches. The
+    payload dimensions derive from md5(media_ref), so the DuckDB oracle
+    re-derives the expected header (width, height) through the same md5
+    arithmetic — an exact end-to-end check of ref → seed → encode →
+    decode → header parse. Codec byte-level correctness is additionally
+    pytest-verified (tests/test_training_ops.py TestMedia round-trips)."""
     from osm_export_tool_python_ray.stages.media import (
         DecodeStage,
         make_real_media_table,
-        media_pipeline,
     )
-    from osm_export_tool_python_ray.stages.tiling import dedup_tiles
 
-    tiles = dedup_tiles(
-        ray.data.read_parquet(corpus_path(n_shards=4)).map_batches(
-            explode_tiles, batch_format="pyarrow"
-        ),
-        num_buckets=8,
-    )
-    # payloads generated per batch from the tile refs — no driver-side
-    # take_all() (VERDICT round-1: refs must not land on the driver; at
-    # scale this is the media-store fetch stage)
-    media = tiles.select_columns(["media_ref"]).map_batches(
-        lambda t: make_real_media_table(t.column("media_ref").to_pylist()),
-        batch_format="pyarrow",
+    def refs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return make_real_media_table(["img:%d" % i for i in ids])
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        refs, batch_format="pyarrow"
     )
     decoded = media.map_batches(
         DecodeStage,
@@ -2052,7 +2045,27 @@ def q_media_features(sf_dir):
     return decoded.map_batches(
         lambda t: t.select(["media_ref", "format", "width", "height"]),
         batch_format="pyarrow",
-    ).sort("media_ref")
+    )
+
+
+# expected header dims re-derived from md5(media_ref): seed = LE uint32 of
+# the first 4 md5 bytes (low half of the le64 parse); h = 16 + seed % 17,
+# w = 16 + (seed >> 8) % 23 — stages/media.py make_real_media_table
+SQL_MEDIA_FEATURES = """
+WITH r AS (
+  SELECT 'img:' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+),
+s AS (
+  SELECT media_ref,
+         ({le}) % CAST(4294967296 AS UBIGINT) AS seed
+  FROM (SELECT media_ref, md5(media_ref) AS h FROM r)
+)
+SELECT media_ref,
+       'ppm' AS format,
+       CAST(16 + (seed // 256) % 23 AS INTEGER) AS width,
+       CAST(16 + seed % 17 AS INTEGER) AS height
+FROM s
+""".format(le=_le64_expr("h"))
 
 
 def q_gpkg_layer_counts(sf_dir):
@@ -2383,6 +2396,7 @@ def export_surface_oracles():
 
 
 ORACLES = {
+    "media_features": SQL_MEDIA_FEATURES,
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_stats": SQL_DOC_STATS,
     "token_budget": SQL_TOKEN_BUDGET,
