@@ -1930,12 +1930,11 @@ def q_knn(sf_dir):
 
     feats = pts.map_batches(as_features, batch_format="pyarrow")
     queries = pts.map_batches(as_queries, batch_format="pyarrow")
-    out = knn_nearest_features(feats, queries, k=3, res=0, ring=1, num_buckets=8)
-    return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("dist2"), "dist2", pc.round(t.column("dist2"), 10)
-        ),
-        batch_format="pyarrow",
+    # dist_round=10 quantizes distances BEFORE ranking so equal-distance
+    # ties break by osm_id on both sides (numpy and DuckDB doubles can
+    # differ in the last ulp, which silently flips raw-distance ties)
+    return knn_nearest_features(
+        feats, queries, k=3, res=0, ring=1, num_buckets=8, dist_round=10
     )
 
 
@@ -1952,7 +1951,9 @@ WITH pts AS (
          round((q.qlon - p.lon) * (q.qlon - p.lon) + (q.qlat - p.lat) * (q.qlat - p.lat), 10) AS dist2,
          row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY (q.qlon - p.lon) * (q.qlon - p.lon) + (q.qlat - p.lat) * (q.qlat - p.lat), p.c_custkey
+             ORDER BY round((q.qlon - p.lon) * (q.qlon - p.lon)
+                            + (q.qlat - p.lat) * (q.qlat - p.lat), 10),
+                      p.c_custkey
          ) - 1 AS rank
   FROM q CROSS JOIN pts p
 )

@@ -116,7 +116,7 @@ def _feature_side(res, salt_factor=1):
     return fn
 
 
-def _topk_group(group: pa.Table, k) -> pa.Table:
+def _topk_group(group: pa.Table, k, dist_round=None) -> pa.Table:
     """One cell-bucket: brute-force per-neighborhood top-k (vectorized
     query×feature distance matrix per cell)."""
     side = group.column("side").to_numpy(zero_copy_only=False)
@@ -143,6 +143,19 @@ def _topk_group(group: pa.Table, k) -> pa.Table:
         dlat = qlat[qi][:, None] - qlat[fi][None, :]
         d2 = dlon * dlon + dlat * dlat
         kk = min(k, d2.shape[1])
+        if dist_round is not None:
+            # deterministic k-cut: quantize distances and break ties by
+            # osm_id, so equal-distance candidates at the cut are the same
+            # ones an (round(dist), id)-ordered oracle keeps — raw-double
+            # argpartition picks an arbitrary member of a tied set
+            d2 = np.round(d2, dist_round)
+            fo = osm[fi]
+            for row in range(len(qi)):
+                cols = np.lexsort((fo, d2[row]))[:kk]
+                out_q.append(np.full(kk, qid[qi[row]], dtype=np.int64))
+                out_f.append(fo[cols].astype(np.int64))
+                out_d.append(d2[row, cols])
+            continue
         part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
         for row in range(len(qi)):
             cols = part[row]
@@ -166,13 +179,25 @@ def _topk_group(group: pa.Table, k) -> pa.Table:
     )
 
 
-def knn_nearest_features(features_ds, queries_ds, k=5, res=DEFAULT_RES, ring=1, num_buckets=64, salt_factor=1):
+def knn_nearest_features(
+    features_ds,
+    queries_ds,
+    k=5,
+    res=DEFAULT_RES,
+    ring=1,
+    num_buckets=64,
+    salt_factor=1,
+    dist_round=None,
+):
     """→ (query_id, osm_id, dist2, rank) — the k nearest features per query
     within its (2·ring+1)² cell neighborhood.
 
     Shuffles: 1 groupby(cell bucket) cogroup + 1 groupby(query bucket)
     final merge (both bucketed to keep groups coarse). ``salt_factor``
-    splits hot cells (see QueryExpander)."""
+    splits hot cells (see QueryExpander). ``dist_round`` quantizes
+    distances to that many decimals BEFORE ranking (ties then break by
+    osm_id deterministically — required when comparing against an
+    oracle whose doubles differ in the last ulp)."""
     q = queries_ds.map_batches(QueryExpander(res, ring, salt_factor), batch_format="pyarrow")
     f = features_ds.map_batches(_feature_side(res, salt_factor), batch_format="pyarrow")
 
@@ -187,7 +212,7 @@ def knn_nearest_features(features_ds, queries_ds, k=5, res=DEFAULT_RES, ring=1, 
     per_cell = grouped_map(
         q.union(f).map_batches(bucketer_cell, batch_format="pyarrow"),
         "bucket",
-        lambda g, k=k: _topk_group(g.drop_columns(["bucket"]), k),
+        lambda g, k=k: _topk_group(g.drop_columns(["bucket"]), k, dist_round),
         num_partitions=min(num_buckets, 32),
     )
 
