@@ -305,3 +305,67 @@ water:
         _, m2 = run_export_partitioned(d, Mapping(MAPPING_YAML), wd, num_partitions=2, num_buckets=4)
         assert m2["residual"]["resumed"] is True
         assert m2["residual"]["residual_ways"] == 0
+
+    def test_fully_scattered_corpus_recovers(self, ray_session, tmp_path):
+        """Worst-case closure break: every element becomes its own
+        single-span document, scattered round-robin across 3 fragments —
+        nearly every way/relation is residual. Partitioned + recovery
+        must equal the global pipeline on the same scattered corpus.
+        (Duplicate elements are collapsed first: cross-partition
+        duplicates are the documented remaining assumption.)"""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import run_export
+        from osm_export_tool_python_ray.pipelines.partitioned import (
+            run_export_partitioned,
+        )
+        from osm_export_tool_python_ray.sources.corpus import (
+            DOCUMENT_SCHEMA,
+            corpus_dataset,
+        )
+
+        docs = corpus_dataset(8, docs_per_shard=4).take_all()
+        seen = {}
+        for doc in docs:
+            for sp in doc["spans"]:
+                if sp["kind"] != "osm":
+                    continue
+                d = _json.loads(sp["text"])
+                seen.setdefault((d["type"], d["id"]), sp["text"])
+        spans = sorted(seen.items())
+        frags = [[] for _ in range(3)]
+        for i, ((_k, _eid), text) in enumerate(spans):
+            frags[i % 3].append(
+                {
+                    "doc_id": "scat%05d" % i,
+                    "spans": [
+                        {"kind": "osm", "text": text, "media_ref": "", "offset": 0}
+                    ],
+                }
+            )
+        d = tmp_path / "scattered"
+        d.mkdir()
+        for fi, rows in enumerate(frags):
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=DOCUMENT_SCHEMA),
+                str(d / ("frag%d.parquet" % fi)),
+            )
+        mapping = Mapping(MAPPING_YAML)
+        wd = str(tmp_path / "wd_scat")
+        dirs, metrics = run_export_partitioned(
+            str(d), mapping, wd, num_partitions=3, num_buckets=4
+        )
+        assert metrics["residual"]["residual_ways"] > 10  # nearly all ways
+        rows = [r for dd in dirs for r in ray.data.read_parquet(dd).take_all()]
+        single = run_export(
+            ray.data.read_parquet(str(d)), mapping, num_partitions=3, num_buckets=4
+        ).take_all()
+        canon = lambda rs: sorted(
+            (r["theme"], r["osm_id"], r["geom_type"], r["wkb"]) for r in rs
+        )
+        assert canon(rows) == canon(single)
+        assert len(rows) > 50
