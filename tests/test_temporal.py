@@ -69,8 +69,9 @@ class TestAsofJoin:
         v9 = out.loc[out.event_id == 9, "last_purchase_value"].iloc[0]
         assert v9 == 2.0
 
-    def test_bruteforce_differential(self, ray_session, tmp_path):
-        rng = np.random.default_rng(7)
+    @pytest.mark.parametrize("seed", [7, 19, 101])
+    def test_bruteforce_differential(self, ray_session, tmp_path, seed):
+        rng = np.random.default_rng(seed)
         n = 400
         rows = [
             (
@@ -136,12 +137,13 @@ class TestRangeJoin:
         assert (out.loc[2, "n_ship"], out.loc[2, "sum_qty"]) == (3, 28.0)
         assert (out.loc[3, "n_ship"], out.loc[3, "sum_qty"]) == (0, 0.0)
 
-    def test_bruteforce_differential(self, ray_session, tmp_path):
+    @pytest.mark.parametrize("seed", [11, 37, 211])
+    def test_bruteforce_differential(self, ray_session, tmp_path, seed):
         import pyarrow.parquet as pq
 
         from osm_export_tool_python_ray.pipelines.queries import QUERIES
 
-        rng = np.random.default_rng(11)
+        rng = np.random.default_rng(seed)
         day = 86_400_000_000
         base = np.datetime64("1995-01-01", "us").astype(np.int64)
         od = base + rng.integers(0, 40, size=60) * (day // 2)
