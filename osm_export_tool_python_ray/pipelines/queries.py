@@ -4,14 +4,16 @@ SURVEY.md §2 + the training-data ops) with matching DuckDB oracle SQL.
 Every SQL-expressible query names its computed columns identically in the
 Ray pipeline and the oracle (the driver sorts columns by name and
 value-hashes). Floating-point aggregates are rounded to 6 decimals on BOTH
-sides so double-summation order cannot flip the hash. 27 of 30 queries
-are oracle-backed — including the LSH families (MinHash/SimHash re-derived
-with exact hash arithmetic in SQL), the lang-ID heuristic, connected
-components (recursive CTE) and the full export surface (span-UNNEST
-re-derivation). The three without oracles are genuinely iterative /
-model-shaped: ivf_topk and embedding_kmeans (seeded iterative sampling SQL
-cannot reproduce) and media_features (image decode); pytest carries their
-brute-force/recall verification.
+sides so double-summation order cannot flip the hash; rank/selection ties
+are broken on a quantized key + id on both sides (raw doubles differ in
+the last ulp between numpy and DuckDB). ALL 48 queries are oracle-backed
+— including the LSH families (MinHash/SimHash re-derived with exact hash
+arithmetic in SQL), connected components (recursive CTE), the full export
+surface (span-UNNEST re-derivation), deterministic strided-centroid
+ivf_topk / embedding_kmeans (centroids re-derived by rank+join in SQL),
+and media_features (expected decoded header re-derived from md5(ref)
+seed arithmetic); pytest additionally carries brute-force/recall/codec
+verification for the model-shaped ones.
 """
 
 import os

@@ -147,14 +147,23 @@ def _topk_group(group: pa.Table, k, dist_round=None) -> pa.Table:
             # deterministic k-cut: quantize distances and break ties by
             # osm_id, so equal-distance candidates at the cut are the same
             # ones an (round(dist), id)-ordered oracle keeps — raw-double
-            # argpartition picks an arbitrary member of a tied set
+            # argpartition picks an arbitrary member of a tied set.
+            # Cost stays O(F): argpartition finds the boundary, only the
+            # rows TIED AT the boundary value get an id-ordered selection.
             d2 = np.round(d2, dist_round)
             fo = osm[fi]
             for row in range(len(qi)):
-                cols = np.lexsort((fo, d2[row]))[:kk]
+                dr = d2[row]
+                cand = np.argpartition(dr, kk - 1)[:kk]
+                thr = dr[cand].max()
+                inner = cand[dr[cand] < thr]
+                tied = np.nonzero(dr == thr)[0]
+                need = kk - len(inner)
+                chosen = tied[np.argsort(fo[tied], kind="stable")[:need]]
+                cols = np.concatenate([inner, chosen])
                 out_q.append(np.full(kk, qid[qi[row]], dtype=np.int64))
                 out_f.append(fo[cols].astype(np.int64))
-                out_d.append(d2[row, cols])
+                out_d.append(dr[cols])
             continue
         part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
         for row in range(len(qi)):

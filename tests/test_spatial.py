@@ -231,3 +231,68 @@ class TestHotTileCap:
         ).take_all()
         assert out[0]["truncated"] is False or out[0]["truncated"] == False
         assert out[0]["n_features"] == 20
+
+
+class TestDistRoundTieBreak:
+    """The dist_round branch of _topk_group: quantized distances with
+    deterministic min-osm_id tie-breaks at the k-cut (the path the knn
+    oracle parity depends on)."""
+
+    def _group(self, qlonlat, feats):
+        import pyarrow as pa
+
+        rows = []
+        # one query (side 0) + features (side 1... engine uses side==0 for
+        # queries) in a single cell
+        rows.append(
+            {"side": 0, "cell": 7, "query_id": 1, "osm_id": -1,
+             "lon": qlonlat[0], "lat": qlonlat[1]}
+        )
+        for oid, lon, lat in feats:
+            rows.append(
+                {"side": 1, "cell": 7, "query_id": -1, "osm_id": oid,
+                 "lon": lon, "lat": lat}
+            )
+        t = pa.Table.from_pylist(rows)
+        import numpy as np
+        return t
+
+    def test_tied_cut_prefers_min_osm_id(self):
+        import numpy as np
+
+        from osm_export_tool_python_ray.stages.knn import _topk_group
+
+        # four features: two at distance .01 (ids 30, 10 — tied at the
+        # cut), one nearer, one farther. k=2 must keep [nearer, id 10].
+        feats = [(30, 0.01, 0.0), (10, 0.0, 0.01), (5, 0.005, 0.0), (99, 0.5, 0.0)]
+        out = _topk_group(self._group((0.0, 0.0), feats), k=2, dist_round=10)
+        got = sorted(out.column("osm_id").to_pylist())
+        assert got == [5, 10]
+        # and with k=3, both tied rows are in (ids 10 and 30)
+        out3 = _topk_group(self._group((0.0, 0.0), feats), k=3, dist_round=10)
+        assert sorted(out3.column("osm_id").to_pylist()) == [5, 10, 30]
+
+    def test_all_tied_beyond_k(self):
+        from osm_export_tool_python_ray.stages.knn import _topk_group
+
+        # five features all at the same distance: k=3 keeps the 3 lowest ids
+        feats = [(i, 0.01, 0.0) for i in (42, 7, 19, 3, 88)]
+        out = _topk_group(self._group((0.0, 0.0), feats), k=3, dist_round=10)
+        assert sorted(out.column("osm_id").to_pylist()) == [3, 7, 19]
+
+    def test_matches_full_lexsort(self):
+        import numpy as np
+
+        from osm_export_tool_python_ray.stages.knn import _topk_group
+
+        rng = np.random.default_rng(3)
+        # coarse grid -> many exact distance ties after rounding
+        feats = [
+            (int(i), round(float(rng.integers(0, 4)) * 0.01, 4),
+             round(float(rng.integers(0, 4)) * 0.01, 4))
+            for i in range(60)
+        ]
+        out = _topk_group(self._group((0.0, 0.0), feats), k=5, dist_round=10)
+        d2 = {oid: round((lon) ** 2 + (lat) ** 2, 10) for oid, lon, lat in feats}
+        want = sorted(d2, key=lambda o: (d2[o], o))[:5]
+        assert sorted(out.column("osm_id").to_pylist()) == sorted(want)
