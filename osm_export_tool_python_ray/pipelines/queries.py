@@ -275,27 +275,36 @@ def q_unigram_logprob(sf_dir):
     shape: pass 1 is the vocab_topk combiner pipeline (the exchange moves
     |vocab| rows, not tokens) whose top-V table + corpus token total are
     broadcast via ray.put; pass 2 scores every batch map-side with a
-    sorted-array searchsorted lookup — no second shuffle. The driver-side
-    vocabulary collect is bounded by |vocab|, not corpus size."""
+    sorted-array searchsorted lookup — no second shuffle. The top-V cut is
+    a DISTRIBUTED ``.sort().limit(V)`` over the grouped term table (the
+    q_vocab_topk pattern) — at web scale the distinct-token table is
+    itself huge (typos/numbers → 10⁸–10⁹ terms), so it must never reach
+    the driver; the grouped table is materialized once as distributed
+    blocks (it feeds both the token total and the top-V cut), and the only
+    driver-side collect is the final V rows."""
     import ray
 
     from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
     from osm_export_tool_python_ray.stages.textstages import vocab_partial
 
     V = 1000
-    term_rows = (
+    grouped = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(vocab_partial, batch_format="pyarrow")
         .groupby("term")
         .sum(["tf"])
+        .materialize()  # |distinct terms| rows in distributed blocks, NOT on the driver
+    )
+    total = int(grouped.sum("sum(tf)") or 0)
+    # top-V by (tf desc, term asc) — deterministic at the cut rank: ties
+    # at rank V break lexicographically, on both the engine and SQL side
+    top_rows = (
+        grouped.sort(["sum(tf)", "term"], descending=[True, False])
+        .limit(V)
         .take_all()
     )
-    terms = np.array([r["term"] for r in term_rows])
-    tf = np.array([r["sum(tf)"] for r in term_rows], dtype=np.int64)
-    total = int(tf.sum())
-    # top-V by (tf desc, term asc) — deterministic at the cut rank
-    sel = np.lexsort((terms, -tf))[:V]
-    vterms, vtf = terms[sel], tf[sel]
+    vterms = np.array([r["term"] for r in top_rows])
+    vtf = np.array([r["sum(tf)"] for r in top_rows], dtype=np.int64)
     vorder = np.argsort(vterms)
     vocab_ref = ray.put((vterms[vorder], vtf[vorder], total))
 
@@ -357,8 +366,14 @@ scored AS (
   FROM w LEFT JOIN topv USING (term)
 ),
 al AS (
+  -- exact integer FLOOR division (numpy // floors; DuckDB // truncates
+  -- toward zero): HUGEINT truncating division corrected by one when the
+  -- remainder is nonzero and the sum negative. Exact at ANY magnitude —
+  -- no 2^53 double-precision bound.
   SELECT doc_id, count(*) AS n,
-         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         CAST(sum(q) // count(*)
+              - CASE WHEN sum(q) % count(*) <> 0 AND sum(q) < 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS m
   FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id,

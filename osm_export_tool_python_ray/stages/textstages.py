@@ -133,9 +133,14 @@ def vocab_partial(t: pa.Table) -> pa.Table:
         .group_by("term")
         .aggregate([("doc", "count")])
     )
-    joined = tf.rename_columns(["term", "tf"]).join(
-        df.rename_columns(["term", "df"]), "term"
-    )
+    # select the aggregate output by its GENERATED NAME ("doc_count"),
+    # never positionally: key-vs-aggregate column order in pyarrow
+    # group_by().aggregate() output is an implementation detail that has
+    # differed across versions — a positional rename would silently swap
+    # term/tf instead of erroring.
+    tf = pa.table({"term": tf.column("term"), "tf": tf.column("doc_count")})
+    df = pa.table({"term": df.column("term"), "df": df.column("doc_count")})
+    joined = tf.join(df, "term")
     return joined.select(["term", "df", "tf"])
 
 

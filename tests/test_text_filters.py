@@ -344,6 +344,31 @@ class TestUnigramLogprob:
         sf = write_sf_dir(tmp_path, texts)
         oracle_compare(sf, ["unigram_logprob"])
 
+    def test_cut_rank_tie_breaks_by_term(self, ray_session, tmp_path):
+        """1200 tf=1 terms tie across the V=1000 cut: the distributed
+        sort+limit must break the tie by term ASC exactly like the oracle's
+        ORDER BY tf DESC, term — t0000..t0998 land inside the vocab (999
+        slots behind the tf=2 head term), t0999.. take the 0.5 OOV floor."""
+        import math
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        texts = ["t%04d" % i for i in range(1200)] + ["common common"]
+        sf = write_sf_dir(tmp_path, texts)
+        out = (
+            QUERIES["unigram_logprob"](sf)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        total = 1202.0
+        in_vocab = int(np.round(math.log(1 / total) * 1e6))
+        oov = int(np.round(math.log(0.5 / total) * 1e6))
+        assert out.loc[998, "lp_micro"] == in_vocab  # t0998: last inside the cut
+        assert out.loc[999, "lp_micro"] == oov  # t0999: first beyond it
+        assert out.loc[1199, "lp_micro"] == oov
+        oracle_compare(sf, ["unigram_logprob"])
+
     def test_oracle_parity(self, ray_session, tmp_path):
         rng = np.random.default_rng(29)
         words = ["w%d" % i for i in range(50)]
