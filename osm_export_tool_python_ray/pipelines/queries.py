@@ -1370,32 +1370,46 @@ def q_q1_lineitem(sf_dir):
     )
 
     def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.append_column("rev", rev)
+        # per-row revenue quantized to integer CENTS before the sum: the
+        # grouped totals are then summation-order independent (Ray's
+        # partial folds vs DuckDB's parallel sum would otherwise disagree
+        # in the last ulp at a rounding boundary). Same association order
+        # as the oracle: (price * (1 - discount)) * 100.
+        px = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev_c = np.floor(px * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return t.append_column("rev_c", pa.array(rev_c))
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("rev", alias_name="revenue"),
+            Sum("rev_c", alias_name="rev_c"),
             Count(alias_name="n"),
         )
     )
-    return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("revenue"), "revenue", pc.round(t.column("revenue"), 2)
-        ).set_column(
-            t.schema.get_field_index("sum_qty"), "sum_qty", pc.round(t.column("sum_qty"), 2)
-        ),
-        batch_format="pyarrow",
-    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t.column("rev_c").to_numpy(zero_copy_only=False) / 100.0
+        return (
+            t.drop_columns(["rev_c"])
+            .append_column("revenue", pa.array(rev))
+            .set_column(
+                t.schema.get_field_index("sum_qty"),
+                "sum_qty",
+                pc.round(t.column("sum_qty"), 2),
+            )
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_Q1_LINEITEM = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -1530,12 +1544,21 @@ def q_events_sliding(sf_dir):
         h = (
             t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
         ).astype(np.int64) // HOUR + HBIAS  # biased into [0, 2^40)
-        v = t.column("value").to_numpy(zero_copy_only=False)
+        # per-row values quantized to int 1e-4 sub-units BEFORE any sum:
+        # integer partials make the windowed sums summation-ORDER
+        # independent on both sides (DuckDB's parallel sum folds floats in
+        # nondeterministic order — a rounding-boundary value could flip
+        # the driver hash). floor(x*1e4+0.5) is the same half-up rule the
+        # oracle applies; the final division by 1e4 is exact-grid, so no
+        # output round() (and no half-even-vs-half-away divergence) at all.
+        v = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 1e4 + 0.5
+        ).astype(np.int64)
         types, inv = np.unique(et, return_inverse=True)
         key = inv.astype(np.int64) << np.int64(40) | h  # biased hour < 2^40
         ukey, pos = np.unique(key, return_inverse=True)
         cnt = np.bincount(pos)
-        sv = np.bincount(pos, weights=v)
+        sv = np.bincount(pos, weights=v).astype(np.int64)
         ti = (ukey >> np.int64(40)).astype(np.int64)
         from osm_export_tool_python_ray.stages.exchange import hash_bucket
 
@@ -1573,15 +1596,16 @@ def q_events_sliding(sf_dir):
             # (one per producing batch): fold them before the window
             uh, pos = np.unique(h[s:e], return_inverse=True)
             un = np.bincount(pos, weights=n[s:e]).astype(np.int64)
-            usv = np.bincount(pos, weights=sv[s:e])
+            usv = np.bincount(pos, weights=sv[s:e]).astype(np.int64)
             cum_n = np.concatenate(([0], np.cumsum(un)))
-            cum_v = np.concatenate(([0.0], np.cumsum(usv)))
+            cum_v = np.concatenate(([0], np.cumsum(usv)))
             hi = np.arange(1, len(uh) + 1)
             lo = np.searchsorted(uh, uh - 2, side="left")  # trailing 3 hours
             out["event_type"].extend([et[s]] * len(uh))
             out["hour_ts"].extend(((uh - HBIAS) * HOUR).tolist())
             out["n_3h"].extend((cum_n[hi] - cum_n[lo]).tolist())
-            out["sum_3h"].extend(np.round(cum_v[hi] - cum_v[lo], 4).tolist())
+            # integer sub-unit sums divided back on the exact 1e-4 grid
+            out["sum_3h"].extend(((cum_v[hi] - cum_v[lo]) / 1e4).tolist())
         return pa.table(
             {
                 "event_type": pa.array(out["event_type"], type=pa.string()),
@@ -1601,13 +1625,16 @@ def q_events_sliding(sf_dir):
 
 SQL_EVENTS_SLIDING = """
 WITH hourly AS (
+  -- per-row int 1e-4 sub-unit quantization before ANY sum: matches the
+  -- engine's integer partials, summation-order independent
   SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-         count(*) AS n, sum(value) AS sum_v
+         count(*) AS n,
+         sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS sum_v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 )
 SELECT event_type, hour_ts,
        CAST(sum(n) OVER w AS BIGINT) AS n_3h,  -- window sum is HUGEINT
-       round(sum(sum_v) OVER w, 4) AS sum_3h
+       CAST(sum(sum_v) OVER w AS DOUBLE) / 1e4 AS sum_3h
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
@@ -1649,7 +1676,11 @@ def q_events_sessions(sf_dir):
             .astype("datetime64[ns]")
             .astype(np.int64)
         )
-        v = g.column("value").to_numpy(zero_copy_only=False)
+        # int 1e-4 sub-units before the per-session sum (order independence
+        # — see q_events_sliding); the /1e4 below is exact-grid, no round()
+        v = np.floor(
+            g.column("value").to_numpy(zero_copy_only=False) * 1e4 + 0.5
+        ).astype(np.int64)
         new = np.ones(len(u), dtype=bool)
         new[1:] = (u[1:] != u[:-1]) | ((tsi[1:] - tsi[:-1]) > 30 * 60 * 1_000_000_000)
         starts = np.nonzero(new)[0]
@@ -1662,7 +1693,7 @@ def q_events_sessions(sf_dir):
                 "user_id": pa.array(u[starts]),
                 "session_start": ts_col.take(pa.array(starts)),
                 "n_events": pa.array((ends - starts).astype(np.int64)),
-                "sum_value": pa.array(np.round(np.add.reduceat(v, starts), 4)),
+                "sum_value": pa.array(np.add.reduceat(v, starts) / 1e4),
             }
         )
 
@@ -1691,7 +1722,8 @@ WITH ordered AS (
   FROM ordered
 )
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4
+         AS sum_value
 FROM numbered GROUP BY user_id, sid
 """
 
@@ -1781,23 +1813,37 @@ def q_range_join(sf_dir):
         )
         return t.append_column("window_end", pa.array(d + 3 * day_us))
 
+    def quantize_qty(t: pa.Table) -> pa.Table:
+        # int 1e-4 sub-units per row before the prefix sums / fold: the
+        # summed value is then summation-order independent on both sides
+        # (cumsum partials here, DuckDB parallel sum in the oracle), and
+        # the final /1e4 is exact-grid — no output round() needed
+        q = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) * 1e4 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"l_shipdate": t.column("l_shipdate"), "l_qty_q4": pa.array(q)}
+        )
+
     partials = range_join_time(
         orders.map_batches(add_end, batch_format="pyarrow"),
-        _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]),
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]).map_batches(
+            quantize_qty, batch_format="pyarrow"
+        ),
         interval_key="o_orderkey",
         start_col="o_orderdate",
         end_col="window_end",
         point_time="l_shipdate",
-        point_values=["l_quantity"],
+        point_values=["l_qty_q4"],
         epoch_us=3 * day_us,
     )
     out = partials.groupby("o_orderkey").aggregate(
-        Sum("n", alias_name="n_ship"), Sum("l_quantity", alias_name="sum_qty")
+        Sum("n", alias_name="n_ship"), Sum("l_qty_q4", alias_name="qty_q4")
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("sum_qty")
-        return t.set_column(i, "sum_qty", pc.round(t.column("sum_qty"), 4))
+        qty = t.column("qty_q4").to_numpy(zero_copy_only=False) / 1e4
+        return t.drop_columns(["qty_q4"]).append_column("sum_qty", pa.array(qty))
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -1805,7 +1851,9 @@ def q_range_join(sf_dir):
 SQL_RANGE_JOIN = """
 SELECT o.o_orderkey,
        count(l.l_shipdate) AS n_ship,
-       round(coalesce(sum(l.l_quantity), 0), 4) AS sum_qty
+       CAST(coalesce(
+         sum(CAST(floor(l.l_quantity * 1e4 + 0.5) AS BIGINT)), 0
+       ) AS DOUBLE) / 1e4 AS sum_qty
 FROM orders o LEFT JOIN lineitem l
   ON l.l_shipdate >= o.o_orderdate
  AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY

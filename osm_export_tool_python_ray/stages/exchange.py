@@ -40,10 +40,30 @@ export wall to "the sorts", but replacing the sort with two sort-free
 exchanges did NOT recover that time — the cost is the GATHER + data
 movement of nested payloads, which every exchange pays; Ray's sort
 exchange gathers once and then hands out zero-copy contiguous ranges,
-and pipelines best. Hence: default ``sort``, ``strategy="hash"`` at
-light-payload call sites (tiling), and the whole suite passes under
-any strategy (set ``OSM_RAY_EXCHANGE=hash`` to run everything on
-hash).
+and pipelines best.
+
+The A/B outcome is encoded as an AUTOMATIC per-call-site choice
+(``choose_strategy``): a payload whose exchange schema is all
+fixed-width/short-string columns (the "key plus a couple of ids" class
+where hash measured ~2x faster) picks ``hash``; any nested column
+(list/map/struct — the class where hash measured ~2x slower) or an
+unknown schema picks ``sort``. Call sites pass the exchange schema they
+construct via ``payload_schema=`` (they build those tables explicitly,
+so the schema is static knowledge, not a strategy hardcode); without a
+hint the heuristic falls back to ``ds.schema(fetch_if_missing=False)``
+— NEVER a fetching peek, which on a lineage containing an upstream
+exchange would execute that whole barrier twice — and otherwise to
+``sort``. The whole suite passes under any strategy.
+
+Precedence: ``OSM_RAY_EXCHANGE`` env var, when SET, overrides
+everything (the global A/B lever — including call sites that pass an
+explicit ``strategy=``); then the explicit ``strategy=`` argument; then
+the payload-width heuristic; then ``sort``. NOTE for the env lever:
+``OSM_RAY_EXCHANGE=task`` selects the raw-task exchange globally, whose
+construction is EAGER (the upstream executes at ``grouped_map`` call
+time, not at first downstream consumption) and which supports only
+``batch_format="pyarrow"`` with no extra ``map_batches`` kwargs —
+``grouped_map`` warns and drops them (no engine call site passes any).
 
 Scale/deadlock notes (the reason this is centralized here):
 
@@ -84,19 +104,90 @@ shuffle).
 """
 
 import os
+import warnings
 
 from ray.data.context import ShuffleStrategy
 
-_STRATEGY = os.environ.get("OSM_RAY_EXCHANGE", "sort")
+# set = global override for every call site (A/B lever); unset = per-site
+# choice (explicit strategy= argument, else the payload-width heuristic)
+_ENV_STRATEGY = os.environ.get("OSM_RAY_EXCHANGE") or None
 
 # token CPU reservation per partition for shuffle/aggregate actor pools;
 # keeps N concurrent exchanges schedulable on a small cluster while the
 # OS multiplexes the (tiny) concat work
 _AGG_CPUS_PER_PARTITION = 0.02
 
+# estimated bytes/row above which a flat payload still counts as heavy
+# (a row of ~16 wide strings gathers like a nested payload)
+_LIGHT_ROW_BYTES = 256
+
+# rough per-value cost of a variable-length string/binary cell; testdata
+# and OSM tag values are short — the heuristic only needs the ORDER of
+# magnitude to separate the two measured payload classes
+_STRING_BYTES = 24
+
+
+def estimate_row_width(schema) -> int | None:
+    """Estimated bytes/row for a pyarrow schema; None = unbounded (some
+    column is nested — list/map/struct — whose size is data-dependent)."""
+    import pyarrow.types as pt
+
+    total = 0
+    for f in schema:
+        t = f.type
+        if pt.is_nested(t):  # list / large_list / fixed_size_list / map / struct
+            return None
+        if (
+            pt.is_string(t)
+            or pt.is_large_string(t)
+            or pt.is_binary(t)
+            or pt.is_large_binary(t)
+        ):
+            total += _STRING_BYTES
+        else:
+            try:
+                total += max(t.bit_width // 8, 1)
+            except (ValueError, AttributeError):  # no fixed width known
+                return None
+    return total
+
+
+def choose_strategy(schema) -> str:
+    """Payload-width heuristic from the round-3 A/B (module docstring):
+    light flat rows → ``hash`` (measured ~2x faster), nested or wide or
+    unknown payloads → ``sort`` (measured ~2x faster there)."""
+    if schema is None:
+        return "sort"
+    w = estimate_row_width(schema)
+    return "hash" if w is not None and w <= _LIGHT_ROW_BYTES else "sort"
+
 
 def exchange_strategy():
-    return _STRATEGY
+    """The global override if OSM_RAY_EXCHANGE is set, else the default."""
+    return _ENV_STRATEGY or "sort"
+
+
+def resolve_strategy(explicit=None, payload_schema=None, ds=None) -> str:
+    """Strategy precedence: env override > explicit arg > width heuristic
+    over ``payload_schema`` (or the dataset's schema if ALREADY KNOWN —
+    never a fetching peek, see module docstring) > 'sort'."""
+    if _ENV_STRATEGY:
+        return _ENV_STRATEGY
+    if explicit:
+        return explicit
+    schema = payload_schema
+    if schema is None and ds is not None:
+        import pyarrow as pa_
+
+        try:
+            schema = ds.schema(fetch_if_missing=False)
+            if schema is not None and hasattr(schema, "base_schema"):
+                schema = schema.base_schema  # ray Schema wrapper → pyarrow
+            if not isinstance(schema, pa_.Schema):
+                schema = None
+        except Exception:
+            schema = None
+    return choose_strategy(schema)
 
 
 def hash_bucket(col, num_buckets):
@@ -167,7 +258,17 @@ def union_all(first, *rest):
     return out
 
 
-def grouped_map(ds, key, fn, *, num_partitions, batch_format="pyarrow", strategy=None, **kwargs):
+def grouped_map(
+    ds,
+    key,
+    fn,
+    *,
+    num_partitions,
+    batch_format="pyarrow",
+    strategy=None,
+    payload_schema=None,
+    **kwargs,
+):
     """Exchange rows of ``ds`` so all rows with equal ``key`` are
     co-located, then apply ``fn`` to each co-located set. ``key`` should
     be a LOW-CARDINALITY bucket column (key%B) so ``fn`` receives coarse
@@ -188,9 +289,25 @@ def grouped_map(ds, key, fn, *, num_partitions, batch_format="pyarrow", strategy
     genuinely-empty partitions as zero-column blocks. We therefore (a)
     never ask the aggregator to sort (sort=False — no sort key needed on
     a schema-less block), and (b) skip zero-row/zero-column batches in
-    the wrapper; ``fn`` never sees them."""
-    strategy = strategy or _STRATEGY
+    the wrapper; ``fn`` never sees them.
+
+    ``payload_schema``: the pyarrow schema of the rows being exchanged,
+    when the call site statically knows it (every engine bucketer builds
+    its table explicitly). Feeds the sort-vs-hash width heuristic
+    (``choose_strategy``); ignored when ``strategy=`` or the
+    ``OSM_RAY_EXCHANGE`` override picks for it."""
+    strategy = resolve_strategy(strategy, payload_schema, ds)
     if strategy == "task":
+        if kwargs or batch_format != "pyarrow":
+            # the raw-task path concats shards and calls fn directly —
+            # there is no map_batches underneath to honor these
+            warnings.warn(
+                "grouped_map(strategy='task') supports only "
+                "batch_format='pyarrow' and ignores extra map_batches "
+                f"kwargs ({sorted(kwargs)}); it also executes the "
+                "upstream EAGERLY at construction time",
+                stacklevel=2,
+            )
         return _task_exchange(ds, key, fn, num_partitions)
     if strategy != "hash":
         return ds.groupby(key, num_partitions=num_partitions).map_groups(

@@ -22,6 +22,19 @@ import pyarrow.compute as pc
 
 from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile, tile_key
 
+# what the assignment exchange actually moves: the union of
+# FeatureTileExpander and _tile_side rows plus the bucket column — all
+# flat, ~50 bytes/row, the "light payload" class of the exchange A/B
+TILE_EXCHANGE_SCHEMA = pa.schema(
+    [
+        ("tkey", pa.int64()),
+        ("osm_id", pa.int64()),
+        ("media_ref", pa.string()),
+        ("side", pa.int8()),
+        ("bucket", pa.int32()),
+    ]
+)
+
 ASSIGNMENT_SCHEMA = pa.schema(
     [
         ("tile_z", pa.int64()),
@@ -167,18 +180,18 @@ def assign_features_to_tiles(features_ds, tiles_ds, zooms, num_buckets=64, max_f
 
     from osm_export_tool_python_ray.stages.exchange import grouped_map
 
-    # strategy="hash": the tile exchange moves LIGHT rows (tkey + ids),
-    # where the hash-partition exchange measured ~2x faster than the sort
-    # exchange at the 24,576-shard corpus (6-7s vs 10-13s at 32 cpus);
-    # the export's heavy nested-payload exchanges measured the OPPOSITE
-    # (Ray 2.49's actor-based hash shuffle loses on big payloads), so the
-    # engine default stays "sort" — see stages/exchange.py.
+    # the tile exchange moves LIGHT flat rows (tkey + ids + short ref) —
+    # the payload class where the hash exchange measured ~2x faster than
+    # sort at the 24,576-shard corpus (6-7s vs 10-13s at 32 cpus). The
+    # schema hint lets choose_strategy() pick that measured winner; the
+    # export's heavy nested payloads resolve the other way (see
+    # stages/exchange.py for the full A/B).
     return grouped_map(
         feats.union(tiles).map_batches(bucketer, batch_format="pyarrow"),
         "bucket",
         lambda g: _assign_group(g.drop_columns(["bucket"]), max_features_per_tile),
         num_partitions=min(num_buckets, 32),
-        strategy="hash",
+        payload_schema=TILE_EXCHANGE_SCHEMA,
     )
 
 

@@ -412,11 +412,11 @@ class TestExchangeStrategies:
         from osm_export_tool_python_ray.sources.corpus import generate_corpus_table
 
         docs = ray.data.from_arrow(generate_corpus_table(n_shards=6, density=2.0))
-        prev = EX._STRATEGY
+        prev = EX._ENV_STRATEGY
         outs = {}
         try:
             for mode in ("sort", "hash", "task"):
-                EX._STRATEGY = mode
+                EX._ENV_STRATEGY = mode
                 t = (
                     parse_elements(docs, num_buckets=8)
                     .to_pandas()
@@ -425,7 +425,96 @@ class TestExchangeStrategies:
                 )
                 outs[mode] = t[["ekey", "kind", "element_id", "doc_id", "offset"]]
         finally:
-            EX._STRATEGY = prev
+            EX._ENV_STRATEGY = prev
         assert len(outs["sort"]) > 0
         assert outs["sort"].equals(outs["hash"])
         assert outs["sort"].equals(outs["task"])
+
+
+class TestAdaptiveStrategy:
+    """The A/B harness for the width heuristic: choose_strategy must pick
+    the MEASURED winner for both payload classes from the round-3 A/B
+    (heavy nested export payloads → sort, light flat tile rows → hash),
+    and the precedence chain must hold."""
+
+    def test_heavy_nested_payload_picks_sort(self):
+        import pyarrow as pa
+
+        from osm_export_tool_python_ray.stages.exchange import choose_strategy
+
+        # the export dedup/assembly exchange payload class: ids + nested
+        # tags map + refs list (measured: sort wins ~2x)
+        heavy = pa.schema(
+            [
+                ("ekey", pa.int64()),
+                ("element_id", pa.int64()),
+                ("tags", pa.map_(pa.string(), pa.string())),
+                ("refs", pa.list_(pa.int64())),
+                ("bucket", pa.int32()),
+            ]
+        )
+        assert choose_strategy(heavy) == "sort"
+
+    def test_light_flat_payload_picks_hash(self):
+        from osm_export_tool_python_ray.stages.exchange import choose_strategy
+        from osm_export_tool_python_ray.stages.tiling import TILE_EXCHANGE_SCHEMA
+
+        # the ACTUAL tile-assignment exchange schema (measured: hash wins
+        # ~2x) — the call site passes this very constant, no hardcoding
+        assert choose_strategy(TILE_EXCHANGE_SCHEMA) == "hash"
+
+    def test_wide_flat_payload_counts_as_heavy(self):
+        import pyarrow as pa
+
+        from osm_export_tool_python_ray.stages.exchange import choose_strategy
+
+        wide = pa.schema([("s%d" % i, pa.string()) for i in range(16)])
+        assert choose_strategy(wide) == "sort"
+
+    def test_unknown_schema_defaults_to_sort(self):
+        from osm_export_tool_python_ray.stages.exchange import choose_strategy
+
+        assert choose_strategy(None) == "sort"
+
+    def test_precedence_env_beats_explicit_beats_schema(self):
+        import osm_export_tool_python_ray.stages.exchange as EX
+        from osm_export_tool_python_ray.stages.tiling import TILE_EXCHANGE_SCHEMA
+
+        prev = EX._ENV_STRATEGY
+        try:
+            EX._ENV_STRATEGY = None
+            # schema alone → heuristic
+            assert EX.resolve_strategy(None, TILE_EXCHANGE_SCHEMA, None) == "hash"
+            # explicit beats schema
+            assert EX.resolve_strategy("sort", TILE_EXCHANGE_SCHEMA, None) == "sort"
+            # nothing known → sort
+            assert EX.resolve_strategy(None, None, None) == "sort"
+            # env override beats everything
+            EX._ENV_STRATEGY = "task"
+            assert EX.resolve_strategy("sort", TILE_EXCHANGE_SCHEMA, None) == "task"
+        finally:
+            EX._ENV_STRATEGY = prev
+
+    def test_task_path_warns_on_dropped_kwargs(self, ray_session):
+        import warnings
+
+        import pyarrow as pa
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+        ds = ray.data.from_arrow(
+            pa.table({"bucket": [0, 1, 0], "v": [1, 2, 3]})
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = grouped_map(
+                ds,
+                "bucket",
+                lambda t: t,
+                num_partitions=2,
+                strategy="task",
+                concurrency=2,  # silently unsupported on the task path
+            )
+            assert out.count() == 3
+        assert any("task" in str(w.message) for w in rec)
