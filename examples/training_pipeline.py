@@ -1,12 +1,22 @@
 """Composed training-data pipeline example: the engine's LLM-data
 operators chained the way a corpus-preparation run would chain them —
 
-    exact dedup → near-dup clusters (MinHash-LSH) → quality filters
-    (language, repetition, unigram logprob) → decontamination →
-    stratified sample → sequence packing
+    exact dedup → near-dup representative filter (MinHash-LSH
+    components) → quality gates (language, unigram logprob) →
+    decontamination → sequence packing
 
-Each stage is a streaming Ray Data transform; nothing materializes the
-corpus driver-side. Run from the repo root:
+Every stage is a streaming Ray Data transform and the stages are
+composed with DATASET JOINS, not driver-side sets: the five per-doc
+stage outputs are merged through ONE doc_id-bucket exchange
+(``stages/joins.py multi_join`` — they all share the key, so
+re-partitioning per pairwise join would move the same rows five times),
+the quality gate is one vectorized filter, and the pack mapping is a
+keyed ``bucket_join``. The only driver-side values are the printed
+COUNTS (each a distributed aggregate). This is the scale-true pattern
+to copy; the same composition is oracle-checked end-to-end as the
+``training_kept_docs`` driver query (pipelines/queries.py).
+
+Run from the repo root:
 
     python examples/training_pipeline.py [sf_dir]
 
@@ -17,57 +27,55 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
-from osm_export_tool_python_ray.pipelines.queries import QUERIES
+from osm_export_tool_python_ray.pipelines.queries import (
+    QUERIES,
+    q_training_kept_docs,
+)
+from osm_export_tool_python_ray.stages.joins import bucket_join
 
 
 def main(sf_dir):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False)
 
-    # 1. exact dedup — winner doc ids (hash-partitioned first-per-content)
-    survivors = QUERIES["exact_dedup"](sf_dir)
-    keep_exact = set(r["doc_id"] for r in survivors.take_all())
-    print("exact dedup: %d survivors" % len(keep_exact))
+    # stages 1-4 in one composed lineage: exact dedup → near-dup
+    # representative filter → lang/logprob gates → decontamination.
+    # multi_join co-locates all five per-doc outputs with a single
+    # doc_id%B exchange; the gate is one vectorized filter.
+    kept = q_training_kept_docs(sf_dir).materialize()
+    print("exact dedup winners surviving every gate: %d docs kept" % kept.count())
 
-    # 2. near-dup clusters — drop every non-representative cluster member
-    clusters = QUERIES["dedup_clusters"](sf_dir).take_all()
-    drop_near = set()
-    rep = {}
-    for r in clusters:
-        c = r["cluster_id"]
-        if c in rep:
-            drop_near.add(r["doc_id"])
-        else:
-            rep[c] = r["doc_id"]
-    print("near-dup: %d clustered docs dropped" % len(drop_near))
-
-    # 3. quality scores (each a streaming per-batch transform)
-    lang = {r["doc_id"]: r["lang_pred"] for r in QUERIES["lang_id"](sf_dir).take_all()}
-    # lp_micro = mean unigram logprob in integer micro-nats (ln * 1e6)
-    lp = {
-        r["doc_id"]: r["lp_micro"]
-        for r in QUERIES["unigram_logprob"](sf_dir).take_all()
-    }
-    contaminated = {
-        r["doc_id"]
-        for r in QUERIES["decontaminate"](sf_dir).take_all()
-        if r["contaminated"]
-    }
-
-    kept = [
-        d
-        for d in sorted(keep_exact - drop_near - contaminated)
-        if lang.get(d) == "en" and lp.get(d, -99_000_000) > -9_000_000
-    ]
-    print("after filters: %d docs kept" % len(kept))
-
-    # 4. pack the kept docs into 2048-token training windows
-    packs = QUERIES["pack_assignment"](sf_dir).take_all()
-    pack_of = {r["doc_id"]: r["pack_id"] for r in packs}
-    n_packs = len({pack_of[d] for d in kept if d in pack_of})
+    # stage 5: map kept docs onto 2048-token training windows — a keyed
+    # join against the prefix-scan pack assignment, then a distributed
+    # distinct-count of the windows actually hit.
+    packs = QUERIES["pack_assignment"](sf_dir)
+    i64 = pa.int64()
+    kept_ids = kept.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = bucket_join(
+        kept_ids,
+        packs.map_batches(
+            lambda t: t.select(["doc_id", "pack_id"]), batch_format="pyarrow"
+        ),
+        key="doc_id",
+        num_buckets=16,
+        left_schema=pa.schema([("doc_id", i64)]),
+        right_schema=pa.schema([("doc_id", i64), ("pack_id", i64)]),
+    )
+    n_packs = joined.groupby("pack_id").count().count()
     print("packed into %d windows" % n_packs)
+
+    sample = kept.take(5)
+    for r in sample:
+        print(
+            "  kept doc %d: lang=%s lp_micro=%d n_dups=%d"
+            % (r["doc_id"], r["lang_pred"], r["lp_micro"], r["n_dups"])
+        )
 
     ray.shutdown()
 

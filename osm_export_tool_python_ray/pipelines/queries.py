@@ -1116,6 +1116,106 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 )
 
 
+def q_training_kept_docs(sf_dir):
+    """The composed corpus-preparation pipeline as ONE oracle-backed
+    query: exact dedup → near-dup representative filter (MinHash-LSH
+    connected components; a doc survives iff it is its cluster's
+    min-label representative or unclustered) → quality gates (lang_id
+    == 'en', mean unigram logprob > -9 nats) → decontamination (docs
+    sharing any 5-gram with the held-out benchmark slice are dropped;
+    the slice itself — doc_id % 97 == 0 — is excluded from training
+    outright via the inner join against the decontaminate output).
+
+    Composition is SCALE-TRUE: all five per-doc stage outputs are keyed
+    on doc_id and unique per key, so they are merged by ``multi_join``
+    through a SINGLE doc_id-bucket exchange (flat light rows → the hash
+    strategy via the width heuristic), then one vectorized filter — no
+    driver-side sets, no per-pairwise-join re-shuffles of the same rows
+    (contrast: examples/training_pipeline.py before round 4)."""
+    from osm_export_tool_python_ray.stages.dedup import dedup_clusters, minhash_lsh_pairs
+    from osm_export_tool_python_ray.stages.joins import multi_join
+
+    base = q_exact_dedup(sf_dir)
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, num_buckets=16
+        ),
+        num_buckets=16,
+    )
+    i64 = pa.int64()
+    joined = multi_join(
+        base,
+        pa.schema([("doc_id", i64), ("n_dups", i64)]),
+        [
+            (clusters, pa.schema([("doc_id", i64), ("cluster_id", i64)]), "left"),
+            (q_lang_id(sf_dir), pa.schema([("doc_id", i64), ("lang_pred", pa.string())]), "inner"),
+            (
+                q_unigram_logprob(sf_dir),
+                pa.schema([("doc_id", i64), ("n_alnum_tokens", i64), ("lp_micro", i64)]),
+                "inner",
+            ),
+            (
+                q_decontaminate(sf_dir),
+                pa.schema([("doc_id", i64), ("n_overlap", i64), ("contaminated", pa.bool_())]),
+                "inner",
+            ),
+        ],
+        key="doc_id",
+        num_buckets=16,
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        cid = t.column("cluster_id")
+        rep = pc.or_kleene(pc.is_null(cid), pc.equal(cid, t.column("doc_id")))
+        mask = pc.and_(
+            pc.and_(
+                pc.fill_null(rep, False),
+                pc.equal(t.column("lang_pred"), "en"),
+            ),
+            pc.and_(
+                pc.greater(t.column("lp_micro"), -9_000_000),
+                pc.invert(t.column("contaminated")),
+            ),
+        )
+        return t.filter(mask).select(
+            ["doc_id", "n_dups", "lang_pred", "n_alnum_tokens", "lp_micro"]
+        )
+
+    return joined.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
+def _build_training_kept_docs_sql():
+    """The oracle composes the SAME SQL constants the stage oracles use
+    (verbatim, as nested-WITH CTE bodies) — the composed query cannot
+    drift from its parts."""
+    return """
+WITH exact AS ({exact}),
+clusters AS (SELECT * FROM ({clusters}) __c),
+lang AS ({lang}),
+lp AS ({lp}),
+decon AS ({decon})
+SELECT e.doc_id, e.n_dups, l.lang_pred, p.n_alnum_tokens, p.lp_micro
+FROM exact e
+LEFT JOIN clusters c ON c.doc_id = e.doc_id
+JOIN lang l ON l.doc_id = e.doc_id
+JOIN lp p ON p.doc_id = e.doc_id
+JOIN decon dc ON dc.doc_id = e.doc_id
+WHERE (c.cluster_id IS NULL OR c.cluster_id = e.doc_id)
+  AND l.lang_pred = 'en'
+  AND p.lp_micro > -9000000
+  AND NOT dc.contaminated
+""".format(
+        exact=SQL_EXACT_DEDUP,
+        clusters=SQL_DEDUP_CLUSTERS,
+        lang=SQL_LANG_ID,
+        lp=SQL_UNIGRAM_LOGPROB,
+        decon=SQL_DECONTAMINATE,
+    )
+
+
+SQL_TRAINING_KEPT_DOCS = _build_training_kept_docs_sql()
+
+
 # shared SQL body: word-3-gram sets, sizes, hot-gram cap (=the engine's
 # max_gram_docs), Jaccard candidate pairs — the DuckDB twin of
 # stages/dedup.py ngram_jaccard_pairs (which joins on 64-bit gram hashes;
@@ -2406,6 +2506,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
+    "training_kept_docs": q_training_kept_docs,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
@@ -2488,6 +2589,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
+    "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,

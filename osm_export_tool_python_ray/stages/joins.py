@@ -115,6 +115,111 @@ def bucket_join(left_ds, right_ds, key, num_buckets=64, how="inner", left_schema
     )
 
 
+def multi_join(base_ds, base_schema, sides, key, num_buckets=64):
+    """Multiway keyed join through ONE exchange: ``base_ds`` joined
+    against every side in ``sides`` on the same int64 ``key``, all sides
+    co-located by a single ``key % B`` shuffle instead of one exchange
+    per pairwise join. This is the composition primitive for per-doc
+    stage outputs (dedup survivors ⋈ cluster labels ⋈ quality scores ⋈
+    contamination flags): every side is unique on the key, every payload
+    is flat, and re-partitioning N times by the SAME key would move the
+    same rows N times for no added co-location.
+
+    ``sides`` is a list of ``(ds, schema, how)`` with ``how`` in
+    {'inner', 'left'}: 'inner' drops base rows with no match in that
+    side, 'left' keeps them with null payload. Explicit schemas are
+    required (``Dataset.schema()`` is None for empty/lazy datasets, and
+    the union below must align columns before anything executes).
+    Payload column names must be disjoint across base and all sides.
+    Output: key + base payload + each side's payload, one row per
+    surviving base row."""
+    schemas = [base_schema] + [s for _, s, _ in sides]
+    names = []  # per-input payload column lists
+    types = {}
+    for sch in schemas:
+        cols = [n for n in sch.names if n != key]
+        names.append(cols)
+        for n in cols:
+            if n in types:
+                raise ValueError("overlapping payload column: %s" % n)
+            types[n] = sch.field(n).type
+    all_payload = [n for cols in names for n in cols]
+
+    def widen(side_idx):
+        own = set(names[side_idx])
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            cols = {
+                key: t.column(key),
+                "__side": pa.array(np.full(n, side_idx, dtype=np.int8)),
+                "__bucket": pa.array((k % num_buckets).astype(np.int32)),
+            }
+            for name in all_payload:
+                cols[name] = t.column(name) if name in own else pa.nulls(n, type=types[name])
+            return pa.table(cols)
+
+        return fn
+
+    unioned = base_ds.map_batches(widen(0), batch_format="pyarrow")
+    for i, (ds, _, _) in enumerate(sides):
+        unioned = unioned.union(ds.map_batches(widen(i + 1), batch_format="pyarrow"))
+
+    hows = [h for _, _, h in sides]
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        keys = group.column(key).to_numpy(zero_copy_only=False)
+        bidx = np.nonzero(side == 0)[0]
+        bkeys = keys[bidx]
+        # per side: sorted keys + matched/position vs the base rows
+        matched, srcpos = [], []
+        for i in range(len(sides)):
+            sidx = np.nonzero(side == i + 1)[0]
+            skeys = keys[sidx]
+            order = np.argsort(skeys, kind="stable")
+            sk = skeys[order]
+            si = sidx[order]
+            pos = np.searchsorted(sk, bkeys)
+            posc = np.minimum(pos, max(len(sk) - 1, 0))
+            m = (sk[posc] == bkeys) if len(sk) else np.zeros(len(bkeys), dtype=bool)
+            matched.append(m)
+            srcpos.append(si[posc] if len(sk) else np.zeros(len(bkeys), dtype=np.int64))
+        keep = np.ones(len(bkeys), dtype=bool)
+        for m, how in zip(matched, hows):
+            if how == "inner":
+                keep &= m
+        b_take = bidx[keep]
+        bt = group.take(pa.array(b_take))
+        cols = {key: bt.column(key)}
+        for name in names[0]:
+            cols[name] = bt.column(name)
+        for i, (_, _, how) in enumerate(sides):
+            m = matched[i][keep]
+            taken = group.take(pa.array(srcpos[i][keep]))
+            for name in names[i + 1]:
+                arr = taken.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                cols[name] = _mask_nulls(arr, ~m) if how == "left" else arr
+        return pa.table(cols)
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    exchange_schema = pa.schema(
+        [pa.field(key, pa.int64()), pa.field("__side", pa.int8()), pa.field("__bucket", pa.int32())]
+        + [pa.field(n, types[n]) for n in all_payload]
+    )
+    return grouped_map(
+        unioned,
+        "__bucket",
+        lambda g: merge(g.drop_columns(["__bucket"])),
+        num_partitions=min(num_buckets, 32),
+        payload_schema=exchange_schema,
+    )
+
+
 def _mask_nulls(arr, null_mask):
     """Set arr[i] = null where null_mask[i] (masked take)."""
     if not null_mask.any():

@@ -507,3 +507,112 @@ class TestCodecProperties:
         # constant image stays constant under box averaging
         const = np.full((20, 20, 3), 77, dtype=np.uint8)
         assert (codecs.resize_box(const, 5, 5) == 77).all()
+
+
+class TestMultiJoin:
+    """multi_join: N keyed sides through ONE exchange — semantics vs a
+    pandas reference merge (inner/left, null payload, duplicate base
+    keys, empty sides)."""
+
+    def _run(self, ray_session, base_df, side_dfs, hows, num_buckets=4):
+        import pandas as pd
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.joins import multi_join
+
+        base = ray.data.from_arrow(pa.Table.from_pandas(base_df, preserve_index=False))
+        sides = []
+        for df, how in zip(side_dfs, hows):
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            sides.append((ray.data.from_arrow(t), t.schema, how))
+        out = multi_join(
+            base,
+            pa.Table.from_pandas(base_df, preserve_index=False).schema,
+            sides,
+            key="k",
+            num_buckets=num_buckets,
+        ).to_pandas()
+
+        ref = base_df
+        for df, how in zip(side_dfs, hows):
+            ref = ref.merge(df, on="k", how="inner" if how == "inner" else "left")
+        if len(ref) == 0 and len(out) == 0:
+            # a fully-empty Dataset loses its schema (zero blocks yield a
+            # column-less frame) — row count is the whole contract here
+            return out
+        order = sorted(ref.columns)
+        ref = ref[order].sort_values(order).reset_index(drop=True)
+        got = out[order].sort_values(order).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        return out
+
+    def test_inner_and_left_vs_pandas(self, ray_session):
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        base = pd.DataFrame({"k": rng.randint(0, 40, 60).astype(np.int64), "a": rng.randint(0, 9, 60)})
+        s1_keys = rng.choice(40, 25, replace=False).astype(np.int64)
+        s1 = pd.DataFrame({"k": s1_keys, "b": rng.randint(0, 9, 25)})
+        s2_keys = rng.choice(40, 30, replace=False).astype(np.int64)
+        s2 = pd.DataFrame({"k": s2_keys, "c": [("v%d" % v) for v in s2_keys]})
+        self._run(ray_session, base, [s1, s2], ["inner", "left"])
+
+    def test_all_left_keeps_every_base_row(self, ray_session):
+        import pandas as pd
+
+        base = pd.DataFrame({"k": np.arange(10, dtype=np.int64), "a": np.arange(10)})
+        s1 = pd.DataFrame({"k": np.array([2, 5], dtype=np.int64), "b": [20, 50]})
+        out = self._run(ray_session, base, [s1], ["left"])
+        assert len(out) == 10
+        assert out.set_index("k")["b"].dropna().to_dict() == {2: 20, 5: 50}
+
+    def test_empty_side(self, ray_session):
+        import pandas as pd
+
+        base = pd.DataFrame({"k": np.arange(6, dtype=np.int64), "a": np.arange(6)})
+        empty = pd.DataFrame({"k": np.array([], dtype=np.int64), "b": np.array([], dtype=np.int64)})
+        out_left = self._run(ray_session, base, [empty], ["left"])
+        assert len(out_left) == 6 and out_left["b"].isna().all()
+        out_inner = self._run(ray_session, base, [empty], ["inner"])
+        assert len(out_inner) == 0
+
+    def test_overlapping_payload_rejected(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.joins import multi_join
+
+        t = pa.table({"k": pa.array([1], type=pa.int64()), "x": pa.array([1])})
+        with pytest.raises(ValueError, match="overlapping"):
+            multi_join(
+                ray.data.from_arrow(t), t.schema,
+                [(ray.data.from_arrow(t), t.schema, "inner")], key="k",
+            )
+
+
+class TestTrainingKeptDocs:
+    def test_matches_driver_set_composition(self, ray_session):
+        """The one-exchange multi_join composition must select exactly
+        the doc set the stage-by-stage driver-set composition selects
+        (the pre-round-4 example's semantics, minus its arbitrary
+        first-seen cluster representative — the composed query pins the
+        representative to the min-label, which IS cluster_id)."""
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        kept = QUERIES["training_kept_docs"](sf).to_pandas()
+
+        winners = {r["doc_id"] for r in QUERIES["exact_dedup"](sf).take_all()}
+        clusters = QUERIES["dedup_clusters"](sf).take_all()
+        drop_near = {r["doc_id"] for r in clusters if r["doc_id"] != r["cluster_id"]}
+        lang = {r["doc_id"]: r["lang_pred"] for r in QUERIES["lang_id"](sf).take_all()}
+        lp = {r["doc_id"]: r["lp_micro"] for r in QUERIES["unigram_logprob"](sf).take_all()}
+        decon = {r["doc_id"]: r["contaminated"] for r in QUERIES["decontaminate"](sf).take_all()}
+
+        expect = sorted(
+            d
+            for d in winners - drop_near
+            if d in decon and not decon[d] and lang.get(d) == "en" and lp.get(d, -(10**9)) > -9_000_000
+        )
+        assert list(kept["doc_id"]) == expect
+        assert (kept["lang_pred"] == "en").all()
+        assert (kept["lp_micro"] > -9_000_000).all()
