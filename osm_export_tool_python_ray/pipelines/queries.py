@@ -2533,6 +2533,19 @@ QUERIES = {
     "kml_layer_counts": q_kml_layer_counts,
 }
 
+# queries whose oracle SQL is GENERATED over the cached corpus (not a
+# static constant in ORACLES) — introspection surface for oracle_sql()
+# consumers and the COVERAGE.md generator
+EXPORT_SURFACE_ORACLE_KEYS = (
+    "export_theme_counts",
+    "tile_assignment",
+    "aoi_extract",
+    "gpkg_layer_counts",
+    "shp_layer_counts",
+    "kml_layer_counts",
+)
+
+
 def export_surface_oracles():
     """Generated DuckDB SQL for the export surface (export_theme_counts /
     tile_assignment / aoi_extract): built from the same default.yml mapping
@@ -2552,7 +2565,7 @@ def export_surface_oracles():
     path = corpus_path(n_shards=4)
     with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
         mapping = Mapping(f.read())
-    return {
+    out = {
         "export_theme_counts": sql_export_theme_counts(path, mapping),
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
         "aoi_extract": sql_aoi_extract(path, mapping),
@@ -2560,6 +2573,8 @@ def export_surface_oracles():
         "shp_layer_counts": sql_shp_layer_counts(path, mapping),
         "kml_layer_counts": sql_kml_layer_counts(path, mapping),
     }
+    assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
+    return out
 
 
 ORACLES = {

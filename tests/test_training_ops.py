@@ -616,3 +616,30 @@ class TestTrainingKeptDocs:
         assert list(kept["doc_id"]) == expect
         assert (kept["lang_pred"] == "en").all()
         assert (kept["lp_micro"] > -9_000_000).all()
+
+
+class TestCoverageDoc:
+    """COVERAGE.md's driver-contract table is GENERATED from the QUERIES
+    / ORACLES registries (tools/gen_coverage.py) — these pin the docs to
+    the contract so neither can drift silently."""
+
+    def test_every_query_documented(self):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        with open("COVERAGE.md") as f:
+            text = f.read()
+        missing = [n for n in QUERIES if ("`%s`" % n) not in text]
+        assert not missing, "queries absent from COVERAGE.md: %s" % missing
+
+    def test_generated_section_current(self):
+        import re
+
+        from tools.gen_coverage import BEGIN, END, render_section
+
+        with open("COVERAGE.md") as f:
+            text = f.read()
+        m = re.search(re.escape(BEGIN) + ".*?" + re.escape(END), text, re.DOTALL)
+        assert m, "generated section missing — run tools/gen_coverage.py"
+        assert m.group(0) == render_section(), (
+            "COVERAGE.md stale — run: python tools/gen_coverage.py"
+        )
