@@ -165,6 +165,7 @@ def run_query_suite(sf_dir):
 
     timings = {}
     caps = {}
+    throughput = {}
     snapshot_caps()  # clear any counts left by the headline pipeline
 
     def timed(name, fn):
@@ -183,7 +184,116 @@ def run_query_suite(sf_dir):
     timed("events_window", lambda: Q.q_events_window(sf_dir))
     timed("cell_counts", lambda: Q.q_cell_counts(sf_dir))
     timed("knn", lambda: Q.q_knn(sf_dir))
-    return timings, caps
+
+    gr_t, gr_tp, gr_caps = bench_giant_relation()
+    timings["giant_relation"] = gr_t
+    throughput.update(gr_tp)
+    if gr_caps:
+        caps["giant_relation"] = gr_caps
+    ct, ctp = bench_container_encode()
+    timings.update(ct)
+    throughput.update(ctp)
+    return timings, caps, throughput
+
+
+def bench_giant_relation(n_pts=2_500_000, n_segs=2_500):
+    """Coastline-class relation assembly: one multi-million-point ring in
+    thousands of shuffled/reversed member segments through the stitcher
+    (throughput row), plus one deliberately budget-exceeded assembly so
+    the `relation_ring_budget_drops` counter is exercised and visible in
+    BENCH `caps` — the oversize path drops WITH A COUNT, never silently."""
+    import numpy as np
+    import pyarrow as pa
+
+    import osm_export_tool_python_ray.stages.assemble as asm
+    from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+    th = np.linspace(0.0, 2 * np.pi, n_pts, endpoint=False)
+    ring = np.stack([60.0 * np.cos(th), 60.0 * np.sin(th)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    cuts = np.linspace(0, len(ring) - 1, n_segs + 1).astype(int)
+    segs = [ring[cuts[i]: cuts[i + 1] + 1] for i in range(n_segs)]
+    segs = [s[::-1].copy() if i % 3 == 0 else s for i, s in enumerate(segs)]
+    order = np.random.RandomState(3).permutation(n_segs)
+    tbl = pa.table(
+        {
+            "relation_id": pa.array([7] * n_segs, type=pa.int64()),
+            "mseq": pa.array([int(i) for i in order], type=pa.int64()),
+            "role": pa.array(["outer"] * n_segs),
+            "lons": pa.array([segs[i][:, 0].tolist() for i in order]),
+            "lats": pa.array([segs[i][:, 1].tolist() for i in order]),
+            "complete": pa.array([True] * n_segs),
+        }
+    )
+    t0 = time.perf_counter()
+    out = asm.assemble_relations_bucket(tbl)
+    wall = time.perf_counter() - t0
+    assert out.column("valid")[0].as_py() is True
+    # the counted-drop path: same fixture against a tiny budget
+    saved = asm.RING_POINT_BUDGET
+    try:
+        asm.RING_POINT_BUDGET = 100_000
+        dropped = asm.assemble_relations_bucket(tbl)
+        assert dropped.column("valid")[0].as_py() is False
+    finally:
+        asm.RING_POINT_BUDGET = saved
+    return (
+        round(wall, 3),
+        {"relation_stitch_points_per_sec": round(n_pts / max(wall, 1e-9), 1)},
+        snapshot_caps(),
+    )
+
+
+def bench_container_encode(n_rows=50_000):
+    """S6-S8 container-encode throughput (rows/s per format): the
+    sequential tail of a gpkg/shp/kml export is one `_encode_one_layer`
+    call per layer — measure it on a synthetic staged layer so the tail
+    cost is a number, not a docstring claim."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_export_tool_python_ray.functions import wkb as W
+    from osm_export_tool_python_ray.sinks import _encode_one_layer
+
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-10, 10, n_rows)
+    lat = rng.uniform(-10, 10, n_rows)
+    wkbs = [W.point_wkb(float(x), float(y)) for x, y in zip(lon, lat)]
+    staged = tempfile.mkdtemp(prefix="bench_enc_")
+    pq.write_table(
+        pa.table(
+            {
+                "osm_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+                "wkb": pa.array(wkbs, type=pa.binary()),
+                "name": pa.array(["feature %d" % i for i in range(n_rows)]),
+                "highway": pa.array(["residential"] * n_rows),
+            }
+        ),
+        os.path.join(staged, "part-0.parquet"),
+    )
+    outdir = tempfile.mkdtemp(prefix="bench_enc_out_")
+    timings, tput = {}, {}
+    try:
+        for kind, target in (
+            ("gpkg", os.path.join(outdir, "bench.gpkg")),
+            ("shp", os.path.join(outdir, "bench")),
+            ("kml", os.path.join(outdir, "bench")),
+        ):
+            t0 = time.perf_counter()
+            _encode_one_layer(
+                kind, target, "bench_points", 1, ["name", "highway"], True, staged
+            )
+            w = time.perf_counter() - t0
+            timings["encode_%s" % kind] = round(w, 3)
+            tput["%s_rows_per_sec" % kind] = round(n_rows / max(w, 1e-9), 1)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+    return timings, tput
 
 
 def run_bench(sf_dir, num_cpus, headline_only=False):
@@ -193,8 +303,9 @@ def run_bench(sf_dir, num_cpus, headline_only=False):
     sf = _infer_sf(sf_dir) or 0.1
     timings, counters = run_headline(sf_dir, num_cpus)
     caps = {}
+    extra_tput = {}
     if not headline_only:
-        qt, caps = run_query_suite(sf_dir)
+        qt, caps, extra_tput = run_query_suite(sf_dir)
         timings.update(qt)
     total = round(sum(timings.values()), 3)
     result = {
@@ -211,6 +322,7 @@ def run_bench(sf_dir, num_cpus, headline_only=False):
             "corpus_docs": counters.get("docs", 0),
             "features": counters.get("features", 0),
             "tiles": counters.get("tiles", 0),
+            **extra_tput,
         },
         # silent-cap surfacing: per-query counts of capped/skipped groups
         # (hot LSH bands, degenerate grams, hot embedding buckets) — "no

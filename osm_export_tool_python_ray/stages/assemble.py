@@ -251,6 +251,13 @@ class InvalidArea(RuntimeError):
     pass
 
 
+class RingBudgetExceeded(InvalidArea):
+    """A ring grew past RING_POINT_BUDGET mid-stitch — the runaway guard,
+    not a geometry error. Callers drop the relation like any InvalidArea
+    but COUNT it (report_cap 'relation_ring_budget_drops') so a budget
+    tuned too low is visible in BENCH `caps`, never a silent data gap."""
+
+
 # Point budget per assembled ring. This is a RUNAWAY GUARD (memory byte
 # budget), not a correctness gate: libosmium assembles coastline/large-admin
 # multipolygons with millions of nodes, and a valid giant ring must NOT be
@@ -316,7 +323,7 @@ def stitch_rings(segments, max_ring_points=None):
             total += len(ext)
             tail = ext[-1]
             if total > budget:
-                raise InvalidArea(
+                raise RingBudgetExceeded(
                     "runaway ring: %d points exceeds budget %d" % (total, budget)
                 )
         chain = parts[0] if len(parts) == 1 else np.vstack(parts)
@@ -388,6 +395,7 @@ def assemble_relations_bucket(group: pa.Table) -> pa.Table:
     out_wkb = []
     out_bbox = []
     out_valid = []
+    budget_drops = 0
     for s, e in zip(starts, ends):
         relation_id = int(rid[s])
         try:
@@ -411,11 +419,21 @@ def assemble_relations_bucket(group: pa.Table) -> pa.Table:
             )
             out_wkb.append(buf)
             out_valid.append(True)
+        except RingBudgetExceeded:
+            budget_drops += 1
+            out_wkb.append(None)
+            out_bbox.append((None, None, None, None))
+            out_valid.append(False)
         except InvalidArea:
             out_wkb.append(None)
             out_bbox.append((None, None, None, None))
             out_valid.append(False)
         out_id.append(relation_id)
+
+    if budget_drops:
+        from osm_export_tool_python_ray.state.metrics import report_cap
+
+        report_cap("relation_ring_budget_drops", budget_drops)
 
     cols = {
         "relation_id": pa.array(out_id, type=pa.int64()),

@@ -462,3 +462,103 @@ class TestStitchRings:
         b = np.array([[1.0, 1.0], [0.0, 1.0], [0.0, -0.0]])
         rings = stitch_rings([(a, "outer"), (b, "outer")])
         assert len(rings) == 1
+
+
+class TestCoastlineClassRelation:
+    """VERDICT r3 item 4: a coastline-class relation (multi-million-point
+    ring, thousands of member segments) must (a) assemble VALID within
+    the default 10M-point budget with bounded memory, and (b) when the
+    budget IS exceeded, degrade by dropping the relation with a COUNTED
+    cap (BENCH `caps` row `relation_ring_budget_drops`) — never by OOM
+    or a silent gap."""
+
+    def _member_table(self, n_pts, n_segs, rid=7, radius=60.0, holes=0):
+        import pyarrow as pa
+
+        th = np.linspace(0.0, 2 * np.pi, n_pts, endpoint=False)
+        ring = np.stack([radius * np.cos(th), radius * np.sin(th)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        cuts = np.linspace(0, len(ring) - 1, n_segs + 1).astype(int)
+        segs = [ring[cuts[i]: cuts[i + 1] + 1] for i in range(n_segs)]
+        # stress the stitcher: reverse every third segment, shuffle order
+        segs = [s[::-1].copy() if i % 3 == 0 else s for i, s in enumerate(segs)]
+        roles = ["outer"] * len(segs)
+        for h in range(holes):
+            cx = (h - holes / 2) * 4.0
+            hx = np.array(
+                [[cx, 0.0], [cx + 1, 0.0], [cx + 1, 1.0], [cx, 1.0], [cx, 0.0]]
+            )
+            segs.append(hx)
+            roles.append("inner")
+        order = np.random.RandomState(3).permutation(len(segs))
+        rows = {
+            "relation_id": pa.array([rid] * len(segs), type=pa.int64()),
+            "mseq": pa.array([int(i) for i in order], type=pa.int64()),
+            "role": pa.array([roles[i] for i in order], type=pa.string()),
+            "lons": pa.array([segs[i][:, 0].tolist() for i in order]),
+            "lats": pa.array([segs[i][:, 1].tolist() for i in order]),
+            "complete": pa.array([True] * len(segs)),
+        }
+        return pa.table(rows), n_pts + holes * 4
+
+    def test_multimillion_point_relation_valid(self):
+        import time
+        import tracemalloc
+
+        from osm_export_tool_python_ray.stages.assemble import (
+            assemble_relations_bucket,
+        )
+
+        tbl, n_ring_pts = self._member_table(2_500_000, 2_500, holes=3)
+        tracemalloc.start()
+        t0 = time.perf_counter()
+        out = assemble_relations_bucket(tbl)
+        wall = time.perf_counter() - t0
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+
+        assert out.num_rows == 1
+        assert out.column("valid")[0].as_py() is True
+        wkb = out.column("wkb")[0].as_py()
+        assert wkb is not None
+        # WKB holds the closed outer (+1 repeat vertex) + 3 closed holes:
+        # size must scale with the ring (16 B/pt + headers), proving the
+        # full geometry survived, and stay O(ring) — no quadratic blowup
+        assert len(wkb) > 2_500_000 * 16
+        assert len(wkb) < 2_500_000 * 24
+        # memory stays a small multiple of the coordinate payload (~40 MB):
+        # the stitcher is O(points) with an endpoint index, not O(points^2)
+        assert peak < 1_200 * 1024 * 1024, "peak RSS-traced %dMB" % (peak >> 20)
+        # loose wall guard: linear stitch of 2.5M pts is seconds, not minutes
+        assert wall < 120, "stitch took %.1fs" % wall
+
+    def test_budget_drop_counted_not_fatal(self, ray_session, monkeypatch):
+        import osm_export_tool_python_ray.stages.assemble as asm
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        tbl, _ = self._member_table(50_000, 100)
+        monkeypatch.setattr(asm, "RING_POINT_BUDGET", 10_000)
+        snapshot_caps()  # reset
+        out = asm.assemble_relations_bucket(tbl)
+        # degrades to a dropped (valid=False) row — no exception, no OOM
+        assert out.num_rows == 1
+        assert out.column("valid")[0].as_py() is False
+        assert out.column("wkb")[0].as_py() is None
+        caps = snapshot_caps()
+        assert caps.get("relation_ring_budget_drops") == 1
+
+    def test_budget_exception_type(self):
+        from osm_export_tool_python_ray.stages.assemble import (
+            InvalidArea,
+            RingBudgetExceeded,
+            stitch_rings,
+        )
+
+        th = np.linspace(0.0, 2 * np.pi, 5000, endpoint=False)
+        ring = np.stack([np.cos(th), np.sin(th)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        cuts = np.linspace(0, len(ring) - 1, 11).astype(int)
+        segs = [(ring[cuts[i]: cuts[i + 1] + 1], "outer") for i in range(10)]
+        with pytest.raises(RingBudgetExceeded):
+            stitch_rings(segs, max_ring_points=1_000)
+        assert issubclass(RingBudgetExceeded, InvalidArea)
