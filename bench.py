@@ -333,10 +333,12 @@ def run_bench(sf_dir, num_cpus, headline_only=False):
     return result
 
 
-def run_subprocess(ncpu, headline_only=False):
+def run_subprocess(ncpu, headline_only=False, extra_env=None):
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CHILD="1")
     if headline_only:
         env["BENCH_HEADLINE_ONLY"] = "1"
+    if extra_env:
+        env.update(extra_env)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -385,6 +387,52 @@ def main():
                     "queries_%d" % lo_cpus: lo["queries"],
                     "queries_%d" % hi_cpus: hi["queries"],
                     "sf": lo.get("sf"),
+                }
+            )
+        )
+        return
+    if "--weak-scaling" in sys.argv:
+        # WEAK scaling: fixed per-cpu data — 8 cpus over D shards vs 32
+        # cpus over 4D shards; ideal wall time is EQUAL (efficiency
+        # t_lo/t_hi = 1.0). Complements --scaling's strong-scaling row:
+        # the 49,152-shard strong point is host-bandwidth-capped
+        # (BASELINE.md r2/r3 diagnosis), but per-cpu-constant work should
+        # track the same wall until that ceiling.
+        lo_cpus, hi_cpus = 8, 32
+        d_lo = int(os.environ.get("BENCH_WEAK_SHARDS", "12288"))
+        d_hi = d_lo * (hi_cpus // lo_cpus)
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+        lo_runs = [
+            run_subprocess(lo_cpus, headline_only=True,
+                           extra_env={"BENCH_SCALE_SHARDS": str(d_lo)})
+            for _ in range(reps)
+        ]
+        hi_runs = [
+            run_subprocess(hi_cpus, headline_only=True,
+                           extra_env={"BENCH_SCALE_SHARDS": str(d_hi)})
+            for _ in range(reps)
+        ]
+        lo = min(lo_runs, key=lambda r: r["value"])
+        hi = min(hi_runs, key=lambda r: r["value"])
+        t_lo, t_hi = lo["value"], hi["value"]
+        eff = t_lo / t_hi if t_hi > 0 else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": "weak scaling %d cpus @ %d shards vs %d cpus @ %d shards (fixed per-cpu data)"
+                    % (lo_cpus, d_lo, hi_cpus, d_hi),
+                    "sec_%d" % lo_cpus: t_lo,
+                    "sec_%d" % hi_cpus: t_hi,
+                    "weak_scaling_efficiency": round(eff, 3),
+                    "reps": reps,
+                    "all_sec_%d" % lo_cpus: [r["value"] for r in lo_runs],
+                    "all_sec_%d" % hi_cpus: [r["value"] for r in hi_runs],
+                    "features_%d" % lo_cpus: lo["throughput"]["features"],
+                    "features_%d" % hi_cpus: hi["throughput"]["features"],
+                    "features_per_sec_%d" % lo_cpus: lo["throughput"]["features_per_sec"],
+                    "features_per_sec_%d" % hi_cpus: hi["throughput"]["features_per_sec"],
+                    "queries_%d" % lo_cpus: lo["queries"],
+                    "queries_%d" % hi_cpus: hi["queries"],
                 }
             )
         )
