@@ -643,3 +643,83 @@ class TestCoverageDoc:
         assert m.group(0) == render_section(), (
             "COVERAGE.md stale — run: python tools/gen_coverage.py"
         )
+
+
+class TestAdversarialSkew:
+    """Adversarial-scale shapes through the dedup family: the pathologies
+    a web corpus actually contains (boilerplate mass-duplication, mega
+    documents) must degrade via COUNTED caps and bounded output, never
+    via quadratic pair blowup or OOM."""
+
+    def test_all_identical_corpus_capped_not_quadratic(self, ray_session):
+        """2,000 byte-identical docs: every LSH band is one hot group of
+        2,000 — uncapped that is 16 bands x ~2M candidate pairs. The cap
+        must skip the hot bands WITH a counter, and exact_dedup (the
+        right tool for exact copies) must still collapse them all."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        n = 2000
+        t = doc_table(["identical boilerplate page " * 20] * n)
+        snapshot_caps()
+        pairs = minhash_lsh_pairs(
+            ray.data.from_arrow(t), threshold=0.5, num_buckets=8, max_group=256
+        ).take_all()
+        caps = snapshot_caps()
+        # every band group (2000 > max_group 256) skipped — and counted
+        assert caps.get("minhash_hot_band_groups_skipped", 0) >= 16
+        assert len(pairs) == 0  # capped: no quadratic pair list
+        # exact dedup still collapses the corpus to one survivor
+        out = exact_dedup(ray.data.from_arrow(t), num_buckets=8).take_all()
+        assert len(out) == 1 and out[0]["n_dups"] == n
+
+    def test_mega_document_stays_linear(self, ray_session):
+        """One 8 MB document among normal ones: the vectorized text
+        stages must process it in O(doc bytes) wall — seconds, not the
+        minutes a per-row Python loop or quadratic shingling would take."""
+        import time
+
+        import ray.data
+        from osm_export_tool_python_ray.stages.textstages import doc_stats, vocab_partial
+        from osm_export_tool_python_ray.functions.text import (
+            minhash_params,
+            minhash_signatures_batch,
+        )
+
+        mega = ("word%d " % (i % 997) for i in range(1_000_000))
+        texts = ["".join(mega)] + ["normal document %d" % i for i in range(50)]
+        t = doc_table(texts)
+        ds = ray.data.from_arrow(t)
+        t0 = time.perf_counter()
+        stats = {r["doc_id"]: r for r in ds.map_batches(doc_stats, batch_format="pyarrow").take_all()}
+        assert stats[0]["n_tokens"] == 1_000_000
+        sigs = minhash_signatures_batch([texts[0]], minhash_params(64, 42), k=5)
+        assert sigs.shape == (1, 64)
+        vp = vocab_partial(t)
+        assert vp.num_rows > 0
+        wall = time.perf_counter() - t0
+        assert wall < 60, "mega-doc path took %.1fs" % wall
+
+    def test_single_hot_key_group_topk(self, ray_session):
+        """All rows in ONE group: topk_per_group's combiner must reduce
+        each batch to k candidates before the exchange — the shuffle
+        moves O(batches*k), and the result is still the exact top-k."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.topk import topk_per_group
+
+        n = 50_000
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "lang": pa.array(["en"] * n),
+                "score": pa.array((np.arange(n, dtype=np.int64) * 7919) % 100_003),
+            }
+        )
+        out = topk_per_group(
+            ray.data.from_arrow(t), group_col="lang", sort_col="score",
+            tie_col="doc_id", k=5,
+        ).take_all()
+        scores = (np.arange(n, dtype=np.int64) * 7919) % 100_003
+        order = np.lexsort((np.arange(n), -scores))[:5]
+        assert sorted(r["doc_id"] for r in out) == sorted(int(i) for i in order)
