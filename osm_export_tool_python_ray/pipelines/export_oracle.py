@@ -312,6 +312,47 @@ def sql_tile_assignment(corpus_path, mapping, zoom=12):
     )
 
 
+def sql_tile_theme_counts(corpus_path, mapping, zoom=12):
+    """Composed geospatial rollup oracle: per-(tile, theme) overlap
+    counts — the tile_assignment join GROUPed over the theme carried in
+    the feat CTE (only pairs with ≥1 overlap, matching the engine's
+    stages/tiling.py tile_theme_counts inner semantics)."""
+    n = 1 << zoom
+    tx = "CAST(floor((%(lon)s + 180.0) / 360.0 * {n}) AS BIGINT)".format(n=n)
+    ty = (
+        "CAST(floor((1.0 - ln(tan(radians(%(lat)s)) + 1.0 / cos(radians(%(lat)s))) / pi()) / 2.0 * {n}) AS BIGINT)"
+    ).format(n=n)
+    return (
+        "WITH %s,\n%s,\n"
+        "tiles AS MATERIALIZED (\n"
+        "  SELECT DISTINCT\n"
+        "         TRY_CAST(split_part(s.media_ref, '/', 1) AS BIGINT) AS tile_z,\n"
+        "         TRY_CAST(split_part(s.media_ref, '/', 2) AS BIGINT) AS tile_x,\n"
+        "         TRY_CAST(split_part(s.media_ref, '/', 3) AS BIGINT) AS tile_y\n"
+        "  FROM (SELECT UNNEST(spans) AS s FROM read_parquet('%s'))\n"
+        "  WHERE s.kind = 'tile' AND s.media_ref != ''\n"
+        "),\n"
+        "franges AS (\n"
+        "  SELECT theme, %s AS x0, %s AS x1, %s AS y0, %s AS y1 FROM feat\n"
+        ")\n"
+        "SELECT t.tile_z, t.tile_x, t.tile_y, f.theme, count(*) AS n_features\n"
+        "FROM tiles t JOIN franges f\n"
+        "  ON t.tile_x BETWEEN f.x0 AND f.x1 AND t.tile_y BETWEEN f.y0 AND f.y1\n"
+        "WHERE t.tile_z = %d\n"
+        "GROUP BY t.tile_z, t.tile_x, t.tile_y, f.theme"
+        % (
+            _base_ctes(corpus_path),
+            _themed_feature_selects(mapping),
+            corpus_path,
+            tx % {"lon": "minx"},
+            tx % {"lon": "maxx"},
+            ty % {"lat": "maxy"},  # maxy → smaller tile y
+            ty % {"lat": "miny"},
+            zoom,
+        )
+    )
+
+
 def _aoi_cover_bounds(aoi_polygons, res=DEFAULT_RES):
     """The engine's coarse cover (cells.py cover_polygon) for a rectangle
     AOI is exactly its bbox cover — verified here, then expressed as index

@@ -2165,6 +2165,32 @@ def q_tile_assignment(sf_dir):
     ).sort(["tile_z", "tile_x", "tile_y"])
 
 
+def q_tile_theme_counts(sf_dir):
+    """Composed geospatial rollup: per-(tile, theme) feature-overlap
+    counts at z12 — the raster↔vector assignment (J5) joined with the
+    theme routing in ONE light-row exchange (the theme string rides the
+    tile-expansion rows; stages/tiling.py tile_theme_counts). Oracle:
+    export_oracle.sql_tile_theme_counts re-derives both sides in SQL."""
+    import ray.data
+
+    from osm_export_tool_python_ray.stages.explode import explode_tiles
+    from osm_export_tool_python_ray.stages.tiling import dedup_tiles, tile_theme_counts
+
+    _mapping, themed = _run_default_export()
+    feats = themed.map_batches(
+        lambda t: t.select(["osm_id", "theme", "minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+    )
+    tiles = dedup_tiles(
+        ray.data.read_parquet(corpus_path(n_shards=4)).map_batches(
+            explode_tiles, batch_format="pyarrow"
+        ),
+        num_buckets=8,
+    )
+    out = tile_theme_counts(feats, tiles, zooms=[12], num_buckets=16)
+    return out.sort(["tile_z", "tile_x", "tile_y", "theme"])
+
+
 def q_aoi_extract(sf_dir):
     """AOI spatial semi-join (J4 — the OsmExpress region-extract analog):
     features of the corpus restricted to a 1°×1° AOI. Rows-only."""
@@ -2526,6 +2552,7 @@ QUERIES = {
     "knn": q_knn,
     "export_theme_counts": q_export_theme_counts,
     "tile_assignment": q_tile_assignment,
+    "tile_theme_counts": q_tile_theme_counts,
     "aoi_extract": q_aoi_extract,
     "media_features": q_media_features,
     "gpkg_layer_counts": q_gpkg_layer_counts,
@@ -2539,6 +2566,7 @@ QUERIES = {
 EXPORT_SURFACE_ORACLE_KEYS = (
     "export_theme_counts",
     "tile_assignment",
+    "tile_theme_counts",
     "aoi_extract",
     "gpkg_layer_counts",
     "shp_layer_counts",
@@ -2560,6 +2588,7 @@ def export_surface_oracles():
         sql_kml_layer_counts,
         sql_shp_layer_counts,
         sql_tile_assignment,
+        sql_tile_theme_counts,
     )
 
     path = corpus_path(n_shards=4)
@@ -2568,6 +2597,7 @@ def export_surface_oracles():
     out = {
         "export_theme_counts": sql_export_theme_counts(path, mapping),
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
+        "tile_theme_counts": sql_tile_theme_counts(path, mapping, zoom=12),
         "aoi_extract": sql_aoi_extract(path, mapping),
         "gpkg_layer_counts": sql_gpkg_layer_counts(path, mapping),
         "shp_layer_counts": sql_shp_layer_counts(path, mapping),

@@ -50,10 +50,14 @@ ASSIGNMENT_SCHEMA = pa.schema(
 
 class FeatureTileExpander:
     """features batch → (tkey, osm_id) rows for every tile the feature's
-    bbox overlaps, per zoom level in ``zooms`` (broadcast small side)."""
+    bbox overlaps, per zoom level in ``zooms`` (broadcast small side).
+    ``carry``: optional extra feature column to ride the expansion (e.g.
+    the theme for per-(tile, theme) rollups) — gathered by row index, so
+    any Arrow type works without a per-row Python loop."""
 
-    def __init__(self, zooms):
+    def __init__(self, zooms, carry=None):
         self.zooms = sorted(set(int(z) for z in zooms))
+        self.carry = carry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         osm_id = batch.column("osm_id").to_numpy(zero_copy_only=False)
@@ -63,6 +67,7 @@ class FeatureTileExpander:
         maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
         out_k = []
         out_id = []
+        out_row = []
         for z in self.zooms:
             x0, y1 = lonlat_to_tile(minx, miny, z)   # miny → larger y
             x1, y0 = lonlat_to_tile(maxx, maxy, z)
@@ -73,6 +78,7 @@ class FeatureTileExpander:
             # fast path: single-tile features (the overwhelming majority)
             out_k.append(tile_key(np.full(single.sum(), z), x0[single], y0[single]))
             out_id.append(osm_id[single])
+            out_row.append(np.nonzero(single)[0])
             for i in np.nonzero(~single)[0]:
                 xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
                 ys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
@@ -80,16 +86,24 @@ class FeatureTileExpander:
                 k = tile_key(np.full(gx.size, z), gx.ravel(), gy.ravel())
                 out_k.append(k)
                 out_id.append(np.full(gx.size, osm_id[i]))
+                out_row.append(np.full(gx.size, i))
         tk = np.concatenate(out_k) if out_k else np.array([], dtype=np.int64)
         ids = np.concatenate(out_id) if out_id else np.array([], dtype=np.int64)
-        return pa.table(
-            {
-                "tkey": pa.array(tk),
-                "osm_id": pa.array(ids),
-                "media_ref": pa.nulls(len(tk), type=pa.string()),
-                "side": pa.array(np.zeros(len(tk), dtype=np.int8)),
-            }
-        )
+        cols = {
+            "tkey": pa.array(tk),
+            "osm_id": pa.array(ids),
+            "media_ref": pa.nulls(len(tk), type=pa.string()),
+            "side": pa.array(np.zeros(len(tk), dtype=np.int8)),
+        }
+        if self.carry:
+            rows = (
+                np.concatenate(out_row) if out_row else np.array([], dtype=np.int64)
+            )
+            col = batch.column(self.carry)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[self.carry] = col.take(pa.array(rows.astype(np.int64)))
+        return pa.table(cols)
 
 
 def _tile_side(batch: pa.Table) -> pa.Table:
@@ -192,6 +206,76 @@ def assign_features_to_tiles(features_ds, tiles_ds, zooms, num_buckets=64, max_f
         lambda g: _assign_group(g.drop_columns(["bucket"]), max_features_per_tile),
         num_partitions=min(num_buckets, 32),
         payload_schema=TILE_EXCHANGE_SCHEMA,
+    )
+
+
+def tile_theme_counts(features_ds, tiles_ds, zooms, num_buckets=64):
+    """Composed geospatial rollup: per-(tile, theme) counts of themed
+    features overlapping each EXISTING tile — the raster↔vector
+    assignment (J5) joined with the theme routing (M3/A2) in the SAME
+    single light-row exchange the plain assignment uses (the theme string
+    rides the expansion rows; no second shuffle, no per-tile feature-id
+    lists to carry). Only (tile, theme) pairs with ≥1 overlap are
+    emitted. ``features_ds`` needs (osm_id, theme, minx..maxy)."""
+    feats = features_ds.map_batches(
+        FeatureTileExpander(zooms, carry="theme"), batch_format="pyarrow"
+    )
+
+    def tile_side_themed(batch: pa.Table) -> pa.Table:
+        t = _tile_side(batch)
+        return t.append_column("theme", pa.nulls(t.num_rows, type=pa.string()))
+
+    tiles = tiles_ds.map_batches(tile_side_themed, batch_format="pyarrow")
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        tk = t.column("tkey").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((tk % num_buckets).astype(np.int32)))
+
+    def count_group(group: pa.Table) -> pa.Table:
+        tk = group.column("tkey").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        tile_keys = np.unique(tk[side == 1])
+        feat_rows = np.nonzero(side == 0)[0]
+        ftk = tk[feat_rows]
+        if len(tile_keys) == 0 or len(ftk) == 0:
+            return pa.table(
+                {
+                    "tile_z": pa.array([], type=pa.int64()),
+                    "tile_x": pa.array([], type=pa.int64()),
+                    "tile_y": pa.array([], type=pa.int64()),
+                    "theme": pa.array([], type=pa.string()),
+                    "n_features": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(tile_keys, ftk)
+        keep = tile_keys[np.minimum(pos, len(tile_keys) - 1)] == ftk
+        kept = pa.table(
+            {
+                "tkey": pa.array(ftk[keep]),
+                "theme": group.column("theme").take(pa.array(feat_rows[keep])),
+            }
+        )
+        agg = kept.group_by(["tkey", "theme"]).aggregate([("tkey", "count")])
+        k = agg.column("tkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_z": pa.array((k >> 58).astype(np.int64)),
+                "tile_x": pa.array(((k >> 29) & ((1 << 29) - 1)).astype(np.int64)),
+                "tile_y": pa.array((k & ((1 << 29) - 1)).astype(np.int64)),
+                "theme": agg.column("theme"),
+                "n_features": agg.column("tkey_count").cast(pa.int64()),
+            }
+        )
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    schema = TILE_EXCHANGE_SCHEMA.append(pa.field("theme", pa.string()))
+    return grouped_map(
+        feats.union(tiles).map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: count_group(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
+        payload_schema=schema,
     )
 
 

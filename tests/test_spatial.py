@@ -296,3 +296,60 @@ class TestDistRoundTieBreak:
         d2 = {oid: round((lon) ** 2 + (lat) ** 2, 10) for oid, lon, lat in feats}
         want = sorted(d2, key=lambda o: (d2[o], o))[:5]
         assert sorted(out.column("osm_id").to_pylist()) == sorted(want)
+
+
+class TestTileThemeCounts:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.tiling import tile_theme_counts
+
+        feats = make_features()
+        themes = ["roads" if i % 3 else "buildings" for i in range(feats.num_rows)]
+        feats = feats.append_column("theme", pa.array(themes, type=pa.string()))
+        z = 12
+        x0, y1 = lonlat_to_tile([0.0], [0.0], z)
+        x1, y0 = lonlat_to_tile([0.52], [0.52], z)
+        xs = np.arange(x0[0], x1[0] + 1)
+        ys = np.arange(y0[0], y1[0] + 1)
+        gx, gy = np.meshgrid(xs, ys)
+        tiles = pa.table(
+            {
+                "tkey": pa.array(tile_key(np.full(gx.size, z), gx.ravel(), gy.ravel())),
+                "media_ref": pa.array(["%d/%d/%d" % (z, a, b) for a, b in zip(gx.ravel(), gy.ravel())]),
+            }
+        )
+        out = tile_theme_counts(
+            ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [z], num_buckets=8
+        ).take_all()
+        got = {(r["tile_z"], r["tile_x"], r["tile_y"], r["theme"]): r["n_features"] for r in out}
+        assert all(v > 0 for v in got.values())
+
+        expect = {}
+        f = feats.to_pydict()
+        for i in range(len(f["osm_id"])):
+            tx0, ty1 = lonlat_to_tile([f["minx"][i]], [f["miny"][i]], z)
+            tx1, ty0 = lonlat_to_tile([f["maxx"][i]], [f["maxy"][i]], z)
+            for a in range(tx0[0], tx1[0] + 1):
+                for b in range(ty0[0], ty1[0] + 1):
+                    if a in xs and b in ys:
+                        k = (z, a, b, f["theme"][i])
+                        expect[k] = expect.get(k, 0) + 1
+        assert got == expect
+
+    def test_nonexistent_tiles_not_emitted(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.tiling import tile_theme_counts
+
+        feats = make_features(20).append_column(
+            "theme", pa.array(["roads"] * 20, type=pa.string())
+        )
+        tiles = pa.table(
+            {
+                "tkey": pa.array([tile_key(np.array([12]), np.array([2048]), np.array([2047]))[0]]),
+                "media_ref": pa.array(["12/2048/2047"]),
+            }
+        )
+        out = tile_theme_counts(
+            ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [12], num_buckets=4
+        ).take_all()
+        assert {r["tile_x"] for r in out} <= {2048}
