@@ -353,6 +353,33 @@ def sql_tile_theme_counts(corpus_path, mapping, zoom=12):
     )
 
 
+def sql_spatial_join(
+    corpus_path, mapping, left_theme="roads", right_theme="buildings", expand=0.05
+):
+    """Oracle for the two-layer ε-proximity bbox join: a plain SQL
+    inequality join (left bboxes buffered by ``expand``) over the
+    re-derived themed features — the engine's cell partitioning,
+    owner-cell dedup and caps must be invisible in the result (no
+    oversize/hot-cell cap fires on this corpus; if one did, the row
+    sets would diverge here)."""
+    e = "%.17g" % float(expand)
+    return (
+        "WITH %s,\n%s\n"
+        "SELECT l.osm_id AS l_id, r.osm_id AS r_id\n"
+        "FROM feat l JOIN feat r\n"
+        "  ON l.minx - %s <= r.maxx AND r.minx <= l.maxx + %s\n"
+        " AND l.miny - %s <= r.maxy AND r.miny <= l.maxy + %s\n"
+        "WHERE l.theme = '%s' AND r.theme = '%s'"
+        % (
+            _base_ctes(corpus_path),
+            _themed_feature_selects(mapping),
+            e, e, e, e,
+            _esc(left_theme),
+            _esc(right_theme),
+        )
+    )
+
+
 def _aoi_cover_bounds(aoi_polygons, res=DEFAULT_RES):
     """The engine's coarse cover (cells.py cover_polygon) for a rectangle
     AOI is exactly its bbox cover — verified here, then expressed as index

@@ -2191,6 +2191,41 @@ def q_tile_theme_counts(sf_dir):
     return out.sort(["tile_z", "tile_x", "tile_y", "theme"])
 
 
+def q_spatial_join(sf_dir):
+    """Two-layer distributed ε-proximity spatial join (PBSM shape):
+    every (road, building) feature pair whose bboxes come within 0.05°
+    of each other — the nearest-road-for-building / overlay prefilter
+    class the reference delegates to OGR/GEOS on one machine. One
+    cell-bucketed exchange, owner-cell (reference-point) pair dedup,
+    counted oversize/hot-cell caps (stages/spatial_join.py). Oracle:
+    export_oracle.sql_spatial_join re-derives the pair set with a plain
+    SQL inequality join over the re-derived themed features."""
+    from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+
+    _mapping, themed = _run_default_export()
+
+    def side(theme_name):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("theme"), theme_name)
+            f = t.filter(m)
+            return pa.table(
+                {
+                    "fid": f.column("osm_id"),
+                    "minx": f.column("minx"),
+                    "miny": f.column("miny"),
+                    "maxx": f.column("maxx"),
+                    "maxy": f.column("maxy"),
+                }
+            )
+
+        return themed.map_batches(fn, batch_format="pyarrow")
+
+    out = bbox_intersection_join(
+        side("roads"), side("buildings"), res=5, num_buckets=16, expand=0.05
+    )
+    return out.sort(["l_id", "r_id"])
+
+
 def q_aoi_extract(sf_dir):
     """AOI spatial semi-join (J4 — the OsmExpress region-extract analog):
     features of the corpus restricted to a 1°×1° AOI. Rows-only."""
@@ -2553,6 +2588,7 @@ QUERIES = {
     "export_theme_counts": q_export_theme_counts,
     "tile_assignment": q_tile_assignment,
     "tile_theme_counts": q_tile_theme_counts,
+    "spatial_join": q_spatial_join,
     "aoi_extract": q_aoi_extract,
     "media_features": q_media_features,
     "gpkg_layer_counts": q_gpkg_layer_counts,
@@ -2567,6 +2603,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "export_theme_counts",
     "tile_assignment",
     "tile_theme_counts",
+    "spatial_join",
     "aoi_extract",
     "gpkg_layer_counts",
     "shp_layer_counts",
@@ -2587,6 +2624,7 @@ def export_surface_oracles():
         sql_gpkg_layer_counts,
         sql_kml_layer_counts,
         sql_shp_layer_counts,
+        sql_spatial_join,
         sql_tile_assignment,
         sql_tile_theme_counts,
     )
@@ -2598,6 +2636,7 @@ def export_surface_oracles():
         "export_theme_counts": sql_export_theme_counts(path, mapping),
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
         "tile_theme_counts": sql_tile_theme_counts(path, mapping, zoom=12),
+        "spatial_join": sql_spatial_join(path, mapping),
         "aoi_extract": sql_aoi_extract(path, mapping),
         "gpkg_layer_counts": sql_gpkg_layer_counts(path, mapping),
         "shp_layer_counts": sql_shp_layer_counts(path, mapping),

@@ -33,10 +33,29 @@ class _CapCounterActor:
 
 _NAME = "osm_ray_cap_counter"
 
+# per-process handle cache. The actor is DETACHED: a non-detached named
+# actor dies as soon as its last handle is garbage-collected, so a
+# driver that called snapshot_caps() and dropped the handle silently
+# killed the counter — the next worker's get_if_exists then created a
+# REPLACEMENT owned by that short-lived worker, and every count reported
+# to it died with the worker (lost caps, observed round 4). Detached =
+# owned by the cluster (GCS), killed only by ray.shutdown()/kill.
+_HANDLE = None
+
 
 def cap_counter():
-    """Named per-cluster counter actor (created on first use)."""
-    return _CapCounterActor.options(name=_NAME, get_if_exists=True).remote()
+    """Named per-cluster counter actor (created detached on first use)."""
+    global _HANDLE
+    if _HANDLE is None:
+        _HANDLE = _CapCounterActor.options(
+            name=_NAME, get_if_exists=True, lifetime="detached"
+        ).remote()
+    return _HANDLE
+
+
+def _reset_handle():
+    global _HANDLE
+    _HANDLE = None
 
 
 def report_cap(name, k):
@@ -46,13 +65,22 @@ def report_cap(name, k):
     try:
         cap_counter().add.remote(name, int(k))
     except Exception:
-        pass  # metrics must never fail the pipeline
+        # stale cached handle (e.g. ray re-inited in-process) — retry once
+        _reset_handle()
+        try:
+            cap_counter().add.remote(name, int(k))
+        except Exception:
+            pass  # metrics must never fail the pipeline
 
 
 def snapshot_caps(reset=True):
     """Driver-side: fetch (and by default reset) all cap counters."""
-    try:
-        a = cap_counter()
-        return ray.get(a.snapshot_and_reset.remote() if reset else a.snapshot.remote())
-    except Exception:
-        return {}
+    for _ in range(2):
+        try:
+            a = cap_counter()
+            return ray.get(
+                a.snapshot_and_reset.remote() if reset else a.snapshot.remote()
+            )
+        except Exception:
+            _reset_handle()
+    return {}

@@ -353,3 +353,126 @@ class TestTileThemeCounts:
             ray.data.from_arrow(feats), ray.data.from_arrow(tiles), [12], num_buckets=4
         ).take_all()
         assert {r["tile_x"] for r in out} <= {2048}
+
+
+class TestBboxIntersectionJoin:
+    def _boxes(self, n, seed, spread=2.0, wmax=0.3):
+        rng = np.random.RandomState(seed)
+        x = rng.rand(n) * spread
+        y = rng.rand(n) * spread
+        w = rng.rand(n) * wmax
+        h = rng.rand(n) * wmax
+        return pa.table(
+            {
+                "fid": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "minx": pa.array(x),
+                "miny": pa.array(y),
+                "maxx": pa.array(x + w),
+                "maxy": pa.array(y + h),
+            }
+        )
+
+    def test_matches_bruteforce_exactly_once(self, ray_session):
+        """Random multi-cell boxes: the owner-cell rule must yield every
+        intersecting cross pair EXACTLY once (a multiset equal to the
+        brute-force set proves both recall and no double emission)."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+
+        left = self._boxes(120, 1)
+        right = self._boxes(150, 2)
+        out = bbox_intersection_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            res=5, num_buckets=8,
+        ).take_all()
+        got = sorted((r["l_id"], r["r_id"]) for r in out)
+
+        lf, rf = left.to_pydict(), right.to_pydict()
+        expect = sorted(
+            (lf["fid"][i], rf["fid"][j])
+            for i in range(len(lf["fid"]))
+            for j in range(len(rf["fid"]))
+            if lf["minx"][i] <= rf["maxx"][j]
+            and rf["minx"][j] <= lf["maxx"][i]
+            and lf["miny"][i] <= rf["maxy"][j]
+            and rf["miny"][j] <= lf["maxy"][i]
+        )
+        assert got == expect  # sorted LISTS: multiset equality
+
+    def test_resolution_invariance(self, ray_session):
+        """The pair set must not depend on the partitioning resolution."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+
+        left = self._boxes(60, 3)
+        right = self._boxes(60, 4)
+
+        def run(res):
+            return sorted(
+                (r["l_id"], r["r_id"])
+                for r in bbox_intersection_join(
+                    ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    res=res, num_buckets=8,
+                ).take_all()
+            )
+
+        assert run(4) == run(6)
+
+    def test_oversize_dropped_and_counted(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        left = pa.table(
+            {
+                "fid": pa.array([1], type=pa.int64()),
+                "minx": pa.array([0.0]), "miny": pa.array([0.0]),
+                "maxx": pa.array([50.0]), "maxy": pa.array([50.0]),  # continent-sized
+            }
+        )
+        right = self._boxes(10, 5)
+        snapshot_caps()
+        out = bbox_intersection_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            res=8, num_buckets=4, max_cover=64,
+        ).take_all()
+        # report_cap is fire-and-forget from worker tasks — give the
+        # counter actor a moment to drain its mailbox
+        import time
+
+        caps = {}
+        for _ in range(50):
+            caps.update(snapshot_caps())
+            if "spatial_join_oversize_bbox" in caps:
+                break
+            time.sleep(0.1)
+        # at-least-once: Ray re-executes lineage fragments (schema fetch,
+        # shuffle map retries), and each re-execution re-reports — the
+        # counter is a did-truncation-happen diagnostic, not an exact tally
+        assert caps.get("spatial_join_oversize_bbox", 0) >= 1
+        assert out == []  # the oversize left side was dropped, with a count
+
+    def test_proximity_expand_vs_bruteforce(self, ray_session):
+        """expand=eps yields every pair within Chebyshev distance eps."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+
+        left = self._boxes(80, 6, wmax=0.05)
+        right = self._boxes(80, 7, wmax=0.05)
+        eps = 0.07
+        out = bbox_intersection_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            res=5, num_buckets=8, expand=eps,
+        ).take_all()
+        got = sorted((r["l_id"], r["r_id"]) for r in out)
+        lf, rf = left.to_pydict(), right.to_pydict()
+        expect = sorted(
+            (lf["fid"][i], rf["fid"][j])
+            for i in range(len(lf["fid"]))
+            for j in range(len(rf["fid"]))
+            if lf["minx"][i] - eps <= rf["maxx"][j]
+            and rf["minx"][j] <= lf["maxx"][i] + eps
+            and lf["miny"][i] - eps <= rf["maxy"][j]
+            and rf["miny"][j] <= lf["maxy"][i] + eps
+        )
+        assert got == expect
