@@ -75,6 +75,56 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_bloom_incremental(sf_dir):
+    """Cross-snapshot incremental dedup: the held-out 'new shard'
+    (doc_id % 3 == 0) probed against a broadcast Bloom filter built over
+    the 'base corpus' (doc_id % 3 != 0) — zero shuffle on either side
+    (stages/bloom.py: per-batch partial bitsets, Dataset tree fold,
+    ray.put broadcast probe). The md5-seeded double-hash family is fully
+    deterministic, so the oracle re-derives the EXACT flag set —
+    false positives included — with the same HUGEINT arithmetic."""
+    from osm_export_tool_python_ray.stages.bloom import bloom_probe, build_bloom
+
+    def split(keep_new):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) if keep_new else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    bits = build_bloom(split(False))
+    return bloom_probe(split(True), bits).sort("doc_id")
+
+
+def _build_bloom_sql(m_bits=1 << 20, k=4):
+    """(h1 + i*h2) mod 2^64 mod m in DuckDB: h1/h2 = LE u64 of md5(text)
+    bytes [0:8)/[8:16); the wrap multiply via _sql_mulmod64, the wrap
+    add in HUGEINT. bool_and over the k positions = the ALL-bits-set
+    probe."""
+    h1 = _le64_expr("hh")
+    h2 = _le64_expr("substr(hh, 17, 16)")
+    ih2 = _sql_mulmod64("CAST(i AS UBIGINT)", h2)
+    pos = (
+        "CAST(((CAST({h1} AS HUGEINT) + CAST({ih2} AS HUGEINT))"
+        " % CAST('18446744073709551616' AS HUGEINT)) % {m} AS BIGINT)"
+    ).format(h1=h1, ih2=ih2, m=m_bits)
+    return """
+WITH base AS (SELECT DISTINCT md5(text) AS hh FROM documents WHERE doc_id % 3 <> 0),
+apos AS (SELECT DISTINCT {pos} AS p FROM base, range({k}) r(i)),
+newdocs AS (SELECT doc_id, md5(text) AS hh FROM documents WHERE doc_id % 3 = 0),
+bpos AS (SELECT doc_id, {pos} AS p FROM newdocs, range({k}) r(i))
+SELECT doc_id, bool_and(p IN (SELECT p FROM apos)) AS bloom_hit
+FROM bpos GROUP BY doc_id
+""".format(pos=pos, k=k)
+
+
+# SQL_BLOOM_INCREMENTAL is assigned after _le64_expr/_sql_mulmod64 are
+# defined (module bottom, next to the ORACLES registry).
+
+
 def q_token_budget(sf_dir):
     from osm_export_tool_python_ray.stages.textstages import token_budget
 
@@ -2568,6 +2618,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "training_kept_docs": q_training_kept_docs,
+    "bloom_incremental": q_bloom_incremental,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
@@ -2646,9 +2697,13 @@ def export_surface_oracles():
     return out
 
 
+SQL_BLOOM_INCREMENTAL = _build_bloom_sql()
+
+
 ORACLES = {
     "media_features": SQL_MEDIA_FEATURES,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "bloom_incremental": SQL_BLOOM_INCREMENTAL,
     "doc_stats": SQL_DOC_STATS,
     "token_budget": SQL_TOKEN_BUDGET,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
