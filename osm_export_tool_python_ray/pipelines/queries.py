@@ -2067,6 +2067,93 @@ SELECT cell, count(*) AS n FROM cells GROUP BY cell
 """
 
 
+def q_cell_pyramid(sf_dir):
+    """Hierarchical multi-resolution cell rollup (the H3-pyramid
+    pattern): per-cell counts at res 8, then res 6 and res 4 REAGGREGATED
+    FROM THE CHILD AGGREGATES by parent bit-shift — the base table is
+    scanned exactly once, and each coarser level is a groupby over
+    |cells(finer)| rows, not over the data. The oracle re-derives the
+    same pyramid with the identical shift arithmetic (i8 // 4 // 16), so
+    a parent/child bit-math inconsistency in cells.py would surface as a
+    hash mismatch."""
+    from ray.data.aggregate import Sum
+
+    mask = (1 << 29) - 1
+
+    def decode(res):
+        def fn(t: pa.Table) -> pa.Table:
+            cell = t.column("cell").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "res": pa.array(np.full(len(cell), res, dtype=np.int64)),
+                    "ix": pa.array((cell >> 29) & mask),
+                    "iy": pa.array(cell & mask),
+                    "n": t.column("n"),
+                }
+            )
+
+        return fn
+
+    def to_parent(delta, new_res):
+        def fn(t: pa.Table) -> pa.Table:
+            cell = t.column("cell").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            ix = (cell >> 29) & mask
+            iy = cell & mask
+            p = (np.int64(new_res) << 58) | ((ix >> delta) << 29) | (iy >> delta)
+            u, inv = np.unique(p, return_inverse=True)
+            sums = np.zeros(len(u), dtype=np.int64)
+            np.add.at(sums, inv, n)
+            return pa.table({"cell": pa.array(u), "n_partial": pa.array(sums)})
+
+        return fn
+
+    # aggregate-sized intermediates: materialize so the union + next
+    # rollup don't re-execute the base scan per consumer
+    l8 = q_cell_counts(sf_dir).materialize()
+    l6 = (
+        l8.map_batches(to_parent(2, 6), batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()
+    )
+    l4 = (
+        l6.map_batches(to_parent(2, 4), batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    out = (
+        l8.map_batches(decode(8), batch_format="pyarrow")
+        .union(l6.map_batches(decode(6), batch_format="pyarrow"))
+        .union(l4.map_batches(decode(4), batch_format="pyarrow"))
+    )
+    return out.sort(["res", "ix", "iy"])
+
+
+SQL_CELL_PYRAMID = """
+WITH pts AS (
+  SELECT (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), i8 AS (
+  SELECT CAST(floor((lon + 180.0) * 32768.0 / 360.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 32768.0 / 360.0) AS BIGINT) AS iy
+  FROM pts
+), l8 AS (
+  SELECT CAST(8 AS BIGINT) AS res, ix, iy, count(*) AS n FROM i8 GROUP BY ix, iy
+), l6 AS (
+  SELECT CAST(6 AS BIGINT) AS res, ix // 4 AS ix, iy // 4 AS iy,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM l8 GROUP BY ix // 4, iy // 4
+), l4 AS (
+  SELECT CAST(4 AS BIGINT) AS res, ix // 4 AS ix, iy // 4 AS iy,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM l6 GROUP BY ix // 4, iy // 4
+)
+SELECT * FROM l8 UNION ALL SELECT * FROM l6 UNION ALL SELECT * FROM l4
+"""
+
+
 def q_tile_counts(sf_dir):
     from ray.data.aggregate import Sum
 
@@ -2634,6 +2721,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "cell_counts": q_cell_counts,
+    "cell_pyramid": q_cell_pyramid,
     "tile_counts": q_tile_counts,
     "knn": q_knn,
     "export_theme_counts": q_export_theme_counts,
@@ -2743,6 +2831,7 @@ ORACLES = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "cell_counts": SQL_CELL_COUNTS,
+    "cell_pyramid": SQL_CELL_PYRAMID,
     "tile_counts": SQL_TILE_COUNTS,
     "knn": SQL_KNN,
 }

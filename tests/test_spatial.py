@@ -476,3 +476,24 @@ class TestBboxIntersectionJoin:
             and rf["miny"][j] <= lf["maxy"][i] + eps
         )
         assert got == expect
+
+
+class TestCellPyramid:
+    def test_levels_consistent(self, ray_session):
+        """Each pyramid level must sum to the base count, and every
+        parent must equal the sum of its children (rollup correctness
+        independent of the SQL oracle)."""
+        from osm_export_tool_python_ray.pipelines.queries import q_cell_pyramid
+
+        rows = q_cell_pyramid("/root/testdata/sf0.001").take_all()
+        by_res = {}
+        for r in rows:
+            by_res.setdefault(r["res"], {})[(r["ix"], r["iy"])] = r["n"]
+        assert set(by_res) == {4, 6, 8}
+        totals = {res: sum(v.values()) for res, v in by_res.items()}
+        assert totals[8] == totals[6] == totals[4]
+        for (ix, iy), n in by_res[6].items():
+            children = sum(
+                v for (cx, cy), v in by_res[8].items() if cx // 4 == ix and cy // 4 == iy
+            )
+            assert children == n, (ix, iy)
