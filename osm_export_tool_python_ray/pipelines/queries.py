@@ -1266,6 +1266,65 @@ WHERE (c.cluster_id IS NULL OR c.cluster_id = e.doc_id)
 SQL_TRAINING_KEPT_DOCS = _build_training_kept_docs_sql()
 
 
+def q_textrank_keywords(sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the top-200-term adjacent-co-occurrence graph, THREE
+    integer-exact power iterations on Ray Data (each = one keyed join +
+    one groupby over the ≤V² edge aggregate — stages/graph.py), top-20
+    keywords by (score desc, term asc). The iterative-algorithm
+    workload class: score mass flows along edges; all arithmetic int64
+    micro-units with floor division so the oracle's chained-CTE
+    iterations reproduce every score exactly."""
+    from osm_export_tool_python_ray.stages.graph import textrank_scores
+
+    return textrank_scores(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]), V=200, iters=3
+    )
+
+
+def _build_textrank_sql(V=200, iters=3):
+    it_tpl = """
+s{n} AS (
+  SELECT t.term,
+         CAST(150000 + coalesce(sum((85 * s.s * d.w) // (100 * wdeg.wd)), 0) AS BIGINT) AS s
+  FROM topv t
+  LEFT JOIN dir d ON d.dst = t.term
+  LEFT JOIN s{p} s ON s.term = d.src
+  LEFT JOIN wdeg ON wdeg.src = d.src
+  GROUP BY t.term
+)"""
+    its = ",".join(it_tpl.format(n=i + 1, p=i) for i in range(iters))
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+),
+allw AS (SELECT unnest(tk) AS term FROM toks),
+agg AS (SELECT term, count(*) AS tf FROM allw GROUP BY term),
+topv AS (SELECT term FROM agg ORDER BY tf DESC, term LIMIT %d),
+pairs AS (
+  SELECT tk[i] AS a, tk[i+1] AS b
+  FROM toks, UNNEST(range(1, len(tk))) r(i)
+  WHERE len(tk) >= 2
+),
+e0 AS (
+  SELECT least(a, b) AS x, greatest(a, b) AS y, count(*) AS w
+  FROM pairs
+  WHERE a <> b AND a IN (SELECT term FROM topv) AND b IN (SELECT term FROM topv)
+  GROUP BY 1, 2
+),
+dir AS (SELECT x AS src, y AS dst, w FROM e0 UNION ALL SELECT y AS src, x AS dst, w FROM e0),
+wdeg AS (SELECT src, sum(w) AS wd FROM dir GROUP BY src),
+s0 AS (SELECT term, CAST(1000000 AS BIGINT) AS s FROM topv),
+%s
+SELECT term, s AS score,
+       row_number() OVER (ORDER BY s DESC, term ASC) AS rank
+FROM s%d QUALIFY rank <= 20 ORDER BY rank
+""" % (V, its, iters)
+
+
+SQL_TEXTRANK_KEYWORDS = _build_textrank_sql()
+
+
 # shared SQL body: word-3-gram sets, sizes, hot-gram cap (=the engine's
 # max_gram_docs), Jaccard candidate pairs — the DuckDB twin of
 # stages/dedup.py ngram_jaccard_pairs (which joins on 64-bit gram hashes;
@@ -2706,6 +2765,7 @@ QUERIES = {
     "ngram_clusters": q_ngram_clusters,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
+    "textrank_keywords": q_textrank_keywords,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
@@ -2792,6 +2852,7 @@ ORACLES = {
     "media_features": SQL_MEDIA_FEATURES,
     "exact_dedup": SQL_EXACT_DEDUP,
     "bloom_incremental": SQL_BLOOM_INCREMENTAL,
+    "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "doc_stats": SQL_DOC_STATS,
     "token_budget": SQL_TOKEN_BUDGET,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -1,0 +1,235 @@
+"""Iterative graph scoring on Ray Data: TextRank (PageRank over the
+word co-occurrence graph — Mihalcea & Tarau 2004) with INTEGER-EXACT
+power iterations.
+
+The missing workload class in the engine's catalog: an iterative
+distributed algorithm where each round is a keyed join + a groupby
+(score flows along edges). The shape per iteration is
+
+    directed edges (src, dst, w, wdeg_src)  ⋈ scores on src   [1 exchange]
+      → map-side contribution (d·s·w) // (D·wdeg)
+      → groupby(dst) sum                                     [1 exchange]
+      → left-join onto the node set, + teleport base
+
+All arithmetic is int64 micro-units with floor division, so the result
+is summation-order independent and a DuckDB oracle re-derives every
+iteration exactly (chained CTEs — pipelines/queries.py
+SQL_TEXTRANK_KEYWORDS). The graph is built once: top-V vocabulary by
+the distributed sort+limit pattern, adjacent-token co-occurrence edges
+pre-aggregated by a per-batch combiner before ONE groupby.
+
+Scale shape: the corpus is scanned twice (vocab pass, edge pass —
+both combiner-shaped); every iteration then touches only the edge
+aggregate (≤V² rows), never the corpus. V bounds all state; the
+driver holds only the V-row vocabulary (broadcast via ray.put).
+Overflow bound: d_num·s·w must fit int64 — s totals ≈ V·s0, so
+w ≤ 2^63 / (d_num · V · s0) ≈ 5·10⁸ co-occurrences per edge at the
+defaults; raise to HUGEINT-style splitting before that at planet scale.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.stages.joins import bucket_join
+
+
+def _vocab_topv(docs_ds, V):
+    """Top-V terms by (tf desc, term asc) — the q_vocab_topk /
+    unigram_logprob distributed cut; only the final V rows reach the
+    driver."""
+    from osm_export_tool_python_ray.stages.textstages import vocab_partial
+
+    grouped = (
+        docs_ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["tf"])
+    )
+    rows = grouped.sort(["sum(tf)", "term"], descending=[True, False]).limit(V).take_all()
+    terms = np.array([r["term"] for r in rows])
+    order = np.argsort(terms)
+    return terms[order]  # sorted for searchsorted membership
+
+
+def _edge_partial(vocab_sorted_ref, text_col="text"):
+    """Per-batch combiner: adjacent-token pairs (both in-vocab, a≠b) →
+    canonical undirected (min_idx, max_idx) counts, packed into one
+    int64 key."""
+    import ray
+
+    from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        vt = ray.get(vocab_sorted_ref)
+        V = len(vt)
+        flat, ntoks = alnum_tokens_batch(t.column(text_col).to_pylist())
+        if not flat:
+            return pa.table(
+                {"ekey": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64())}
+            )
+        w = np.array(flat)
+        pos = np.searchsorted(vt, w)
+        posc = np.minimum(pos, V - 1)
+        iv = np.where((pos < V) & (vt[posc] == w), posc, -1).astype(np.int64)
+        # adjacency within each doc: positions i, i+1 in the same segment
+        ends = np.cumsum(ntoks)
+        starts = ends - np.asarray(ntoks)
+        a = iv[:-1]
+        b = iv[1:]
+        # mask out pairs crossing doc boundaries (index i is a doc end)
+        cross = np.zeros(len(iv) - 1, dtype=bool) if len(iv) > 1 else np.zeros(0, dtype=bool)
+        for e in ends[:-1]:
+            if 0 < e <= len(cross):
+                cross[e - 1] = True
+        ok = (a >= 0) & (b >= 0) & (a != b) & ~cross
+        lo = np.minimum(a[ok], b[ok])
+        hi = np.maximum(a[ok], b[ok])
+        key = lo * V + hi
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"ekey": pa.array(u), "w": pa.array(c.astype(np.int64))})
+
+    return fn
+
+
+def textrank_scores(
+    docs_ds_factory,
+    V=200,
+    iters=3,
+    d_num=85,
+    d_den=100,
+    s0=1_000_000,
+    base=150_000,
+    num_buckets=16,
+):
+    """→ pyarrow Table (term, score, rank) — top-20 TextRank keywords.
+
+    ``docs_ds_factory``: zero-arg callable returning a fresh docs
+    Dataset (the corpus is consumed twice — vocab pass + edge pass —
+    and Ray re-executes lineage per consumer, so the caller hands us
+    the constructor, not a dataset)."""
+    import ray
+
+    vocab_sorted = _vocab_topv(docs_ds_factory(), V)
+    Vn = len(vocab_sorted)
+    if Vn == 0:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    vref = ray.put(vocab_sorted)
+
+    # undirected canonical edge aggregate: ONE groupby over combiner rows
+    und = (
+        docs_ds_factory()
+        .map_batches(_edge_partial(vref), batch_format="pyarrow")
+        .groupby("ekey")
+        .sum(["w"])
+    )
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        k = t.column("ekey").to_numpy(zero_copy_only=False)
+        w = t.column("sum(w)").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = k // Vn
+        hi = k % Vn
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([lo, hi])),
+                "dst": pa.array(np.concatenate([hi, lo])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    directed = und.map_batches(to_directed, batch_format="pyarrow")
+    wdeg = directed.groupby("src").sum(["w"])
+    wdeg = wdeg.map_batches(
+        lambda t: pa.table(
+            {"src": t.column("src"), "wd": t.column("sum(w)").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    i64 = pa.int64()
+    edges = bucket_join(
+        directed,
+        wdeg,
+        key="src",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("src", i64), ("dst", i64), ("w", i64)]),
+        right_schema=pa.schema([("src", i64), ("wd", i64)]),
+    ).materialize()  # ≤ V² rows; reused every iteration
+
+    import ray.data
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(Vn, dtype=np.int64))})
+    )
+    scores = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(Vn, dtype=np.int64)),
+                "s": pa.array(np.full(Vn, s0, dtype=np.int64)),
+            }
+        )
+    )
+
+    for _ in range(iters):
+        joined = bucket_join(
+            edges,
+            scores,
+            key="src",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("src", i64), ("dst", i64), ("w", i64), ("wd", i64)]),
+            right_schema=pa.schema([("src", i64), ("s", i64)]),
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            wd = t.column("wd").to_numpy(zero_copy_only=False)
+            c = (d_num * s * w) // (d_den * wd)
+            return pa.table({"dst": t.column("dst"), "c": pa.array(c)})
+
+        sums = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .sum(["c"])
+        )
+        sums = sums.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"), "cs": t.column("sum(c)").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        merged = bucket_join(
+            nodes,
+            sums,
+            key="node",
+            how="left",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("node", i64)]),
+            right_schema=pa.schema([("node", i64), ("cs", i64)]),
+        )
+
+        def add_base(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            cs = pc_.fill_null(t.column("cs"), 0)
+            return pa.table(
+                {
+                    "src": t.column("node"),
+                    "s": pc_.add(cs, base),
+                }
+            )
+
+        scores = merged.map_batches(add_base, batch_format="pyarrow").materialize()
+
+    top = scores.sort(["s", "src"], descending=[True, False]).limit(20).take_all()
+    terms = [str(vocab_sorted[r["src"]]) for r in top]
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "score": pa.array([r["s"] for r in top], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        }
+    )

@@ -780,3 +780,65 @@ class TestBloomIncremental:
             for i in range(4):
                 expect = ((int(h1[r]) + i * int(h2[r])) % (1 << 64)) % (1 << 20)
                 assert int(got[r, i]) == expect
+
+
+class TestTextRank:
+    def test_hub_word_wins_and_matches_reference_iteration(self, ray_session):
+        """Planted star graph: 'hub' adjacent to many distinct words
+        must rank first; scores must equal an independent big-int
+        reference power iteration (same V/damping/floor arithmetic)."""
+        import itertools
+
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.graph import textrank_scores
+
+        texts = ["hub %s" % w for w in ("alpha beta gamma delta epsilon".split())] * 4
+        texts += ["zeta eta", "theta iota", "solo"]
+        t = doc_table(texts)
+        out = textrank_scores(lambda: ray.data.from_arrow(t), V=50, iters=3)
+        terms = out.column("term").to_pylist()
+        scores = out.column("score").to_pylist()
+        assert terms[0] == "hub"
+
+        # independent reference: pure-python big ints
+        toks = [s.split() for s in texts]
+        from collections import Counter
+
+        tf = Counter(w for ts in toks for w in ts)
+        vocab = sorted(tf, key=lambda w: (-tf[w], w))[:50]
+        vset = set(vocab)
+        e = Counter()
+        for ts in toks:
+            for a, b in zip(ts, ts[1:]):
+                if a in vset and b in vset and a != b:
+                    e[(min(a, b), max(a, b))] += 1
+        dir_edges = {}
+        for (x, y), w in e.items():
+            dir_edges.setdefault(x, []).append((y, w))
+            dir_edges.setdefault(y, []).append((x, w))
+        wd = {u: sum(w for _, w in vs) for u, vs in dir_edges.items()}
+        s = {v: 1_000_000 for v in vocab}
+        for _ in range(3):
+            nxt = {}
+            for v in vocab:
+                acc = 0
+                for u, vs in dir_edges.items():
+                    for (dst, w) in vs:
+                        if dst == v:
+                            acc += (85 * s[u] * w) // (100 * wd[u])
+                nxt[v] = 150_000 + acc
+            s = nxt
+        expect = sorted(vocab, key=lambda v: (-s[v], v))[:20]
+        assert terms == expect
+        assert scores == [s[v] for v in expect]
+
+    def test_deterministic(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.graph import textrank_scores
+
+        t = doc_table(["the quick brown fox", "the lazy dog", "quick dog runs"] * 5)
+        a = textrank_scores(lambda: ray.data.from_arrow(t), V=20, iters=2)
+        b = textrank_scores(lambda: ray.data.from_arrow(t), V=20, iters=2)
+        assert a.equals(b)
