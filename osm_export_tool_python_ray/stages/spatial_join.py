@@ -139,28 +139,33 @@ def _join_cells(group: pa.Table, res, max_cell_side) -> pa.Table:
         if len(li) > max_cell_side or len(ri) > max_cell_side:
             hot_skipped += 1
             continue
-        # all-pairs interval tests, flattened (L*R ≤ max_cell_side²)
-        lm = np.repeat(li, len(ri))
-        rm = np.tile(ri, len(li))
-        hit = (
-            (minx[lm] <= maxx[rm])
-            & (minx[rm] <= maxx[lm])
-            & (miny[lm] <= maxy[rm])
-            & (miny[rm] <= maxy[lm])
-        )
-        lm, rm = lm[hit], rm[hit]
-        if len(lm) == 0:
-            continue
-        # owner-cell rule: emit only where the intersection's lower-left
-        # corner falls in THIS cell
-        px = np.maximum(minx[lm], minx[rm])
-        py = np.maximum(miny[lm], miny[rm])
+        # all-pairs interval tests, LEFT-CHUNKED so the candidate arrays
+        # stay ≤ ~4M pairs regardless of cell density (a max_cell_side²
+        # cell would otherwise materialize 16M-pair masks per cell)
         lim = (1 << (res + 8)) - 1
-        ox = np.clip(((px + 180.0) * s).astype(np.int64), 0, lim)
-        oy = np.clip(((py + 90.0) * s).astype(np.int64), 0, lim)
-        own = ((ox << 29) | oy) == cell[a]
-        out_l.append(fid[lm[own]])
-        out_r.append(fid[rm[own]])
+        chunk = max(1, (4 << 20) // max(len(ri), 1))
+        for c0 in range(0, len(li), chunk):
+            lc = li[c0 : c0 + chunk]
+            lm = np.repeat(lc, len(ri))
+            rm = np.tile(ri, len(lc))
+            hit = (
+                (minx[lm] <= maxx[rm])
+                & (minx[rm] <= maxx[lm])
+                & (miny[lm] <= maxy[rm])
+                & (miny[rm] <= maxy[lm])
+            )
+            lm, rm = lm[hit], rm[hit]
+            if len(lm) == 0:
+                continue
+            # owner-cell rule: emit only where the intersection's
+            # lower-left corner falls in THIS cell
+            px = np.maximum(minx[lm], minx[rm])
+            py = np.maximum(miny[lm], miny[rm])
+            ox = np.clip(((px + 180.0) * s).astype(np.int64), 0, lim)
+            oy = np.clip(((py + 90.0) * s).astype(np.int64), 0, lim)
+            own = ((ox << 29) | oy) == cell[a]
+            out_l.append(fid[lm[own]])
+            out_r.append(fid[rm[own]])
     if hot_skipped:
         report_cap("spatial_join_hot_cells_skipped", hot_skipped)
     l_ids = np.concatenate(out_l) if out_l else np.array([], dtype=np.int64)

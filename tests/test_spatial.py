@@ -497,3 +497,39 @@ class TestCellPyramid:
                 v for (cx, cy), v in by_res[8].items() if cx // 4 == ix and cy // 4 == iy
             )
             assert children == n, (ix, iy)
+
+    def test_dense_cell_chunked_path(self, ray_session):
+        """A single cell with hundreds of rows per side exercises the
+        left-chunked all-pairs path (forced tiny chunk via a dense
+        cluster) — results must equal brute force."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+
+        rng = np.random.RandomState(9)
+        n = 300
+        def dense(seed, start):
+            r = np.random.RandomState(seed)
+            x = 1.0 + r.rand(n) * 0.01      # all inside one res-5 cell
+            y = 1.0 + r.rand(n) * 0.01
+            return pa.table(
+                {
+                    "fid": pa.array(np.arange(start, start + n, dtype=np.int64)),
+                    "minx": pa.array(x), "miny": pa.array(y),
+                    "maxx": pa.array(x + 0.002), "maxy": pa.array(y + 0.002),
+                }
+            )
+        left, right = dense(1, 0), dense(2, 10_000)
+        out = bbox_intersection_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            res=5, num_buckets=4,
+        ).take_all()
+        got = sorted((r["l_id"], r["r_id"]) for r in out)
+        lf, rf = left.to_pydict(), right.to_pydict()
+        expect = sorted(
+            (lf["fid"][i], rf["fid"][j])
+            for i in range(n) for j in range(n)
+            if lf["minx"][i] <= rf["maxx"][j] and rf["minx"][j] <= lf["maxx"][i]
+            and lf["miny"][i] <= rf["maxy"][j] and rf["miny"][j] <= lf["maxy"][i]
+        )
+        assert len(expect) > 1000  # genuinely dense
+        assert got == expect
