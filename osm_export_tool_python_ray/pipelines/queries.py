@@ -1767,7 +1767,11 @@ def q_events_sliding(sf_dir):
         key = inv.astype(np.int64) << np.int64(40) | h  # biased hour < 2^40
         ukey, pos = np.unique(key, return_inverse=True)
         cnt = np.bincount(pos)
-        sv = np.bincount(pos, weights=v).astype(np.int64)
+        # exact int64 accumulation (np.add.at): bincount(weights=) sums
+        # through FLOAT64 and would re-break order independence past 2^53
+        # sub-units — the exact bound this quantization exists to remove
+        sv = np.zeros(len(ukey), dtype=np.int64)
+        np.add.at(sv, pos, v)
         ti = (ukey >> np.int64(40)).astype(np.int64)
         from osm_export_tool_python_ray.stages.exchange import hash_bucket
 
@@ -1804,8 +1808,10 @@ def q_events_sliding(sf_dir):
             # the exchange may deliver duplicate (type, hour) partial rows
             # (one per producing batch): fold them before the window
             uh, pos = np.unique(h[s:e], return_inverse=True)
-            un = np.bincount(pos, weights=n[s:e]).astype(np.int64)
-            usv = np.bincount(pos, weights=sv[s:e]).astype(np.int64)
+            un = np.zeros(len(uh), dtype=np.int64)
+            np.add.at(un, pos, n[s:e])
+            usv = np.zeros(len(uh), dtype=np.int64)
+            np.add.at(usv, pos, sv[s:e])
             cum_n = np.concatenate(([0], np.cumsum(un)))
             cum_v = np.concatenate(([0], np.cumsum(usv)))
             hi = np.arange(1, len(uh) + 1)

@@ -72,7 +72,6 @@ def _edge_partial(vocab_sorted_ref, text_col="text"):
         iv = np.where((pos < V) & (vt[posc] == w), posc, -1).astype(np.int64)
         # adjacency within each doc: positions i, i+1 in the same segment
         ends = np.cumsum(ntoks)
-        starts = ends - np.asarray(ntoks)
         a = iv[:-1]
         b = iv[1:]
         # mask out pairs crossing doc boundaries (index i is a doc end)

@@ -107,11 +107,25 @@ def bucket_join(left_ds, right_ds, key, num_buckets=64, how="inner", left_schema
 
     from osm_export_tool_python_ray.stages.exchange import grouped_map
 
+    # the exchange schema is statically known (key + tags + both sides'
+    # payloads) — feed the sort-vs-hash width heuristic so light flat
+    # joins (e.g. the TextRank iteration joins) take the measured-faster
+    # hash path while nested-payload joins keep sort
+    exchange_schema = pa.schema(
+        [
+            pa.field(key, pa.int64()),
+            pa.field("__side", pa.int8()),
+            pa.field("__bucket", pa.int32()),
+        ]
+        + [pa.field(n, ltypes[n]) for n in lnames]
+        + [pa.field(n, rtypes[n]) for n in rnames]
+    )
     return grouped_map(
         unioned,
         "__bucket",
         lambda g: merge(g.drop_columns(["__bucket"])),
         num_partitions=min(num_buckets, 32),
+        payload_schema=exchange_schema,
     )
 
 

@@ -56,13 +56,29 @@ def _cover_cells_batch(minx, miny, maxx, maxy, res, max_cover):
     row index of each, oversize bboxes dropped + counted."""
     s = _scale(res)
     lim = (1 << (res + 8)) - 1
-    ix0 = np.clip(((minx + 180.0) * s).astype(np.int64), 0, lim)
-    ix1 = np.clip(((maxx + 180.0) * s).astype(np.int64), 0, lim)
-    iy0 = np.clip(((miny + 90.0) * s).astype(np.int64), 0, lim)
-    iy1 = np.clip(((maxy + 90.0) * s).astype(np.int64), 0, lim)
+    # inverted (minx > maxx — e.g. an un-split antimeridian-wrapping
+    # bbox) or NaN bboxes are not coverable at this resolution; they are
+    # dropped WITH their own counted cap — never silently. (NaN must be
+    # caught BEFORE the int cast: NaN→int64 is garbage that clips to a
+    # valid-looking cell index.)
+    with np.errstate(invalid="ignore"):
+        degenerate = (
+            ~np.isfinite(minx) | ~np.isfinite(miny)
+            | ~np.isfinite(maxx) | ~np.isfinite(maxy)
+            | (minx > maxx) | (miny > maxy)
+        )
+    mnx = np.where(degenerate, 0.0, minx)
+    mny = np.where(degenerate, 0.0, miny)
+    mxx = np.where(degenerate, -1.0, maxx)  # forces per<1 for degenerate rows
+    mxy = np.where(degenerate, 0.0, maxy)
+    ix0 = np.clip(((mnx + 180.0) * s).astype(np.int64), 0, lim)
+    ix1 = np.clip(((mxx + 180.0) * s).astype(np.int64), 0, lim)
+    iy0 = np.clip(((mny + 90.0) * s).astype(np.int64), 0, lim)
+    iy1 = np.clip(((mxy + 90.0) * s).astype(np.int64), 0, lim)
     per = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
-    ok = per <= max_cover
-    n_oversize = int((~ok).sum())
+    degenerate |= per < 1
+    ok = (~degenerate) & (per <= max_cover)
+    n_oversize = int((~ok & ~degenerate).sum())
     single = ok & (per == 1)
     cells = [(ix0[single] << 29) | iy0[single]]
     rows = [np.nonzero(single)[0]]
@@ -72,7 +88,7 @@ def _cover_cells_batch(minx, miny, maxx, maxy, res, max_cover):
         gx, gy = np.meshgrid(xs, ys)
         cells.append((gx.ravel() << 29) | gy.ravel())
         rows.append(np.full(gx.size, i, dtype=np.int64))
-    return np.concatenate(cells), np.concatenate(rows), n_oversize
+    return np.concatenate(cells), np.concatenate(rows), n_oversize, int(degenerate.sum())
 
 
 class _CellExpander:
@@ -89,10 +105,11 @@ class _CellExpander:
         maxx = t.column("maxx").to_numpy(zero_copy_only=False).astype(np.float64) + e
         maxy = t.column("maxy").to_numpy(zero_copy_only=False).astype(np.float64) + e
         fid = t.column("fid").to_numpy(zero_copy_only=False).astype(np.int64)
-        cells, rows, n_over = _cover_cells_batch(
+        cells, rows, n_over, n_degen = _cover_cells_batch(
             minx, miny, maxx, maxy, self.res, self.max_cover
         )
         report_cap("spatial_join_oversize_bbox", n_over)
+        report_cap("spatial_join_degenerate_bbox", n_degen)
         return pa.table(
             {
                 "cell": pa.array(cells),

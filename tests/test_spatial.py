@@ -533,3 +533,43 @@ class TestCellPyramid:
         )
         assert len(expect) > 1000  # genuinely dense
         assert got == expect
+
+    def test_degenerate_bbox_dropped_and_counted(self, ray_session):
+        """Inverted (antimeridian-style) and NaN bboxes drop with the
+        spatial_join_degenerate_bbox cap — not silently, and never as a
+        bogus clipped cell."""
+        import time
+
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import bbox_intersection_join
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        left = pa.table(
+            {
+                "fid": pa.array([1, 2, 3], type=pa.int64()),
+                "minx": pa.array([179.0, float("nan"), 0.10]),
+                "miny": pa.array([0.0, 0.0, 0.10]),
+                "maxx": pa.array([-179.0, 1.0, 0.11]),  # 1: inverted, 2: NaN, 3: fine
+                "maxy": pa.array([1.0, 1.0, 0.11]),
+            }
+        )
+        right = pa.table(
+            {
+                "fid": pa.array([10], type=pa.int64()),
+                "minx": pa.array([0.1]), "miny": pa.array([0.1]),
+                "maxx": pa.array([0.11]), "maxy": pa.array([0.11]),
+            }
+        )
+        snapshot_caps()
+        out = bbox_intersection_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            res=5, num_buckets=4,
+        ).take_all()
+        assert sorted((r["l_id"], r["r_id"]) for r in out) == [(3, 10)]
+        caps = {}
+        for _ in range(50):
+            caps.update(snapshot_caps())
+            if "spatial_join_degenerate_bbox" in caps:
+                break
+            time.sleep(0.1)
+        assert caps.get("spatial_join_degenerate_bbox", 0) >= 2
