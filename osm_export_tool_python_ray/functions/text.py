@@ -518,6 +518,44 @@ def word_ngram_hashes_batch(texts, n=3):
     return k_u, offsets
 
 
+def word_ngram_positions_batch(texts, n=5):
+    """Per-OCCURRENCE word-n-gram keys with token positions — the
+    positional sibling of ``word_ngram_hashes_batch`` (same key family,
+    same short-doc whole-text gram) minus the per-doc dedup, for span-level
+    duplicate detection where every occurrence and its location matter.
+
+    Returns ``(keys, doc_of, pos, wlen)`` — all 1-D, one row per gram
+    occurrence: ``doc_of`` the batch-local doc index, ``pos`` the 0-based
+    token offset of the window start, ``wlen = min(ntoks, n)`` the window
+    width in tokens (short docs fold the whole doc at pos 0). Same
+    vectorization: one C-regex token pass, ONE batch-wide token hash, a
+    shifted-array window fold — no per-gram Python."""
+    import pyarrow as pa
+
+    toks_per_doc = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    ntoks = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts))
+    flat_tokens = [w for ts in toks_per_doc for w in ts]
+    empty = np.array([], dtype=np.int64)
+    if not flat_tokens:
+        return np.array([], dtype=np.uint64), empty, empty, empty
+    h1, _h2 = hash_strings_128(pa.array(flat_tokens, type=pa.string()))
+    tok_off = np.concatenate([[0], np.cumsum(ntoks)])
+    counts = np.where(ntoks >= n, ntoks - n + 1, (ntoks > 0).astype(np.int64))
+    g_off = np.concatenate([[0], np.cumsum(counts)])
+    total = int(g_off[-1])
+    doc_of = np.repeat(np.arange(len(texts)), counts)
+    pos = np.arange(total) - np.repeat(g_off[:-1], counts)
+    starts = tok_off[:-1][doc_of] + pos
+    wlen = np.minimum(ntoks, n)[doc_of]
+    with np.errstate(over="ignore"):
+        acc = _mix64(np.full(total, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64))
+        for j in range(n):
+            live = j < wlen
+            nxt = _mix64(acc * _POLY_P1 ^ h1[np.minimum(starts + j, len(h1) - 1)])
+            acc = np.where(live, nxt, acc)
+    return acc, doc_of, pos, wlen
+
+
 def simhash_batch(texts):
     """64-bit SimHash per text over DISTINCT lowered whitespace tokens —
     batch form of ``simhash(word_ngrams(x, 1))`` with the IDENTICAL hash

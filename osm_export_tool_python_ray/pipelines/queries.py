@@ -1395,6 +1395,61 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 )
 
 
+def q_dup_spans(sf_dir):
+    """Span-level duplicate statistics (ExactSubstr-style, word-5-gram
+    approximation): per doc, the maximal merged spans of n-gram windows
+    whose gram occurs >= 2 times in the corpus. Integer token counts on
+    both sides — no float in the compare surface."""
+    from osm_export_tool_python_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=5, num_buckets=32
+    ).sort("doc_id")
+
+
+# The oracle merges the SAME [pos, pos+w) windows with the classic
+# gaps-and-islands pattern; it flags occurrences by gram STRING equality
+# while the engine flags by the mix64-fold u64 key, so a key collision
+# would surface here (as in decontaminate / ngram_jaccard).
+SQL_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\S+'), s -> lower(s)) AS tk
+  FROM documents
+),
+occ_all AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(tk[i:i+4], ' ') AS gram,
+         CAST(i - 1 + 5 AS BIGINT) AS e
+  FROM toks, UNNEST(range(1, len(tk) - 3)) AS r(i)
+  WHERE len(tk) >= 5
+  UNION ALL
+  SELECT doc_id, 0, array_to_string(tk, ' '), len(tk)
+  FROM toks WHERE len(tk) BETWEEN 1 AND 4
+),
+dup AS (SELECT gram FROM occ_all GROUP BY gram HAVING count(*) >= 2),
+occ AS (SELECT o.doc_id, o.pos, o.e FROM occ_all o JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS flag
+  FROM occ
+),
+islands AS (
+  SELECT doc_id, pos, e,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos, e
+                         ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+       CAST(sum(len) AS BIGINT) AS dup_tokens
+FROM (SELECT doc_id, isl, max(e) - min(pos) AS len
+      FROM islands GROUP BY doc_id, isl)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 def _query_vectors(sf_dir, n=4):
@@ -2769,6 +2824,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
+    "dup_spans": q_dup_spans,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -2883,6 +2939,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
+    "dup_spans": SQL_DUP_SPANS,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

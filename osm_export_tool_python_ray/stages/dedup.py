@@ -581,3 +581,123 @@ def ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5, num_buckets=64, max_gram_do
         )
 
     return cab.map_batches(finish, batch_format="pyarrow")
+
+
+def duplicate_spans(docs_ds, n=5, num_buckets=64, min_count=2):
+    """Span-level duplicate detection — the ExactSubstr idea (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better")
+    approximated with fixed-width word n-grams instead of suffix arrays:
+    flag every n-gram occurrence whose gram appears >= ``min_count`` times
+    in the CORPUS (across or within docs), then merge each doc's flagged
+    windows [pos, pos+w) into maximal duplicated spans.
+
+    → (doc_id, dup_spans, dup_tokens): one row per doc with >= 1 flagged
+    occurrence; ``dup_spans`` = number of maximal merged spans,
+    ``dup_tokens`` = their total token coverage. Short docs (< n tokens)
+    fold into one whole-doc gram at pos 0 of width ntoks — a repeated
+    short doc is one full-coverage span, mirroring decontam's gram family.
+
+    Scale shape: two bucketed exchanges, both LINEAR in gram occurrences.
+    The gram-side group work is a per-key occurrence COUNT (>= min_count),
+    not a pairs blowup — boilerplate grams cost their row count, nothing
+    quadratic, so no cap is needed. The doc-side merge is one lexsort +
+    segmented cummax (gaps-and-islands), no per-row Python. The reference
+    has no span-level dedup (engine-mandate op); tokenization mirrors
+    ``word_ngram_hashes_batch`` (lowered \\S+ tokens).
+    """
+    from osm_export_tool_python_ray.functions.text import word_ngram_positions_batch
+
+    def gram_pos_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keys, doc_of, pos, wlen = word_ngram_positions_batch(texts, n)
+        return pa.table(
+            {
+                "gram": pa.array(keys, type=pa.uint64()),
+                "doc_id": pa.array(ids[doc_of].astype(np.int64)),
+                "pos": pa.array(pos.astype(np.int64)),
+                "end": pa.array((pos + wlen).astype(np.int64)),
+            }
+        )
+
+    GRAM_SCHEMA = pa.schema(
+        [
+            ("gram", pa.uint64()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("end", pa.int64()),
+        ]
+    )
+
+    def flag_dup_occurrences(g: pa.Table) -> pa.Table:
+        """Keep occurrences of grams seen >= min_count times (group-complete
+        per the grouped_map contract: every row of a gram key is here)."""
+        keys = g.column("gram").to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+        keep = cnt[inv] >= min_count
+        kept = g.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": kept.column("doc_id"), "pos": kept.column("pos"), "end": kept.column("end")}
+        )
+
+    OCC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()), ("end", pa.int64())])
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dup_spans": pa.array([], type=pa.int64()),
+                    "dup_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        p = g.column("pos").to_numpy(zero_copy_only=False)
+        e = g.column("end").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, p, d))
+        d, p, e = d[order], p[order], e[order]
+        new_doc = np.concatenate([[True], d[1:] != d[:-1]])
+        seg = np.cumsum(new_doc) - 1
+        # segmented (per-doc) running max of interval ends: offset trick —
+        # ends are non-negative and bounded by the doc's token count, so
+        # seg*span stays far below int64 for any realistic group.
+        span = int(e.max()) + 1
+        cm = np.maximum.accumulate(e + seg * span) - seg * span
+        prev_cm = np.concatenate([[-1], cm[:-1]])
+        # island (maximal merged span) starts where the interval clears
+        # every previous end in the doc; intervals of later islands start
+        # beyond ALL earlier ends, so the doc-cummax at an island's last
+        # row equals the island's own max end.
+        flag = new_doc | (p > prev_cm)
+        isl_doc = d[flag]
+        isl_start = p[flag]
+        last = np.concatenate([flag[1:], [True]])
+        isl_end = cm[last]
+        isl_len = isl_end - isl_start
+        doc_first = np.concatenate([[True], isl_doc[1:] != isl_doc[:-1]])
+        starts_idx = np.nonzero(doc_first)[0]
+        n_spans = np.diff(np.append(starts_idx, len(isl_doc)))
+        sum_len = np.add.reduceat(isl_len, starts_idx)  # groups non-empty by construction
+        return pa.table(
+            {
+                "doc_id": pa.array(isl_doc[doc_first].astype(np.int64)),
+                "dup_spans": pa.array(n_spans.astype(np.int64)),
+                "dup_tokens": pa.array(sum_len.astype(np.int64)),
+            }
+        )
+
+    grams = docs_ds.map_batches(gram_pos_rows, batch_format="pyarrow")
+    occ = grouped_map(
+        grams.map_batches(_bucket_on("gram", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: flag_dup_occurrences(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
+        payload_schema=GRAM_SCHEMA,
+    )
+    return grouped_map(
+        occ.map_batches(_bucket_on("doc_id", num_buckets), batch_format="pyarrow"),
+        "bucket",
+        lambda g: merge_spans(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
+        payload_schema=OCC_SCHEMA,
+    )

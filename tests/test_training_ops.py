@@ -418,6 +418,86 @@ class TestDedupClusters:
         assert len(out) == n
 
 
+class TestDuplicateSpans:
+    @staticmethod
+    def brute_force(texts, n=5, min_count=2):
+        """Mirror of the stage's semantics over token STRINGS (no hashing):
+        flag windows whose gram occurs >= min_count times corpus-wide, then
+        merge overlapping/touching [pos, pos+w) windows per doc."""
+        occ = []
+        counts = {}
+        for did, t in enumerate(texts):
+            tk = (t or "").lower().split()
+            if not tk:
+                continue
+            wins = (
+                [(i, tuple(tk[i : i + n])) for i in range(len(tk) - n + 1)]
+                if len(tk) >= n
+                else [(0, tuple(tk))]
+            )
+            for pos, g in wins:
+                occ.append((did, pos, pos + len(g), g))
+                counts[g] = counts.get(g, 0) + 1
+        out = {}
+        for did in sorted({o[0] for o in occ}):
+            ivs = sorted((p, e) for d, p, e, g in occ if d == did and counts[g] >= min_count)
+            spans, cov, cur_end = 0, 0, -1
+            start = None
+            for p, e in ivs:
+                if p > cur_end:
+                    if start is not None:
+                        spans, cov = spans + 1, cov + (cur_end - start)
+                    start, cur_end = p, e
+                else:
+                    cur_end = max(cur_end, e)
+            if start is not None:
+                spans, cov = spans + 1, cov + (cur_end - start)
+            if spans:
+                out[did] = (spans, cov)
+        return out
+
+    def test_planted_spans_match_brute_force(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import duplicate_spans
+
+        boiler = "subscribe to our newsletter for the latest updates and offers"
+        texts = [
+            # 0/1 share the boilerplate sentence (cross-doc span), distinct tails
+            boiler + " alpha beta gamma delta epsilon zeta eta theta",
+            "intro words here " + boiler + " totally different ending words follow now",
+            # 2: internal repetition — the same 6-gram twice in ONE doc,
+            # separated, → two spans (or one if windows chain-overlap)
+            "x1 x2 x3 x4 x5 x6 bridge words in the middle x1 x2 x3 x4 x5 x6",
+            # 3: unique content, no flagged windows → absent from output
+            "entirely unique content with words never repeated anywhere else one",
+            # 4/5: repeated SHORT doc (3 tokens) → whole-doc gram, full coverage
+            "tiny repeated doc",
+            "tiny repeated doc",
+        ]
+        expect = self.brute_force(texts)
+        assert 3 not in expect and 0 in expect and 4 in expect  # fixture sanity
+        assert expect[4] == (1, 3)  # short doc: one span covering all 3 tokens
+        ds = ray.data.from_arrow(doc_table(texts))
+        out = duplicate_spans(ds, n=5, num_buckets=4).take_all()
+        got = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"]) for r in out}
+        assert got == expect
+
+    def test_randomized_matches_brute_force(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import duplicate_spans
+
+        rng = np.random.RandomState(11)
+        vocab = ["w%d" % i for i in range(30)]  # small vocab → organic dup grams
+        texts = [
+            " ".join(vocab[j] for j in rng.randint(0, len(vocab), rng.randint(0, 25)))
+            for _ in range(60)
+        ]
+        expect = self.brute_force(texts)
+        out = duplicate_spans(ray.data.from_arrow(doc_table(texts)), n=5, num_buckets=8).take_all()
+        got = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"]) for r in out}
+        assert got == expect
+
+
 class TestKmeans:
     def test_clusters_separate_planted_blobs(self, ray_session):
         import ray.data
