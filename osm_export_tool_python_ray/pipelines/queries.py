@@ -1450,6 +1450,171 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ sketches & retrieval
+
+def q_hll_distinct(sf_dir):
+    """HyperLogLog approximate distinct-token count (stages/sketch.py):
+    64 registers, md5-le64 hash family, constant-size mergeable
+    partials. Every output column is integer-exact — the harmonic
+    denominator is a sum of powers of two published scaled by 2^53, and
+    the raw-HLL estimate is an exact integer floor division — so the
+    oracle reproduces the ESTIMATOR bit-for-bit, not just the inputs."""
+    from osm_export_tool_python_ray.stages.sketch import hll_distinct_tokens
+
+    return hll_distinct_tokens(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _build_hll_sql():
+    from osm_export_tool_python_ray.stages.sketch import HLL_ALPHA_NUM
+
+    h1 = _le64_expr("md5(tok)")
+    return r"""
+WITH toks AS (
+  SELECT DISTINCT lower(s) AS tok
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) t(s)
+),
+h AS (SELECT {h1} AS h1 FROM toks),
+rw AS (
+  SELECT CAST(h1 // CAST('288230376151711744' AS UBIGINT) AS BIGINT) AS register,
+         (h1 // CAST(64 AS UBIGINT)) % CAST('4503599627370496' AS UBIGINT) AS w
+  FROM h
+),
+rk AS (
+  SELECT register,
+         CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rank
+  FROM rw
+),
+mx AS (SELECT register, max(rank) AS mr FROM rk GROUP BY register),
+fullreg AS (
+  SELECT g.r AS register, coalesce(mx.mr, 0) AS mr
+  FROM range(64) g(r) LEFT JOIN mx ON mx.register = g.r
+),
+s AS (
+  SELECT CAST(count(*) FILTER (WHERE mr > 0) AS BIGINT) AS nnz,
+         CAST(sum(CAST(2.0 ** (53 - mr) AS BIGINT)) AS BIGINT) AS denom_scaled
+  FROM fullreg
+)
+SELECT nnz, denom_scaled,
+       CAST(CAST('{alpha}' AS HUGEINT)
+            // (1000 * CAST(denom_scaled AS HUGEINT)) AS BIGINT) AS estimate
+FROM s
+""".format(h1=h1, alpha=HLL_ALPHA_NUM)
+
+
+CMS_PROBES = ["window", "sort", "merge", "scan", "zzzneverseen"]
+
+
+def q_cms_counts(sf_dir):
+    """Count-Min point estimates for a fixed probe set (incl. one absent
+    token, so the collision floor is part of the contract). Integer
+    counters end to end; the oracle rebuilds the identical depth×width
+    sketch — collisions and all — from the same double-hash family."""
+    from osm_export_tool_python_ray.stages.sketch import cms_token_counts
+
+    return cms_token_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), probes=CMS_PROBES
+    )
+
+
+def _build_cms_sql(depth=4, width=512):
+    from osm_export_tool_python_ray.stages.sketch import CMS_DEPTH, CMS_WIDTH
+
+    assert (depth, width) == (CMS_DEPTH, CMS_WIDTH)
+    h1 = _le64_expr("hh")
+    jh2 = _sql_mulmod64("CAST(j AS UBIGINT)", _le64_expr("substr(hh, 17, 16)"))
+    cell = (
+        "CAST(((CAST({h1} AS HUGEINT) + CAST({jh2} AS HUGEINT))"
+        " % CAST('18446744073709551616' AS HUGEINT)) % {w} AS BIGINT)"
+    ).format(h1=h1, jh2=jh2, w=width)
+    probes = ", ".join("'%s'" % p for p in CMS_PROBES)
+    return r"""
+WITH occ AS (
+  SELECT lower(s) AS tok
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) t(s)
+),
+tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c, md5(tok) AS hh
+         FROM occ GROUP BY tok),
+cells AS (
+  SELECT j, {cell} AS b, sum(c) AS n
+  FROM tokc, range({d}) r(j) GROUP BY 1, 2
+),
+ph AS (SELECT term, md5(lower(term)) AS hh
+       FROM (SELECT unnest([{probes}]) AS term)),
+pcell AS (SELECT term, j, {cell} AS b FROM ph, range({d}) r(j)),
+est AS (
+  SELECT p.term, min(coalesce(c2.n, 0)) AS est
+  FROM pcell p LEFT JOIN cells c2 ON c2.j = p.j AND c2.b = p.b
+  GROUP BY p.term
+)
+SELECT term, CAST(est AS BIGINT) AS est FROM est ORDER BY term
+""".format(cell=cell, d=depth, probes=probes)
+
+
+BM25_TERMS = ["window", "sort", "merge"]
+
+
+def q_bm25_topk(sf_dir):
+    """BM25 top-10 for a fixed 3-term query (stages/rank.py): one
+    tokenize pass to a compact per-doc table, scalar corpus statistics,
+    float64 scoring quantized to micro-units BEFORE ranking (ties on
+    doc_id). The oracle mirrors the float64 expression shape term by
+    term — constants written as the same source-level arithmetic
+    ((1.2 + 1.0), (1.0 - 0.75 + ...)) so both sides fold to identical
+    doubles."""
+    from osm_export_tool_python_ray.stages.rank import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), terms=BM25_TERMS, k=10
+    )
+
+
+def _build_bm25_sql():
+    terms = BM25_TERMS
+    tf_cols = ",\n         ".join(
+        "len(list_filter(t, x -> x = '%s')) AS tf%d" % (t, j)
+        for j, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        "CAST(sum(CASE WHEN tf%d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df%d" % (j, j)
+        for j in range(len(terms))
+    )
+    # fixed left-to-right accumulation, identical to the engine loop
+    score = " + ".join(
+        "ln(1.0 + (n - df{j} + 0.5) / (df{j} + 0.5))"
+        " * (tf{j} * (1.2 + 1.0))"
+        " / (tf{j} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))".format(j=j)
+        for j in range(len(terms))
+    )
+    anyhit = " OR ".join("tf%d > 0" % j for j in range(len(terms)))
+    return r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\S+'), s -> lower(s)) AS t
+  FROM documents
+),
+per AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM tk
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s, {dfs}
+  FROM per
+),
+sc AS (
+  SELECT doc_id, ({score}) AS score
+  FROM per, st, (SELECT CAST(s AS DOUBLE) / n AS avgdl FROM st) a
+  WHERE {anyhit}
+)
+SELECT doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro,
+       row_number() OVER (
+         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC, doc_id
+       ) AS rank
+FROM sc QUALIFY rank <= 10
+""".format(tf_cols=tf_cols, dfs=dfs, score=score, anyhit=anyhit)
+
+
 # --------------------------------------------------------------- embeddings
 
 def _query_vectors(sf_dir, n=4):
@@ -2825,6 +2990,9 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
+    "hll_distinct": q_hll_distinct,
+    "cms_counts": q_cms_counts,
+    "bm25_topk": q_bm25_topk,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -2908,6 +3076,9 @@ def export_surface_oracles():
 
 
 SQL_BLOOM_INCREMENTAL = _build_bloom_sql()
+SQL_HLL_DISTINCT = _build_hll_sql()
+SQL_CMS_COUNTS = _build_cms_sql()
+SQL_BM25_TOPK = _build_bm25_sql()
 
 
 ORACLES = {
@@ -2940,6 +3111,9 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "dup_spans": SQL_DUP_SPANS,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "cms_counts": SQL_CMS_COUNTS,
+    "bm25_topk": SQL_BM25_TOPK,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

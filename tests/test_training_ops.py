@@ -498,6 +498,92 @@ class TestDuplicateSpans:
         assert got == expect
 
 
+class TestSketches:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.RandomState(7)
+        vocab = ["tok%04d" % i for i in range(4000)]
+        texts = [
+            " ".join(vocab[j] for j in rng.zipf(1.5, 60) % len(vocab))
+            for _ in range(120)
+        ]
+        return doc_table(texts)
+
+    def test_hll_estimate_within_rse(self, ray_session, corpus):
+        import ray.data
+        from osm_export_tool_python_ray.stages.sketch import hll_distinct_tokens
+
+        row = hll_distinct_tokens(ray.data.from_arrow(corpus)).take_all()[0]
+        exact = len({w for t in corpus.column("text").to_pylist() for w in t.lower().split()})
+        # m=64 → relative standard error 1.04/sqrt(64) = 13%; allow 4 sigma
+        assert abs(row["estimate"] - exact) / exact < 0.52
+        assert 0 < row["nnz"] <= 64
+
+    def test_hll_merge_invariant_under_batching(self, ray_session, corpus):
+        import ray.data
+        from osm_export_tool_python_ray.stages.sketch import hll_distinct_tokens
+
+        a = hll_distinct_tokens(ray.data.from_arrow(corpus)).take_all()
+        b = hll_distinct_tokens(
+            ray.data.from_arrow(corpus).repartition(13)
+        ).take_all()
+        assert a == b
+
+    def test_cms_never_underestimates(self, ray_session, corpus):
+        import ray.data
+        from collections import Counter
+        from osm_export_tool_python_ray.stages.sketch import cms_token_counts
+
+        true = Counter(w for t in corpus.column("text").to_pylist() for w in t.lower().split())
+        probes = ["tok0001", "tok0002", "tok0042", "absenttoken"]
+        out = cms_token_counts(ray.data.from_arrow(corpus), probes=probes).take_all()
+        got = {r["term"]: r["est"] for r in out}
+        total = sum(true.values())
+        for p in probes:
+            assert got[p] >= true.get(p, 0)          # CMS one-sided error
+            # standard CMS bound: overestimate ≤ e/width · N w.h.p.
+            assert got[p] - true.get(p, 0) <= 3 * total / 512 + 1
+
+
+class TestBm25:
+    def test_matches_brute_force(self, ray_session):
+        import math
+        import ray.data
+        from osm_export_tool_python_ray.stages.rank import bm25_topk
+
+        rng = np.random.RandomState(5)
+        base = ["alpha", "beta", "gamma", "delta", "query", "terms", "noise"]
+        texts = [
+            " ".join(base[j] for j in rng.randint(0, len(base), rng.randint(3, 40)))
+            for _ in range(50)
+        ]
+        terms = ["query", "terms"]
+        out = bm25_topk(ray.data.from_arrow(doc_table(texts)), terms=terms, k=7).take_all()
+
+        toks = [t.lower().split() for t in texts]
+        n = len(texts)
+        avgdl = sum(len(t) for t in toks) / n
+        df = [sum(1 for t in toks if q in t) for q in terms]
+        idf = [math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for d in df]
+        scored = []
+        for i, t in enumerate(toks):
+            s = 0.0
+            for j, q in enumerate(terms):
+                tf = t.count(q)
+                s = s + idf[j] * (tf * (1.2 + 1.0)) / (
+                    tf + 1.2 * (1.0 - 0.75 + 0.75 * len(t) / avgdl)
+                )
+            if any(q in t for q in terms):
+                scored.append((math.floor(s * 1e6 + 0.5), i))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        expect = [(i, m, r + 1) for r, (m, i) in enumerate(scored[:7])]
+        got = sorted(
+            ((r["doc_id"], r["score_micro"], r["rank"]) for r in out),
+            key=lambda x: x[2],
+        )
+        assert got == expect
+
+
 class TestKmeans:
     def test_clusters_separate_planted_blobs(self, ray_session):
         import ray.data
