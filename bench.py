@@ -189,6 +189,20 @@ def run_query_suite(sf_dir):
     # throughput): reported under "extras", NOT in the headline total —
     # the round-over-round "value" stays comparable to prior rounds
     extras = {}
+    # round-4 text/sketch/retrieval ops: timed as extras so the headline
+    # total stays comparable to prior rounds
+    for nm, fn in (
+        ("dup_spans", Q.q_dup_spans),
+        ("hll_distinct", Q.q_hll_distinct),
+        ("cms_counts", Q.q_cms_counts),
+        ("bm25_topk", Q.q_bm25_topk),
+    ):
+        t0 = time.perf_counter()
+        fn(sf_dir).count()
+        extras[nm] = round(time.perf_counter() - t0, 3)
+        c = snapshot_caps()
+        if c:
+            caps[nm] = c
     gr_t, gr_tp, gr_caps = bench_giant_relation()
     extras["giant_relation"] = gr_t
     throughput.update(gr_tp)
