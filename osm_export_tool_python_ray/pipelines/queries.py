@@ -1615,6 +1615,95 @@ FROM sc QUALIFY rank <= 10
 """.format(tf_cols=tf_cols, dfs=dfs, score=score, anyhit=anyhit)
 
 
+# ------------------------------------------------------------ user journeys
+
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def q_funnel(sf_dir):
+    """Ordered-funnel progression (stages/journey.py): users completing
+    signup < click < purchase at strictly increasing event timestamps.
+    One user-keyed exchange, |stages| partial rows per partition, pure
+    int64 microsecond comparisons — no floats in the semantics."""
+    from osm_export_tool_python_ray.stages.journey import funnel_progression
+
+    return funnel_progression(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]),
+        stages=FUNNEL_STAGES,
+    )
+
+
+SQL_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{s0}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s1}' AND e.ts > t1.t GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > t2.t GROUP BY e.user_id
+)
+SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS users FROM t1
+UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM t2
+UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM t3
+ORDER BY stage
+""".format(s0=FUNNEL_STAGES[0], s1=FUNNEL_STAGES[1], s2=FUNNEL_STAGES[2])
+
+
+def q_trajectory(sf_dir):
+    """Per-user trajectory statistics over the deterministic synthetic
+    event points (the _customer_points family on event_id), ordered by
+    (ts, event_id): total planar path length and net first→last
+    displacement, quantized per SEGMENT to int64 nano-degree units
+    before summing (summation-order independence; IEEE mult/add/sqrt
+    are correctly rounded, so numpy and DuckDB agree bit-for-bit)."""
+    from osm_export_tool_python_ray.stages.journey import trajectory_stats
+
+    return trajectory_stats(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ).sort("user_id")
+
+
+SQL_TRAJECTORY = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id % 100) * 0.01 AS lon,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         lon - lag(lon) OVER w AS dx,
+         lat - lag(lat) OVER w AS dy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+path AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CAST(floor(sqrt(dx * dx + dy * dy)
+              * 1000000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS path_micro
+  FROM seg GROUP BY user_id
+),
+fl AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         first(lon ORDER BY ts, event_id) AS lon0,
+         first(lat ORDER BY ts, event_id) AS lat0,
+         last(lon ORDER BY ts, event_id) AS lon1,
+         last(lat ORDER BY ts, event_id) AS lat1
+  FROM pts GROUP BY user_id
+)
+SELECT fl.user_id, n_events, path_micro,
+       CAST(floor(sqrt((lon1 - lon0) * (lon1 - lon0)
+            + (lat1 - lat0) * (lat1 - lat0)) * 1000000000.0 + 0.5)
+            AS BIGINT) AS net_micro
+FROM fl JOIN path ON fl.user_id = path.user_id
+ORDER BY fl.user_id
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 def _query_vectors(sf_dir, n=4):
@@ -2993,6 +3082,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_counts": q_cms_counts,
     "bm25_topk": q_bm25_topk,
+    "funnel": q_funnel,
+    "trajectory": q_trajectory,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3114,6 +3205,8 @@ ORACLES = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "cms_counts": SQL_CMS_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,
+    "funnel": SQL_FUNNEL,
+    "trajectory": SQL_TRAJECTORY,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1,0 +1,194 @@
+"""User-journey analytics over an event stream — ordered-funnel
+progression and per-user trajectory statistics. The two event-log
+operators a product/geo analytics pipeline runs after sessionization
+(stages/temporal.py asof/range, queries.py events_sessions): "how many
+users completed signup → click → purchase IN ORDER" and "how far did
+each user move, and how directly".
+
+Scale shape (both ops): ONE user-keyed bucket exchange via
+``grouped_map`` — the same user_id%B bucketing the sessions /
+temporal family uses, so a composed pipeline reuses the partitioning
+key — then fully vectorized per-partition kernels (lexsort +
+segment-boundary numpy; no per-row or per-user Python). Funnel
+reduces each partition to |stages| partial rows before a tiny
+``groupby("stage").sum()``; trajectory emits one row per user.
+
+Determinism contracts (oracle-exact, pipelines/queries.py):
+- funnel: stage k is reached at the MINIMUM event ts of the stage-k
+  event type that is STRICTLY LATER than the stage-(k-1) reach time —
+  pure int64 microsecond comparisons, no floats anywhere.
+- trajectory: per-user path length over synthetic planar points in
+  (ts, event_id) order; each segment is sqrt(dx*dx + dy*dy) (IEEE
+  mult/add/sqrt are correctly rounded → bit-identical in numpy and
+  DuckDB) quantized to int64 nano-degree units BEFORE summing, so the
+  per-user sum is summation-order independent (the engine's
+  quantize-then-sum rule for float aggregates).
+
+No reference analog — engine mandate (temporal/geospatial family).
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.stages.exchange import grouped_map
+from osm_export_tool_python_ray.stages.temporal import _ts_i64
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _first_idx_per_seg(starts, mask, n_rows):
+    """Index of the first True of ``mask`` within each segment (segments
+    given by ``starts`` into a row range of length ``n_rows``), or -1.
+    Rows are assumed sorted so "first" = minimal index = earliest in the
+    segment's sort order."""
+    cand = np.where(mask, np.arange(n_rows), _I64_MAX)
+    first = np.minimum.reduceat(cand, starts) if len(starts) else cand[:0]
+    return np.where(first == _I64_MAX, -1, first)
+
+
+def funnel_progression(events_ds, stages, num_buckets=32, num_partitions=8):
+    """Ordered-funnel user counts: row (stage, users) for stage = 1..K,
+    where ``users`` counts users whose event log contains
+    stages[0] < stages[1] < ... < stages[k-1] at strictly increasing
+    event timestamps (ties at the same microsecond do NOT advance the
+    funnel — pure int64 semantics shared with the SQL oracle)."""
+    K = len(stages)
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    EXCHANGED = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def partial(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        counts = np.zeros(K, dtype=np.int64)
+        if len(u):
+            ts = _ts_i64(g.column("ts"))
+            # per-stage boolean masks via the Arrow string-equality
+            # kernel (no Python string materialization), then permuted
+            masks = [
+                pc.equal(g.column("event_type"), s).to_numpy(zero_copy_only=False)
+                for s in stages
+            ]
+            order = np.lexsort((ts, u))
+            u, ts = u[order], ts[order]
+            masks = [m[order] for m in masks]
+            new_u = np.concatenate([[True], u[1:] != u[:-1]])
+            starts = np.nonzero(new_u)[0]
+            seg = np.cumsum(new_u) - 1
+            # reach = per-user reach time of the latest completed stage
+            reach = np.full(len(starts), np.int64(-(1 << 62)), dtype=np.int64)
+            alive = np.ones(len(starts), dtype=bool)
+            for j in range(K):
+                qual = masks[j] & (ts > reach[seg]) & alive[seg]
+                idx = _first_idx_per_seg(starts, qual, len(u))
+                hit = idx >= 0
+                reach = np.where(hit, ts[np.maximum(idx, 0)], reach)
+                alive &= hit
+                counts[j] = int(alive.sum())
+        return pa.table(
+            {
+                "stage": pa.array(np.arange(1, K + 1, dtype=np.int64)),
+                "users": pa.array(counts),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: partial(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=EXCHANGED,
+    )
+    return (
+        partials.groupby("stage").aggregate(Sum("users", alias_name="users")).sort("stage")
+    )
+
+
+def _event_points(event_id):
+    """Deterministic synthetic planar lon/lat from event_id — the
+    _customer_points family (pipelines/queries.py), shared verbatim
+    with the SQL oracle: exact float64 at every step (integer-valued
+    mod/floor below 2^53, correctly-rounded * 0.01)."""
+    k = event_id.astype(np.float64)
+    lon = np.mod(k, 100.0) * 0.01
+    lat = np.mod(np.floor(k / 7.0), 100.0) * 0.01
+    return lon, lat
+
+
+def trajectory_stats(events_ds, num_buckets=32, num_partitions=8):
+    """Per-user trajectory over the synthetic event points in
+    (ts, event_id) order → (user_id, n_events, path_micro, net_micro):
+    total path length and net first→last displacement, both planar
+    Euclidean in degrees quantized to int64 1e-9 units."""
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "path_micro": pa.array([], type=pa.int64()),
+                    "net_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        ts = _ts_i64(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        lon, lat = _event_points(eid)
+        same_user = np.concatenate([[False], u[1:] == u[:-1]])
+        dx = np.concatenate([[0.0], np.diff(lon)])
+        dy = np.concatenate([[0.0], np.diff(lat)])
+        seg_len = np.sqrt(dx * dx + dy * dy)
+        seg_micro = np.floor(seg_len * 1000000000.0 + 0.5).astype(np.int64)
+        seg_micro[~same_user] = 0
+        new_u = ~same_user
+        starts = np.nonzero(new_u)[0]
+        # int64 segment sums (bincount's float64 weights would lose
+        # exactness past 2^53 nano-units ≈ 9e6 degree-lengths per user);
+        # segments are non-empty by construction (starts are real rows)
+        path = np.add.reduceat(seg_micro, starts)
+        ends = np.concatenate([starts[1:] - 1, [len(u) - 1]])
+        ndx = lon[ends] - lon[starts]
+        ndy = lat[ends] - lat[starts]
+        net = np.floor(np.sqrt(ndx * ndx + ndy * ndy) * 1000000000.0 + 0.5).astype(np.int64)
+        n_events = np.diff(np.append(starts, len(u))).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n_events": pa.array(n_events),
+                "path_micro": pa.array(path),
+                "net_micro": pa.array(net),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: per_user(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+            ]
+        ),
+    )

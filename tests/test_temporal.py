@@ -314,3 +314,115 @@ class TestSlidingWindow:
         assert a.shape == b.shape
         for c in rc:
             assert a[c].astype(str).equals(b[c].astype(str)), c
+
+
+class TestJourney:
+    """Funnel progression + trajectory stats (stages/journey.py) against
+    planted sequences and a seeded brute-force differential."""
+
+    def test_funnel_planted(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import funnel_progression
+
+        rows = [
+            # user 1: full ordered funnel
+            (0, 1, 10, "signup", 0.0), (1, 1, 20, "click", 0.0), (2, 1, 30, "purchase", 0.0),
+            # user 2: click BEFORE signup — stalls at stage 1
+            (3, 2, 10, "click", 0.0), (4, 2, 20, "signup", 0.0), (5, 2, 30, "purchase", 0.0),
+            # wait — purchase after signup but no click after signup: the
+            # funnel requires signup < click < purchase; user 2 stalls at 1
+            # user 3: click at the SAME microsecond as signup — tie does
+            # not advance; later click does, then purchase
+            (6, 3, 10, "signup", 0.0), (7, 3, 10, "click", 0.0),
+            (8, 3, 15, "click", 0.0), (9, 3, 20, "purchase", 0.0),
+            # user 4: never signs up
+            (10, 4, 5, "click", 0.0), (11, 4, 6, "purchase", 0.0),
+        ]
+        out = funnel_progression(
+            ray.data.from_arrow(_events_table(rows)),
+            stages=["signup", "click", "purchase"],
+            num_buckets=4, num_partitions=2,
+        ).take_all()
+        got = {r["stage"]: r["users"] for r in out}
+        assert got == {1: 3, 2: 2, 3: 2}
+
+    def test_funnel_matches_brute_force(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import funnel_progression
+
+        rng = np.random.RandomState(17)
+        types = ["signup", "click", "purchase", "view"]
+        rows = [
+            (i, int(rng.randint(1, 25)), int(rng.randint(0, 50)),
+             types[rng.randint(0, 4)], 0.0)
+            for i in range(400)
+        ]
+        stages = ["signup", "click", "purchase"]
+
+        def brute():
+            from collections import defaultdict
+            by_user = defaultdict(list)
+            for _, u, ts, et, _v in rows:
+                by_user[u].append((ts, et))
+            counts = [0, 0, 0]
+            for evs in by_user.values():
+                evs.sort()
+                reach = -1
+                for k, s in enumerate(stages):
+                    nxt = [t for t, e in evs if e == s and t > reach]
+                    if not nxt:
+                        break
+                    reach = min(nxt)
+                    counts[k] += 1
+            return {i + 1: c for i, c in enumerate(counts)}
+
+        out = funnel_progression(
+            ray.data.from_arrow(_events_table(rows)), stages=stages,
+            num_buckets=8, num_partitions=4,
+        ).take_all()
+        assert {r["stage"]: r["users"] for r in out} == brute()
+
+    def test_trajectory_matches_brute_force(self, ray_session):
+        import math
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import trajectory_stats
+
+        rng = np.random.RandomState(23)
+        rows = [
+            (i, int(rng.randint(1, 12)), int(rng.randint(0, 1000)), "view", 0.0)
+            for i in range(300)
+        ]
+        out = trajectory_stats(
+            ray.data.from_arrow(_events_table(rows)), num_buckets=4, num_partitions=2
+        ).take_all()
+        got = {r["user_id"]: (r["n_events"], r["path_micro"], r["net_micro"]) for r in out}
+
+        from collections import defaultdict
+        by_user = defaultdict(list)
+        for eid, u, ts, _et, _v in rows:
+            lon = (eid % 100) * 0.01
+            lat = (math.floor(eid / 7.0) % 100) * 0.01
+            by_user[u].append((ts, eid, lon, lat))
+        for u, pts in by_user.items():
+            pts.sort()
+            path = sum(
+                math.floor(
+                    math.sqrt((b[2] - a[2]) ** 2 + (b[3] - a[3]) ** 2) * 1e9 + 0.5
+                )
+                for a, b in zip(pts, pts[1:])
+            )
+            net = math.floor(
+                math.sqrt((pts[-1][2] - pts[0][2]) ** 2 + (pts[-1][3] - pts[0][3]) ** 2)
+                * 1e9 + 0.5
+            )
+            assert got[u] == (len(pts), path, net), u
+
+    def test_trajectory_single_event_user(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import trajectory_stats
+
+        rows = [(42, 7, 100, "view", 0.0)]
+        out = trajectory_stats(
+            ray.data.from_arrow(_events_table(rows)), num_buckets=2, num_partitions=1
+        ).take_all()
+        assert out == [{"user_id": 7, "n_events": 1, "path_micro": 0, "net_micro": 0}]
