@@ -1615,6 +1615,79 @@ FROM sc QUALIFY rank <= 10
 """.format(tf_cols=tf_cols, dfs=dfs, score=score, anyhit=anyhit)
 
 
+# --------------------------------------------------------- corpus lexicals
+
+GROWTH_THRESHOLDS = [64, 128, 256, 512, 1024, 4096]
+
+
+def q_vocab_growth(sf_dir):
+    """Heaps'-law vocabulary growth curve (stages/corpus.py): distinct
+    tokens in {doc_id < N} per threshold N. First occurrence = MIN
+    doc_id (a data property, parallelism-independent); the exchange
+    moves batch-distinct token rows (vocabulary-scale combiner), each
+    partition collapses to a ≤|thresholds|-row histogram."""
+    from osm_export_tool_python_ray.stages.corpus import vocab_growth
+
+    return vocab_growth(
+        _read(sf_dir, "documents", ["doc_id", "text"]), thresholds=GROWTH_THRESHOLDS
+    )
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH firstocc AS (
+  SELECT lower(s) AS tok, min(doc_id) AS d
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) t(s)
+  GROUP BY tok
+)
+SELECT n AS threshold, CAST(count(*) FILTER (WHERE d < n) AS BIGINT) AS vocab_size
+FROM firstocc, (SELECT unnest([{th}]) AS n) v
+GROUP BY n ORDER BY n
+""".format(th=", ".join(str(n) for n in GROWTH_THRESHOLDS))
+
+
+def q_pmi_top(sf_dir):
+    """Top-20 adjacent-bigram collocations by count with PMI
+    (stages/corpus.py): integer-deterministic selection (count desc,
+    bigram asc), one float64 PMI expression quantized floor-micro; the
+    oracle mirrors the product order exactly."""
+    from osm_export_tool_python_ray.stages.corpus import pmi_top
+
+    return pmi_top(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
+SQL_PMI_TOP = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\S+'), s -> lower(s)) AS t
+  FROM documents
+),
+bc AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram, CAST(count(*) AS BIGINT) AS n
+  FROM tk, UNNEST(range(1, len(t))) r(i)
+  WHERE len(t) >= 2
+  GROUP BY 1
+),
+topb AS (SELECT bigram, n FROM bc ORDER BY n DESC, bigram ASC LIMIT 20),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+),
+tot AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS t_tot,
+         CAST(sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END) AS BIGINT) AS b_tot
+  FROM tk
+)
+SELECT topb.bigram, topb.n,
+       CAST(floor(ln((CAST(topb.n AS DOUBLE) * t_tot * t_tot)
+                     / (CAST(b_tot AS DOUBLE) * c1.c * c2.c))
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+FROM topb, tot
+JOIN uni c1 ON c1.w = split_part(topb.bigram, ' ', 1)
+JOIN uni c2 ON c2.w = split_part(topb.bigram, ' ', 2)
+ORDER BY topb.n DESC, topb.bigram ASC
+"""
+
+
 # ------------------------------------------------------------ user journeys
 
 FUNNEL_STAGES = ["signup", "click", "purchase"]
@@ -3084,6 +3157,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "funnel": q_funnel,
     "trajectory": q_trajectory,
+    "vocab_growth": q_vocab_growth,
+    "pmi_top": q_pmi_top,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3207,6 +3282,8 @@ ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "funnel": SQL_FUNNEL,
     "trajectory": SQL_TRAJECTORY,
+    "vocab_growth": SQL_VOCAB_GROWTH,
+    "pmi_top": SQL_PMI_TOP,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -545,6 +545,64 @@ class TestSketches:
             assert got[p] - true.get(p, 0) <= 3 * total / 512 + 1
 
 
+class TestCorpusLexicals:
+    def test_vocab_growth_matches_brute_force(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.corpus import vocab_growth
+
+        rng = np.random.RandomState(31)
+        vocab = ["v%03d" % i for i in range(300)]
+        texts = [
+            " ".join(vocab[j] for j in rng.randint(0, len(vocab), rng.randint(1, 30)))
+            for _ in range(80)
+        ]
+        thresholds = [10, 20, 40, 80, 200]
+        out = vocab_growth(
+            ray.data.from_arrow(doc_table(texts)), thresholds=thresholds,
+            num_buckets=8, num_partitions=4,
+        ).take_all()
+        got = {r["threshold"]: r["vocab_size"] for r in out}
+        for n in thresholds:
+            exact = len({w for t in texts[:n] for w in t.lower().split()})
+            assert got[n] == exact, n
+        # curve is monotone and saturates past the corpus size
+        assert got[200] == got[80]
+
+    def test_pmi_top_matches_brute_force(self, ray_session):
+        import math
+        import ray.data
+        from collections import Counter
+        from osm_export_tool_python_ray.stages.corpus import pmi_top
+
+        rng = np.random.RandomState(41)
+        vocab = ["w%d" % i for i in range(25)]
+        texts = [
+            # plant a strong collocation: "ping pong" pairs sprinkled in
+            " ".join(
+                (["ping", "pong"] if rng.rand() < 0.3 else
+                 [vocab[rng.randint(25)], vocab[rng.randint(25)]])[j]
+                for _ in range(10) for j in (0, 1)
+            )
+            for _ in range(60)
+        ]
+        out = pmi_top(ray.data.from_arrow(doc_table(texts)), k=5)
+        got = [(r["bigram"], r["n"], r["pmi_micro"]) for r in out.to_pylist()]
+
+        toks = [t.lower().split() for t in texts]
+        bc = Counter(a + " " + b for t in toks for a, b in zip(t, t[1:]))
+        uni = Counter(w for t in toks for w in t)
+        T = float(sum(uni.values()))
+        B = float(sum(max(len(t) - 1, 0) for t in toks))
+        top = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        expect = []
+        for bg, n in top:
+            a, b = bg.split(" ")
+            x = (float(n) * T * T) / (B * float(uni[a]) * float(uni[b]))
+            expect.append((bg, n, math.floor(math.log(x) * 1e6 + 0.5)))
+        assert got == expect
+        assert "ping pong" in {g[0] for g in got}  # the planted collocation
+
+
 class TestBm25:
     def test_matches_brute_force(self, ray_session):
         import math
