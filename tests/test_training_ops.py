@@ -869,6 +869,92 @@ class TestCoverageDoc:
         )
 
 
+class TestRound4Determinism:
+    """The round-4 ops must return IDENTICAL results at different
+    parallelism/bucketing — partitioning is an implementation knob, not
+    a semantic one."""
+
+    @pytest.fixture(scope="class")
+    def mixed_docs(self):
+        rng = np.random.RandomState(97)
+        vocab = ["m%02d" % i for i in range(40)]
+        texts = [
+            " ".join(vocab[j] for j in rng.randint(0, len(vocab), rng.randint(0, 30)))
+            for _ in range(70)
+        ]
+        texts += [texts[0], texts[1]]  # planted dup content
+        return doc_table(texts)
+
+    def _runs_equal(self, build, key):
+        a = sorted(build(4, 2).take_all(), key=key)
+        b = sorted(build(16, 8).take_all(), key=key)
+        assert a == b
+        assert len(a) > 0
+
+    def test_dup_spans(self, ray_session, mixed_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import duplicate_spans
+
+        self._runs_equal(
+            lambda nb, np_: duplicate_spans(
+                ray.data.from_arrow(mixed_docs), n=5, num_buckets=nb
+            ),
+            key=lambda r: r["doc_id"],
+        )
+
+    def test_vocab_growth(self, ray_session, mixed_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.corpus import vocab_growth
+
+        self._runs_equal(
+            lambda nb, np_: vocab_growth(
+                ray.data.from_arrow(mixed_docs),
+                thresholds=[8, 32, 64],
+                num_buckets=nb,
+                num_partitions=np_,
+            ),
+            key=lambda r: r["threshold"],
+        )
+
+    def test_hll_and_cms(self, ray_session, mixed_docs):
+        import ray.data
+        from osm_export_tool_python_ray.stages.sketch import (
+            cms_token_counts,
+            hll_distinct_tokens,
+        )
+
+        ds1 = ray.data.from_arrow(mixed_docs)
+        ds2 = ray.data.from_arrow(mixed_docs).repartition(11)
+        assert hll_distinct_tokens(ds1).take_all() == hll_distinct_tokens(ds2).take_all()
+        p = ["m01", "m07", "nothere"]
+        assert (
+            cms_token_counts(ds1, probes=p).take_all()
+            == cms_token_counts(ds2, probes=p).take_all()
+        )
+
+    def test_funnel_partitioning(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import funnel_progression
+
+        rng = np.random.RandomState(3)
+        types = ["signup", "click", "purchase"]
+        rows = [
+            (i, int(rng.randint(1, 40)), int(rng.randint(0, 30)),
+             types[rng.randint(0, 3)], 0.0)
+            for i in range(500)
+        ]
+        from tests.test_temporal import _events_table
+
+        t = _events_table(rows)
+
+        def run(nb, np_):
+            return funnel_progression(
+                ray.data.from_arrow(t), stages=types, num_buckets=nb, num_partitions=np_
+            ).take_all()
+
+        assert run(4, 2) == run(32, 8)
+
+
 class TestAdversarialSkew:
     """Adversarial-scale shapes through the dedup family: the pathologies
     a web corpus actually contains (boilerplate mass-duplication, mega
