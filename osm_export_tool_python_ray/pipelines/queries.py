@@ -2810,6 +2810,66 @@ def q_spatial_join(sf_dir):
     return out.sort(["l_id", "r_id"])
 
 
+def q_spatial_anti_join(sf_dir):
+    """ε-proximity spatial ANTI-join (stages/spatial_join.py
+    points_not_near): customer points with NO supplier point within
+    sqrt(2.5e-4) ≈ 0.0158° — one cell-bucketed exchange with the small
+    side replicated to its 3×3 neighborhood, so the per-cell keep/drop
+    decision is complete without a second match-collection pass. The
+    supplier point family is offset (+0.003, +0.004) from the customer
+    grid so the squared distances never land on eps2 exactly; the
+    near test (dx*dx + dy*dy < 0.00025) is mirrored verbatim in SQL."""
+    from osm_export_tool_python_ray.stages.spatial_join import points_not_near
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _customer_points, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: pa.table(
+            {"pid": t.column("c_custkey"), "lon": t.column("lon"), "lat": t.column("lat")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def supplier_points(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "pid": t.column("s_suppkey"),
+                "lon": pa.array(np.mod(k, 100.0) * 0.01 + 0.003),
+                "lat": pa.array(np.mod(np.floor(k / 3.0), 100.0) * 0.01 + 0.004),
+            }
+        )
+
+    feats = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        supplier_points, batch_format="pyarrow"
+    )
+    return points_not_near(
+        pts, feats, eps2=0.00025, cell_size=0.02, num_buckets=32
+    ).sort("pid")
+
+
+SQL_SPATIAL_ANTI_JOIN = """
+WITH cust AS (
+  SELECT c_custkey AS pid,
+         (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+),
+supp AS (
+  SELECT (s_suppkey % 100) * 0.01 + 0.003 AS lon,
+         (CAST(floor(s_suppkey / 3.0) AS BIGINT) % 100) * 0.01 + 0.004 AS lat
+  FROM supplier
+)
+SELECT pid, lon, lat FROM cust c
+WHERE NOT EXISTS (
+  SELECT 1 FROM supp s
+  WHERE (s.lon - c.lon) * (s.lon - c.lon)
+      + (s.lat - c.lat) * (s.lat - c.lat) < 0.00025
+)
+ORDER BY pid
+"""
+
+
 def q_aoi_extract(sf_dir):
     """AOI spatial semi-join (J4 — the OsmExpress region-extract analog):
     features of the corpus restricted to a 1°×1° AOI. Rows-only."""
@@ -3159,6 +3219,7 @@ QUERIES = {
     "trajectory": q_trajectory,
     "vocab_growth": q_vocab_growth,
     "pmi_top": q_pmi_top,
+    "spatial_anti_join": q_spatial_anti_join,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3284,6 +3345,7 @@ ORACLES = {
     "trajectory": SQL_TRAJECTORY,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "pmi_top": SQL_PMI_TOP,
+    "spatial_anti_join": SQL_SPATIAL_ANTI_JOIN,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

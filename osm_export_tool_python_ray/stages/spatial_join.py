@@ -229,3 +229,152 @@ def bbox_intersection_join(
         num_partitions=min(num_buckets, 32),
         payload_schema=JOIN_EXCHANGE_SCHEMA,
     )
+
+
+ANTI_EXCHANGE_SCHEMA = pa.schema(
+    [
+        ("side", pa.int8()),
+        ("pid", pa.int64()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("cell", pa.int64()),
+    ]
+)
+
+
+def points_not_near(points_ds, features_ds, eps2, cell_size, num_buckets=64):
+    """ε-proximity spatial ANTI-join over two point sets → the rows of
+    ``points_ds`` (pid, lon, lat) with NO feature point within
+    sqrt(eps2) Euclidean distance. The complement of the proximity
+    join — "POIs not near any road/water" — which a NOT EXISTS cannot
+    express without the full cross product.
+
+    Shape: points land in exactly ONE grid cell (side 0); features
+    (side 1, the replicated side — put the SMALLER set here) are
+    replicated to their 3×3 cell neighborhood. With cell_size >=
+    sqrt(eps2), every feature within ε of a point is present in the
+    point's own cell, so ONE cell-bucketed exchange makes the per-cell
+    keep/drop decision complete — anti-joins normally need a second
+    match-collection pass; the neighborhood replication removes it.
+    Per-partition work is a lexsort + per-cell vectorized distance
+    blocks (features per cell × points per cell, both bounded by the
+    cell geometry, chunked like _join_cells).
+
+    Determinism: the near test is ``dx*dx + dy*dy < eps2`` — exact
+    IEEE mult/add mirrored verbatim by the SQL oracle; choose eps2
+    strictly between attainable squared distances of the synthetic
+    grids so the comparison has no boundary case."""
+    if cell_size * cell_size < eps2:
+        raise ValueError("cell_size must be >= sqrt(eps2) for 3x3 completeness")
+
+    def cells_of(lon, lat):
+        gx = np.floor(lon / cell_size).astype(np.int64)
+        gy = np.floor(lat / cell_size).astype(np.int64)
+        return gx * np.int64(1 << 20) + gy
+
+    def point_side(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(len(lon), dtype=np.int8)),
+                "pid": t.column("pid"),
+                "lon": t.column("lon"),
+                "lat": t.column("lat"),
+                "cell": pa.array(cells_of(lon, lat)),
+            }
+        )
+
+    def feature_side(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        ids = t.column("pid").to_numpy(zero_copy_only=False)
+        gx = np.floor(lon / cell_size).astype(np.int64)
+        gy = np.floor(lat / cell_size).astype(np.int64)
+        n = len(lon)
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                reps.append((gx + dx) * np.int64(1 << 20) + (gy + dy))
+        cell = np.concatenate(reps)
+        tile = lambda a: np.tile(a, 9)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(9 * n, dtype=np.int8)),
+                "pid": pa.array(tile(ids)),
+                "lon": pa.array(tile(lon)),
+                "lat": pa.array(tile(lat)),
+                "cell": pa.array(cell),
+            }
+        )
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pid = g.column("pid").to_numpy(zero_copy_only=False)
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        pts = side == 0
+        if not pts.any():
+            return pa.table(
+                {
+                    "pid": pa.array([], type=pa.int64()),
+                    "lon": pa.array([], type=pa.float64()),
+                    "lat": pa.array([], type=pa.float64()),
+                }
+            )
+        p_cell, p_pid = cell[pts], pid[pts]
+        p_lon, p_lat = lon[pts], lat[pts]
+        f_cell = cell[~pts]
+        f_lon, f_lat = lon[~pts], lat[~pts]
+        forder = np.argsort(f_cell, kind="stable")
+        f_cell, f_lon, f_lat = f_cell[forder], f_lon[forder], f_lat[forder]
+        lo = np.searchsorted(f_cell, p_cell, side="left")
+        hi = np.searchsorted(f_cell, p_cell, side="right")
+        keep = np.ones(len(p_pid), dtype=bool)
+        # per-cell blocks: iterate the DISTINCT point cells that have any
+        # co-located features (O(cells) loop, vectorized inner block)
+        has_f = hi > lo
+        if has_f.any():
+            order = np.argsort(p_cell, kind="stable")
+            pc_sorted = p_cell[order]
+            starts = np.nonzero(
+                np.concatenate([[True], pc_sorted[1:] != pc_sorted[:-1]])
+            )[0]
+            ends = np.append(starts[1:], len(pc_sorted))
+            for s, e in zip(starts, ends):
+                rows = order[s:e]
+                flo, fhi = lo[rows[0]], hi[rows[0]]
+                if fhi <= flo:
+                    continue
+                dx = p_lon[rows][:, None] - f_lon[flo:fhi][None, :]
+                dy = p_lat[rows][:, None] - f_lat[flo:fhi][None, :]
+                near = (dx * dx + dy * dy < eps2).any(axis=1)
+                keep[rows[near]] = False
+        return pa.table(
+            {
+                "pid": pa.array(p_pid[keep]),
+                "lon": pa.array(p_lon[keep]),
+                "lat": pa.array(p_lat[keep]),
+            }
+        )
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    both = points_ds.map_batches(point_side, batch_format="pyarrow").union(
+        features_ds.map_batches(feature_side, batch_format="pyarrow")
+    )
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((c % num_buckets).astype(np.int32))
+        )
+
+    return grouped_map(
+        both.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: anti(g.drop_columns(["bucket"])),
+        num_partitions=min(num_buckets, 32),
+        payload_schema=ANTI_EXCHANGE_SCHEMA,
+    )

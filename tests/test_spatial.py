@@ -573,3 +573,72 @@ class TestCellPyramid:
                 break
             time.sleep(0.1)
         assert caps.get("spatial_join_degenerate_bbox", 0) >= 2
+
+
+class TestPointsNotNear:
+    """ε-proximity anti-join (stages/spatial_join.py points_not_near):
+    brute-force equality and the cross-cell boundary case the 3×3
+    replication exists for."""
+
+    @staticmethod
+    def _tbl(ids, lons, lats):
+        import pyarrow as pa
+        import numpy as np
+
+        return pa.table(
+            {
+                "pid": pa.array(np.asarray(ids, dtype=np.int64)),
+                "lon": pa.array(np.asarray(lons, dtype=np.float64)),
+                "lat": pa.array(np.asarray(lats, dtype=np.float64)),
+            }
+        )
+
+    def test_neighbor_cell_feature_still_drops(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import points_not_near
+
+        # cell_size 0.02: point at 0.0199 and feature at 0.0201 are in
+        # DIFFERENT cells but distance 0.0002 << eps — must be dropped;
+        # a far point in the same cell as the feature must be kept
+        pts = self._tbl([1, 2], [0.0199, 0.0399], [0.01, 0.039])
+        fts = self._tbl([7], [0.0201], [0.01])
+        out = points_not_near(
+            ray.data.from_arrow(pts), ray.data.from_arrow(fts),
+            eps2=0.00025, cell_size=0.02, num_buckets=4,
+        ).take_all()
+        assert [r["pid"] for r in out] == [2]
+
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import points_not_near
+
+        rng = np.random.RandomState(13)
+        p_lon, p_lat = rng.rand(200), rng.rand(200)
+        f_lon, f_lat = rng.rand(15), rng.rand(15)
+        eps2 = 0.003
+        out = points_not_near(
+            ray.data.from_arrow(self._tbl(np.arange(200), p_lon, p_lat)),
+            ray.data.from_arrow(self._tbl(np.arange(15), f_lon, f_lat)),
+            eps2=eps2, cell_size=0.06, num_buckets=8,
+        ).take_all()
+        got = sorted(r["pid"] for r in out)
+        dx = p_lon[:, None] - f_lon[None, :]
+        dy = p_lat[:, None] - f_lat[None, :]
+        near = ((dx * dx + dy * dy) < eps2).any(axis=1)
+        assert got == sorted(np.nonzero(~near)[0].tolist())
+
+    def test_no_features_keeps_everything(self, ray_session):
+        import numpy as np
+        import ray.data
+        from osm_export_tool_python_ray.stages.spatial_join import points_not_near
+
+        pts = self._tbl([3, 4, 5], [0.1, 0.2, 0.3], [0.1, 0.2, 0.3])
+        import pyarrow as pa
+
+        empty = self._tbl([], [], [])
+        out = points_not_near(
+            ray.data.from_arrow(pts), ray.data.from_arrow(empty),
+            eps2=0.001, cell_size=0.05, num_buckets=4,
+        ).take_all()
+        assert sorted(r["pid"] for r in out) == [3, 4, 5]
