@@ -1615,6 +1615,78 @@ FROM sc QUALIFY rank <= 10
 """.format(tf_cols=tf_cols, dfs=dfs, score=score, anyhit=anyhit)
 
 
+DP_TOL2 = 9  # Douglas–Peucker tolerance² in grid units (tol = 3)
+
+
+def q_trajectory_simplify(sf_dir):
+    """Per-user Douglas–Peucker trajectory simplification
+    (stages/journey.py trajectory_simplify): EXACT INTEGER DP — grid
+    coords, cross² split metric, tie on smallest index — so the
+    recursive-CTE oracle replays the identical rule with zero float
+    tolerance. One user-keyed exchange; DP is sequential per polyline,
+    parallel across users."""
+    from osm_export_tool_python_ray.stages.journey import trajectory_simplify
+
+    return trajectory_simplify(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), tol2=DP_TOL2
+    ).sort(["user_id", "idx"])
+
+
+# The oracle replays DP as a recursive CTE: each live segment (lo, hi)
+# computes its interior argmax of the integer split metric — packed as
+# metric·2^20 + (2^20 − idx) so max() breaks metric ties on the SMALLEST
+# idx (idx < 2^20 assumed; the engine has no such bound) — and splits
+# while metric > tol²·len² (len²=1 for a degenerate zero-length chord,
+# where the metric falls back to |p−a|²). Kept vertices = every lo/hi
+# that ever appears, plus single-point users.
+SQL_TRAJECTORY_SIMPLIFY = """
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+),
+npts AS (SELECT user_id, max(idx) AS n FROM pts GROUP BY user_id),
+seg(user_id, lo, hi) AS (
+  SELECT user_id, CAST(1 AS BIGINT), n FROM npts WHERE n >= 2
+  UNION ALL
+  SELECT spl.user_id, CAST(e.half[1] AS BIGINT), CAST(e.half[2] AS BIGINT)
+  FROM (
+    SELECT q.user_id, q.lo, q.hi,
+           1048576 - (q.pack % 1048576) AS mid
+    FROM (
+      SELECT s.user_id, s.lo, s.hi,
+             max(CASE WHEN (b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y) > 0
+                      THEN ((b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x))
+                         * ((b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x))
+                      ELSE (p.x - a.x)*(p.x - a.x) + (p.y - a.y)*(p.y - a.y)
+                 END * 1048576 + (1048576 - p.idx)) AS pack,
+             CASE WHEN (any_value(b.x) - any_value(a.x))*(any_value(b.x) - any_value(a.x))
+                     + (any_value(b.y) - any_value(a.y))*(any_value(b.y) - any_value(a.y)) > 0
+                  THEN (any_value(b.x) - any_value(a.x))*(any_value(b.x) - any_value(a.x))
+                     + (any_value(b.y) - any_value(a.y))*(any_value(b.y) - any_value(a.y))
+                  ELSE 1 END AS len2
+      FROM seg s
+      JOIN pts a ON a.user_id = s.user_id AND a.idx = s.lo
+      JOIN pts b ON b.user_id = s.user_id AND b.idx = s.hi
+      JOIN pts p ON p.user_id = s.user_id AND p.idx > s.lo AND p.idx < s.hi
+      GROUP BY s.user_id, s.lo, s.hi
+    ) q
+    WHERE q.pack // 1048576 > {tol2} * q.len2
+  ) spl,
+  LATERAL (SELECT unnest([[spl.lo, spl.mid], [spl.mid, spl.hi]]) AS half) e
+)
+SELECT user_id, idx FROM (
+  SELECT user_id, lo AS idx FROM seg
+  UNION
+  SELECT user_id, hi FROM seg
+  UNION
+  SELECT user_id, 1 FROM npts WHERE n = 1
+) ORDER BY user_id, idx
+""".format(tol2=DP_TOL2)
+
+
 # --------------------------------------------------------- corpus lexicals
 
 GROWTH_THRESHOLDS = [64, 128, 256, 512, 1024, 4096]
@@ -3220,6 +3292,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "pmi_top": q_pmi_top,
     "spatial_anti_join": q_spatial_anti_join,
+    "trajectory_simplify": q_trajectory_simplify,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3346,6 +3419,7 @@ ORACLES = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "pmi_top": SQL_PMI_TOP,
     "spatial_anti_join": SQL_SPATIAL_ANTI_JOIN,
+    "trajectory_simplify": SQL_TRAJECTORY_SIMPLIFY,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -192,3 +192,102 @@ def trajectory_stats(events_ds, num_buckets=32, num_partitions=8):
             ]
         ),
     )
+
+
+def dp_keep_indices(x, y, tol2):
+    """Exact integer Douglas–Peucker on one polyline (grid coords):
+    0-based indices of the kept vertices. Split metric is cross² (or
+    |p-a|² for a degenerate zero-length chord), compared against
+    tol2·len2 (len2=1 when degenerate) — all int64, no float anywhere,
+    so every implementation of this rule agrees bit-for-bit. Tie-break:
+    the SMALLEST index among metric maxima."""
+    n = len(x)
+    if n == 0:
+        return []
+    if n == 1:
+        return [0]
+    keep = {0, n - 1}
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        dx = x[hi] - x[lo]
+        dy = y[hi] - y[lo]
+        len2 = int(dx * dx + dy * dy)
+        px = x[lo + 1 : hi] - x[lo]
+        py = y[lo + 1 : hi] - y[lo]
+        if len2 > 0:
+            cr = dx * py - dy * px
+            metric = cr * cr
+        else:
+            metric = px * px + py * py
+        m = int(metric.max())
+        if m > tol2 * max(len2, 1):
+            i = int(np.argmax(metric == m)) + lo + 1
+            keep.add(i)
+            stack.append((lo, i))
+            stack.append((i, hi))
+    return sorted(keep)
+
+
+def trajectory_simplify(events_ds, tol2, num_buckets=32, num_partitions=8):
+    """Per-user Douglas–Peucker simplification of the synthetic event
+    trajectory (integer grid coords x = event_id % 100,
+    y = (event_id // 7) % 100, ordered by (ts, event_id)) → one row
+    (user_id, idx) per KEPT vertex, idx 1-based in trajectory order.
+
+    Same exchange shape as trajectory_stats: one user-keyed bucket
+    exchange, then a per-user stack walk whose inner metric pass is
+    vectorized numpy over the segment's interior points. DP is
+    inherently sequential per polyline (each split depends on the
+    previous), so per-user iteration is the correct granularity — the
+    parallelism is across users, which is what the exchange provides.
+    The DuckDB oracle replays the identical integer rule as a recursive
+    CTE (segments split at the packed-argmax point), so engine and
+    oracle agree exactly — no tolerance, no float."""
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "idx": pa.array([], type=pa.int64())}
+            )
+        ts = _ts_i64(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        x = (eid % 100).astype(np.int64)
+        y = ((eid // 7) % 100).astype(np.int64)
+        starts = np.nonzero(np.concatenate([[True], u[1:] != u[:-1]]))[0]
+        ends = np.append(starts[1:], len(u))
+        out_u, out_i = [], []
+        for s, e in zip(starts, ends):
+            for k in dp_keep_indices(x[s:e], y[s:e], tol2):
+                out_u.append(int(u[s]))
+                out_i.append(k + 1)
+        return pa.table(
+            {
+                "user_id": pa.array(np.asarray(out_u, dtype=np.int64)),
+                "idx": pa.array(np.asarray(out_i, dtype=np.int64)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: per_user(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+            ]
+        ),
+    )

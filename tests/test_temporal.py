@@ -426,3 +426,126 @@ class TestJourney:
             ray.data.from_arrow(_events_table(rows)), num_buckets=2, num_partitions=1
         ).take_all()
         assert out == [{"user_id": 7, "n_events": 1, "path_micro": 0, "net_micro": 0}]
+
+
+class TestTrajectorySimplify:
+    """Exact integer Douglas-Peucker (stages/journey.py dp_keep_indices /
+    trajectory_simplify): kernel vs a recursive brute force, planted
+    shapes, and two-parallelism determinism."""
+
+    @staticmethod
+    def _brute_dp(x, y, tol2):
+        """Recursive reference of the identical integer rule."""
+        n = len(x)
+        if n == 0:
+            return []
+        if n == 1:
+            return [0]
+        keep = {0, n - 1}
+
+        def rec(lo, hi):
+            if hi - lo < 2:
+                return
+            dx, dy = x[hi] - x[lo], y[hi] - y[lo]
+            len2 = dx * dx + dy * dy
+            best_m, best_i = -1, -1
+            for i in range(lo + 1, hi):
+                px, py = x[i] - x[lo], y[i] - y[lo]
+                if len2 > 0:
+                    cr = dx * py - dy * px
+                    m = cr * cr
+                else:
+                    m = px * px + py * py
+                if m > best_m:  # strict > keeps the SMALLEST tied index
+                    best_m, best_i = m, i
+            if best_m > tol2 * max(len2, 1):
+                keep.add(best_i)
+                rec(lo, best_i)
+                rec(best_i, hi)
+
+        rec(0, n - 1)
+        return sorted(keep)
+
+    def test_kernel_planted(self):
+        from osm_export_tool_python_ray.stages.journey import dp_keep_indices
+
+        # collinear points collapse to the endpoints
+        x = np.arange(10, dtype=np.int64)
+        y = 2 * x
+        assert dp_keep_indices(x, y, tol2=0) == [0, 9]
+        # a spike off the chord is kept once it exceeds the tolerance:
+        # cross = len*dist, metric = cross^2 = len2*dist2, so the split
+        # condition metric > tol2*len2 is exactly dist2 > tol2
+        y = np.zeros(10, dtype=np.int64)
+        y[4] = 5  # dist2 = 25
+        assert dp_keep_indices(x, y, tol2=24) == [0, 4, 9]
+        assert dp_keep_indices(x, y, tol2=25) == [0, 9]
+        # degenerate zero-length chord (a closed loop) falls back to |p-a|^2
+        x2 = np.array([0, 3, 0], dtype=np.int64)
+        y2 = np.array([0, 0, 0], dtype=np.int64)
+        assert dp_keep_indices(x2, y2, tol2=8) == [0, 1, 2]
+        assert dp_keep_indices(x2, y2, tol2=9) == [0, 2]
+        # singleton / empty
+        assert dp_keep_indices(x2[:1], y2[:1], tol2=0) == [0]
+        assert dp_keep_indices(x2[:0], y2[:0], tol2=0) == []
+
+    def test_kernel_matches_brute_force(self):
+        from osm_export_tool_python_ray.stages.journey import dp_keep_indices
+
+        rng = np.random.RandomState(31)
+        for trial in range(60):
+            n = int(rng.randint(1, 40))
+            x = rng.randint(0, 100, size=n).astype(np.int64)
+            y = rng.randint(0, 100, size=n).astype(np.int64)
+            tol2 = int(rng.randint(0, 30))
+            assert dp_keep_indices(x, y, tol2) == self._brute_dp(
+                list(map(int, x)), list(map(int, y)), tol2
+            ), (trial, n, tol2)
+
+    def test_stage_matches_kernel(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import (
+            dp_keep_indices, trajectory_simplify,
+        )
+
+        rng = np.random.RandomState(47)
+        rows = [
+            (int(rng.randint(0, 10_000)), int(rng.randint(1, 15)),
+             int(rng.randint(0, 500)), "view", 0.0)
+            for i in range(400)
+        ]
+        got = {}
+        for r in trajectory_simplify(
+            ray.data.from_arrow(_events_table(rows)), tol2=9,
+            num_buckets=4, num_partitions=2,
+        ).take_all():
+            got.setdefault(r["user_id"], []).append(r["idx"])
+        from collections import defaultdict
+        by_user = defaultdict(list)
+        for eid, u, ts, _et, _v in rows:
+            by_user[u].append((ts, eid))
+        want = {}
+        for u, pts in by_user.items():
+            pts.sort()
+            eid = np.array([p[1] for p in pts], dtype=np.int64)
+            want[u] = [k + 1 for k in dp_keep_indices(eid % 100, (eid // 7) % 100, 9)]
+        assert {u: sorted(v) for u, v in got.items()} == want
+
+    def test_parallelism_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import trajectory_simplify
+
+        rng = np.random.RandomState(5)
+        rows = [
+            (int(rng.randint(0, 3_000)), int(rng.randint(1, 9)),
+             int(rng.randint(0, 200)), "view", 0.0)
+            for i in range(250)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = trajectory_simplify(
+                ray.data.from_arrow(_events_table(rows)), tol2=9,
+                num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(sorted((r["user_id"], r["idx"]) for r in res))
+        assert outs[0] == outs[1]
