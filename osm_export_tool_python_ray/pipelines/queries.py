@@ -2673,6 +2673,140 @@ SELECT * FROM l8 UNION ALL SELECT * FROM l6 UNION ALL SELECT * FROM l4
 """
 
 
+def q_cell_density(sf_dir):
+    """3x3 box-kernel density smoothing (stages/hotspots.py): per
+    occupied res-8 cell, its own point count and the summed 3x3
+    neighborhood count. Batch combiner first (the exchange moves cell
+    aggregates, never points), then the x9 neighbor replication of the
+    PARTIALS and one groupby fold that carries the occupancy filter
+    in-band — no join-back."""
+    from osm_export_tool_python_ray.stages.hotspots import cell_density_smooth
+
+    return cell_density_smooth(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            _customer_points, batch_format="pyarrow"
+        ),
+        res=8,
+    )
+
+
+SQL_CELL_DENSITY = """
+WITH pts AS (
+  SELECT (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), i8 AS (
+  SELECT CAST(floor((lon + 180.0) * 32768.0 / 360.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 32768.0 / 360.0) AS BIGINT) AS iy
+  FROM pts
+), cellagg AS (
+  SELECT ix, iy, count(*) AS n FROM i8 GROUP BY ix, iy
+)
+SELECT CAST(8 AS BIGINT) * 288230376151711744 + a.ix * 536870912 + a.iy AS cell,
+       CAST(any_value(a.n) AS BIGINT) AS n,
+       CAST(sum(b.n) AS BIGINT) AS smooth_n
+FROM cellagg a JOIN cellagg b
+  ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+GROUP BY a.ix, a.iy
+"""
+
+
+GRID_CLUSTER_MIN_PTS = 2
+
+
+def q_grid_clusters(sf_dir):
+    """DBSCAN-lite hotspot clustering (stages/hotspots.py): res-8 cells
+    with >= min_pts points are core, 4-connected core cells form a
+    cluster, label = MIN packed cell id (the ngram_clusters min-label
+    rule). Points collapse to cell aggregates before any exchange; the
+    union-find runs on the reduced core-cell table; stats fold
+    distributively under a broadcast label map."""
+    from osm_export_tool_python_ray.stages.hotspots import grid_clusters
+
+    return grid_clusters(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            _customer_points, batch_format="pyarrow"
+        ),
+        res=8,
+        min_pts=GRID_CLUSTER_MIN_PTS,
+    )
+
+
+# recursive min-label walk = connected components (the ngram_clusters
+# oracle pattern); 4-adjacency in packed space is +1 (iy) / +2^29 (ix),
+# overflow-free at res 8 (iy < 2^16)
+SQL_GRID_CLUSTERS = """
+WITH RECURSIVE pts AS (
+  SELECT (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), i8 AS (
+  SELECT CAST(floor((lon + 180.0) * 32768.0 / 360.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 32768.0 / 360.0) AS BIGINT) AS iy
+  FROM pts
+), cellagg AS (
+  SELECT ix, iy, count(*) AS n FROM i8 GROUP BY ix, iy
+), core AS (
+  SELECT CAST(8 AS BIGINT) * 288230376151711744 + ix * 536870912 + iy AS cell, n
+  FROM cellagg WHERE n >= {min_pts}
+), edges AS (
+  SELECT a.cell AS a, b.cell AS b FROM core a JOIN core b
+    ON b.cell = a.cell + 1 OR b.cell = a.cell + 536870912
+  UNION ALL
+  SELECT b.cell, a.cell FROM core a JOIN core b
+    ON b.cell = a.cell + 1 OR b.cell = a.cell + 536870912
+), walk(node, label) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node
+  WHERE walk.label < e.b
+), lab AS (
+  SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT lab.cluster_id, count(*) AS n_cells, CAST(sum(core.n) AS BIGINT) AS n_points
+FROM core JOIN lab ON lab.node = core.cell
+GROUP BY lab.cluster_id
+""".format(min_pts=GRID_CLUSTER_MIN_PTS)
+
+
+def q_move_octants(sf_dir):
+    """Movement-direction histogram (stages/journey.py move_octants):
+    consecutive per-user trajectory segments classified into 8 integer
+    direction octants (+8 = stationary) — the same grid/order contract
+    as trajectory / trajectory_simplify, pure int64 sign-and-compare
+    ladder mirrored clause-for-clause by the oracle's CASE."""
+    from osm_export_tool_python_ray.stages.journey import move_octants
+
+    return move_octants(_read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+SQL_MOVE_OCTANTS = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+), seg AS (
+  SELECT x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(CASE
+         WHEN dx = 0 AND dy = 0 THEN 8
+         WHEN abs(dx) > abs(dy) AND dx > 0 THEN 0
+         WHEN abs(dx) > abs(dy) AND dx < 0 THEN 4
+         WHEN abs(dy) > abs(dx) AND dy > 0 THEN 2
+         WHEN abs(dy) > abs(dx) AND dy < 0 THEN 6
+         WHEN dx > 0 AND dy > 0 THEN 1
+         WHEN dx < 0 AND dy > 0 THEN 3
+         WHEN dx < 0 AND dy < 0 THEN 5
+         ELSE 7
+       END AS BIGINT) AS octant,
+       count(*) AS n
+FROM seg WHERE dx IS NOT NULL
+GROUP BY octant
+"""
+
+
 def q_tile_counts(sf_dir):
     from ray.data.aggregate import Sum
 
@@ -3293,6 +3427,9 @@ QUERIES = {
     "pmi_top": q_pmi_top,
     "spatial_anti_join": q_spatial_anti_join,
     "trajectory_simplify": q_trajectory_simplify,
+    "cell_density": q_cell_density,
+    "grid_clusters": q_grid_clusters,
+    "move_octants": q_move_octants,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3420,6 +3557,9 @@ ORACLES = {
     "pmi_top": SQL_PMI_TOP,
     "spatial_anti_join": SQL_SPATIAL_ANTI_JOIN,
     "trajectory_simplify": SQL_TRAJECTORY_SIMPLIFY,
+    "cell_density": SQL_CELL_DENSITY,
+    "grid_clusters": SQL_GRID_CLUSTERS,
+    "move_octants": SQL_MOVE_OCTANTS,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

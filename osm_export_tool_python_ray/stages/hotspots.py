@@ -1,0 +1,180 @@
+"""Grid hotspot analytics over point datasets — 3x3 box-kernel density
+smoothing and DBSCAN-lite cluster detection on the engine's square cell
+grid (functions/cells.py, the H3-res-8-equivalent index the spatial
+family J4-J6 already keys on).
+
+Scale shape:
+
+* Both operators NEVER exchange points. A per-batch combiner collapses
+  points to (cell, n) partials first, so the one all-to-all moves
+  |occupied cells| rows — at planetary res 8 that is bounded by the grid
+  (2^30 cells) and in practice orders of magnitude below |points|.
+* ``cell_density_smooth``: each cell AGGREGATE is replicated to its 3x3
+  neighborhood (x9 on the cell table, not the points) with a self flag,
+  and ONE groupby('target') folds both the smoothed sum and the
+  occupancy filter — no join-back pass.
+* ``grid_clusters``: the core-cell table (n >= min_pts) is the REDUCED
+  graph; 4-connectivity union-find labels it (vectorized searchsorted
+  edge discovery + path-compressed union), the cell -> label map is
+  broadcast once via ``ray.put``, and per-cluster stats aggregate
+  distributively. The labeling itself runs on the collected core-cell
+  table — the classic small-reduced-graph step (cells, not points); if
+  even the core-cell table outgrew a node, the standard escalation is
+  row-run reduction (consecutive occupied runs per grid row -> segments,
+  union-find over segment adjacency), which this module's packed-key
+  layout already supports since row neighbors differ by exactly +1.
+
+Determinism contracts (oracle-exact, pipelines/queries.py): pure int64
+grid arithmetic everywhere — cell ids are the packed (res<<58 | ix<<29 |
+iy) keys of cells.py, cluster labels are the MINIMUM packed cell id of
+the component (the recursive min-label CTE rule the ngram_clusters
+oracle established), and counts are exact integers.
+
+No reference analog — engine mandate (geospatial family).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm_export_tool_python_ray.functions.cells import cell_of
+
+_IX = np.int64(1) << np.int64(29)  # +1 in packed ix space
+
+
+def count_cells_partial(t: pa.Table, res=8) -> pa.Table:
+    """Per-batch combiner: (lon, lat) points -> (cell, n_partial) rows."""
+    cells = cell_of(
+        t.column("lon").to_numpy(zero_copy_only=False),
+        t.column("lat").to_numpy(zero_copy_only=False),
+        res=res,
+    ).astype(np.int64)
+    u, c = np.unique(cells, return_counts=True)
+    return pa.table({"cell": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+
+def cell_density_smooth(points_ds, res=8):
+    """3x3 box-kernel density: per OCCUPIED cell, its own point count and
+    the summed count of its (<=9)-cell neighborhood. Missing neighbors
+    contribute zero; cells with no points of their own are not emitted.
+
+    One exchange total: batch combiner -> x9 neighbor replication of the
+    cell PARTIALS (self contribution flagged in-band) -> groupby(target)
+    summing (smooth, self) together -> filter self > 0. Grid-boundary
+    spill targets (ix/iy under/overflow) can never gain a self
+    contribution, so the same filter discards them."""
+    from ray.data.aggregate import Sum
+
+    def replicate(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        n = t.column("n_partial").to_numpy(zero_copy_only=False)
+        tgt, nn, ns = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tgt.append(cell + np.int64(dx) * _IX + np.int64(dy))
+                nn.append(n)
+                ns.append(n if (dx == 0 and dy == 0) else np.zeros_like(n))
+        return pa.table(
+            {
+                "target": pa.array(np.concatenate(tgt)),
+                "nb": pa.array(np.concatenate(nn)),
+                "self": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n"), 0))
+        return pa.table(
+            {
+                "cell": t.column("target"),
+                "n": t.column("n"),
+                "smooth_n": t.column("smooth_n"),
+            }
+        )
+
+    return (
+        points_ds.map_batches(
+            lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+        )
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("target")
+        .aggregate(Sum("nb", alias_name="smooth_n"), Sum("self", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def cc_labels(cells):
+    """4-connectivity connected components over a SORTED int64 array of
+    packed cell ids -> int64 label array (label = MIN cell id of the
+    component). Edges are found vectorized (searchsorted probes at +1 /
+    +2^29); the union-find walk is per-edge with path compression —
+    linear-ish in |core cells|, which the combiner already reduced."""
+    m = len(cells)
+    parent = np.arange(m, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]  # path halving
+            a = parent[a]
+        return a
+
+    for step in (np.int64(1), _IX):
+        nb = cells + step
+        j = np.searchsorted(cells, nb)
+        ok = (j < m) & (cells[np.minimum(j, m - 1)] == nb)
+        for a, b in zip(np.nonzero(ok)[0], j[ok]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min root index == min cell id (cells sorted)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        del nb, j, ok
+    roots = np.array([find(i) for i in range(m)], dtype=np.int64)
+    return cells[roots]
+
+
+def grid_clusters(points_ds, res=8, min_pts=3):
+    """DBSCAN-lite hotspot clusters: cells holding >= min_pts points are
+    CORE; 4-connected core cells form a cluster. Returns one row per
+    cluster: (cluster_id = min packed core-cell id, n_cells, n_points
+    = total points inside the cluster's core cells).
+
+    Point data is touched once (the combiner); the core-cell aggregate
+    is materialized once and reused for both the label build and the
+    distributed stats fold; the cell -> label map is broadcast via
+    ``ray.put`` (never re-shipped per batch)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    core = (
+        points_ds.map_batches(
+            lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+        )
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), min_pts)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    agg = core.to_pandas()  # |core cells| rows — the reduced graph only
+    order = np.argsort(agg["cell"].to_numpy())
+    cells = agg["cell"].to_numpy()[order]
+    labels_ref = ray.put((cells, cc_labels(cells)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        cs, ls = ray.get(labels_ref)
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        lab = ls[np.searchsorted(cs, c)]
+        return pa.table(
+            {"cluster_id": pa.array(lab), "n": t.column("n")}
+        )
+
+    return (
+        core.map_batches(attach, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n_cells"), Sum("n", alias_name="n_points"))
+    )

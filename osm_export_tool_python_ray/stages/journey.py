@@ -291,3 +291,88 @@ def trajectory_simplify(events_ds, tol2, num_buckets=32, num_partitions=8):
             ]
         ),
     )
+
+
+# octant codes: 0=E 1=NE 2=N 3=NW 4=W 5=SW 6=S 7=SE, 8=stationary.
+# Classification is a pure-int64 CASE ladder on (sign(dx), sign(dy),
+# |dx| vs |dy|), ties |dx|==|dy| resolved to the diagonals — the SQL
+# oracle mirrors the ladder clause for clause.
+def octants_of(dx, dy):
+    adx, ady = np.abs(dx), np.abs(dy)
+    return np.select(
+        [
+            (dx == 0) & (dy == 0),
+            (adx > ady) & (dx > 0),
+            (adx > ady) & (dx < 0),
+            (ady > adx) & (dy > 0),
+            (ady > adx) & (dy < 0),
+            (dx > 0) & (dy > 0),
+            (dx < 0) & (dy > 0),
+            (dx < 0) & (dy < 0),
+        ],
+        [8, 0, 4, 2, 6, 1, 3, 5],
+        default=7,
+    ).astype(np.int64)
+
+
+def move_octants(events_ds, num_buckets=32, num_partitions=8):
+    """Movement-direction histogram: each user's trajectory (the same
+    integer grid + (ts, event_id) order as trajectory_stats /
+    trajectory_simplify) is cut into consecutive segments, every segment
+    classified into one of 8 direction octants (or 8 = stationary), and
+    the corpus-wide histogram (octant, n) returned.
+
+    Same exchange shape as the rest of the journey family: one
+    user-keyed bucket exchange, then each partition reduces to <= 9
+    partial rows before a tiny groupby('octant').sum() — segment
+    classification itself is one vectorized np.select pass."""
+    from ray.data.aggregate import Sum
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    def partial(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        counts = np.zeros(9, dtype=np.int64)
+        if len(u):
+            ts = _ts_i64(g.column("ts"))
+            eid = g.column("event_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts, u))
+            u, eid = u[order], eid[order]
+            x = (eid % 100).astype(np.int64)
+            y = ((eid // 7) % 100).astype(np.int64)
+            same = u[1:] == u[:-1]  # consecutive rows of the SAME user
+            if same.any():
+                o = octants_of(np.diff(x)[same], np.diff(y)[same])
+                counts += np.bincount(o, minlength=9)
+        return pa.table(
+            {
+                "octant": pa.array(np.arange(9, dtype=np.int64)),
+                "n_partial": pa.array(counts),
+            }
+        )
+
+    partials = grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: partial(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+            ]
+        ),
+    )
+    folded = partials.groupby("octant").aggregate(Sum("n_partial", alias_name="n"))
+
+    # zero-filled partial rows keep the per-partition output fixed-shape;
+    # drop the octants nothing moved in (the oracle never emits them)
+    def nonzero(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("n"), 0))
+
+    return folded.map_batches(nonzero, batch_format="pyarrow")

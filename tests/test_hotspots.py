@@ -1,0 +1,211 @@
+"""Grid hotspot analytics (stages/hotspots.py) and movement octants
+(stages/journey.py move_octants) vs driver-side brute force."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _points_table(lon, lat):
+    return pa.table(
+        {
+            "lon": pa.array(np.asarray(lon, dtype=np.float64)),
+            "lat": pa.array(np.asarray(lat, dtype=np.float64)),
+        }
+    )
+
+
+def _cells_of(lon, lat, res=8):
+    from osm_export_tool_python_ray.functions.cells import cell_of
+
+    return cell_of(np.asarray(lon), np.asarray(lat), res=res).astype(np.int64)
+
+
+class TestCcLabels:
+    @staticmethod
+    def _brute(cells):
+        """BFS connected components over packed 4-adjacency."""
+        IX = 1 << 29
+        cs = set(int(c) for c in cells)
+        label = {}
+        for c in sorted(cs):
+            if c in label:
+                continue
+            comp, frontier = [], [c]
+            seen = {c}
+            while frontier:
+                v = frontier.pop()
+                comp.append(v)
+                for nb in (v + 1, v - 1, v + IX, v - IX):
+                    if nb in cs and nb not in seen:
+                        seen.add(nb)
+                        frontier.append(nb)
+            lo = min(comp)
+            for v in comp:
+                label[v] = lo
+        return label
+
+    def test_matches_bfs(self):
+        from osm_export_tool_python_ray.stages.hotspots import cc_labels
+
+        rng = np.random.RandomState(11)
+        IX = 1 << 29
+        base = np.int64(8) << np.int64(58)
+        for trial in range(30):
+            n = int(rng.randint(1, 120))
+            ix = rng.randint(0, 12, size=n).astype(np.int64)
+            iy = rng.randint(0, 12, size=n).astype(np.int64)
+            cells = np.unique(base + ix * IX + iy)
+            labels = cc_labels(cells)
+            want = self._brute(cells)
+            assert {int(c): int(l) for c, l in zip(cells, labels)} == want, trial
+
+    def test_empty_and_singleton(self):
+        from osm_export_tool_python_ray.stages.hotspots import cc_labels
+
+        assert len(cc_labels(np.array([], dtype=np.int64))) == 0
+        one = np.array([(8 << 58) + 5], dtype=np.int64)
+        assert cc_labels(one).tolist() == one.tolist()
+
+
+class TestCellDensitySmooth:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import cell_density_smooth
+
+        rng = np.random.RandomState(3)
+        lon = rng.rand(500) * 0.3
+        lat = rng.rand(500) * 0.3
+        out = cell_density_smooth(
+            ray.data.from_arrow(_points_table(lon, lat)), res=8
+        ).take_all()
+        got = {r["cell"]: (r["n"], r["smooth_n"]) for r in out}
+
+        cells = _cells_of(lon, lat)
+        from collections import Counter
+
+        cnt = Counter(cells.tolist())
+        IX = 1 << 29
+        want = {}
+        for c, n in cnt.items():
+            smooth = sum(
+                cnt.get(c + dx * IX + dy, 0)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            )
+            want[c] = (n, smooth)
+        assert got == want
+
+    def test_isolated_cell(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import cell_density_smooth
+
+        out = cell_density_smooth(
+            ray.data.from_arrow(_points_table([0.1, 0.1], [0.1, 0.1])), res=8
+        ).take_all()
+        assert len(out) == 1 and out[0]["n"] == 2 and out[0]["smooth_n"] == 2
+
+
+class TestGridClusters:
+    def test_two_blobs(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import grid_clusters
+
+        # blob A: 2 adjacent occupied cells (3 + 2 points); blob B: one
+        # far cell with 4 points; one noise cell with a single point
+        cw = 360.0 / 32768.0  # cell width in degrees
+        lon = [0.0] * 3 + [cw] * 2 + [1.0] * 4 + [2.0]
+        lat = [0.0] * 9 + [2.0]
+        out = grid_clusters(
+            ray.data.from_arrow(_points_table(lon, lat)), res=8, min_pts=2
+        ).take_all()
+        got = sorted((r["n_cells"], r["n_points"]) for r in out)
+        assert got == [(1, 4), (2, 5)]
+        cells_a = _cells_of([0.0, cw], [0.0, 0.0])
+        lab_a = [r for r in out if r["n_cells"] == 2][0]["cluster_id"]
+        assert lab_a == int(cells_a.min())
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import grid_clusters
+        from tests.test_hotspots import TestCcLabels
+
+        rng = np.random.RandomState(9)
+        lon = (rng.randint(0, 15, size=600) * (360.0 / 32768.0)) + 0.0001
+        lat = (rng.randint(0, 15, size=600) * (360.0 / 32768.0)) + 0.0001
+        out = grid_clusters(
+            ray.data.from_arrow(_points_table(lon, lat)), res=8, min_pts=3
+        ).take_all()
+
+        from collections import Counter
+
+        cnt = Counter(_cells_of(lon, lat).tolist())
+        core = sorted(c for c, n in cnt.items() if n >= 3)
+        labels = TestCcLabels._brute(np.array(core, dtype=np.int64))
+        want = {}
+        for c in core:
+            l = labels[c]
+            nc, npts = want.get(l, (0, 0))
+            want[l] = (nc + 1, npts + cnt[c])
+        assert {r["cluster_id"]: (r["n_cells"], r["n_points"]) for r in out} == want
+
+
+class TestMoveOctants:
+    def test_kernel_all_directions(self):
+        from osm_export_tool_python_ray.stages.journey import octants_of
+
+        dx = np.array([2, 1, 0, -1, -2, -1, 0, 1, 0, 3, -3], dtype=np.int64)
+        dy = np.array([0, 1, 2, 1, 0, -1, -2, -1, 0, 1, -1], dtype=np.int64)
+        #      E  NE  N  NW  W  SW  S  SE  stat  E(|dx|>|dy|)  W
+        want = [0, 1, 2, 3, 4, 5, 6, 7, 8, 0, 4]
+        assert octants_of(dx, dy).tolist() == want
+
+    def test_stage_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import (
+            move_octants, octants_of,
+        )
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(21)
+        rows = [
+            (int(rng.randint(0, 5_000)), int(rng.randint(1, 10)),
+             int(rng.randint(0, 400)), "view", 0.0)
+            for i in range(500)
+        ]
+        out = move_octants(
+            ray.data.from_arrow(_events_table(rows)), num_buckets=4, num_partitions=2
+        ).take_all()
+
+        from collections import Counter, defaultdict
+
+        by_user = defaultdict(list)
+        for eid, u, ts, _et, _v in rows:
+            by_user[u].append((ts, eid))
+        want = Counter()
+        for pts in by_user.values():
+            pts.sort()
+            eid = np.array([p[1] for p in pts], dtype=np.int64)
+            x, y = eid % 100, (eid // 7) % 100
+            if len(eid) > 1:
+                want.update(octants_of(np.diff(x), np.diff(y)).tolist())
+        assert {r["octant"]: r["n"] for r in out} == dict(want)
+
+    def test_parallelism_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import move_octants
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(2)
+        rows = [
+            (int(rng.randint(0, 2_000)), int(rng.randint(1, 7)),
+             int(rng.randint(0, 300)), "view", 0.0)
+            for i in range(300)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = move_octants(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(sorted((r["octant"], r["n"]) for r in res))
+        assert outs[0] == outs[1]
