@@ -2769,6 +2769,61 @@ GROUP BY lab.cluster_id
 """.format(min_pts=GRID_CLUSTER_MIN_PTS)
 
 
+def q_user_hulls(sf_dir):
+    """Per-user STRICT convex hull of trajectory points (stages/journey.py
+    user_hulls / hull_vertices): Andrew monotone chain over the deduped
+    integer grid points, collinear boundary points excluded — exact int64
+    cross products only, so the oracle's independent edge
+    characterization (a directed pair is a hull edge iff every other
+    point is strictly left OR collinear strictly between) selects the
+    identical vertex set with zero tolerance."""
+    from osm_export_tool_python_ray.stages.journey import user_hulls
+
+    return user_hulls(_read(sf_dir, "events", ["event_id", "user_id"]))
+
+
+# Independent re-derivation (NOT a chain replay): hull edges by the
+# all-points-strictly-left-or-between test, vertices = edge endpoints,
+# plus single-distinct-point users. Exact integers; cost sum(n^3) over
+# per-user deduped point counts (n <= 100 on the synthetic grid).
+SQL_USER_HULLS = """
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+), ncnt AS (
+  SELECT user_id, count(*) AS n FROM pts GROUP BY user_id
+), edges AS (
+  SELECT a.user_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+  FROM pts a JOIN pts b
+    ON b.user_id = a.user_id AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.user_id = a.user_id
+      AND (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y)
+      AND NOT (
+        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+        OR (
+          (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+          AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y) > 0
+          AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y)
+            < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+        )
+      )
+  )
+)
+SELECT user_id, x, y FROM (
+  SELECT user_id, ax AS x, ay AS y FROM edges
+  UNION
+  SELECT user_id, bx, by2 FROM edges
+  UNION
+  SELECT p.user_id, p.x, p.y FROM pts p JOIN ncnt USING (user_id)
+  WHERE ncnt.n = 1
+)
+"""
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3430,6 +3485,7 @@ QUERIES = {
     "cell_density": q_cell_density,
     "grid_clusters": q_grid_clusters,
     "move_octants": q_move_octants,
+    "user_hulls": q_user_hulls,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3560,6 +3616,7 @@ ORACLES = {
     "cell_density": SQL_CELL_DENSITY,
     "grid_clusters": SQL_GRID_CLUSTERS,
     "move_octants": SQL_MOVE_OCTANTS,
+    "user_hulls": SQL_USER_HULLS,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -376,3 +376,82 @@ def move_octants(events_ds, num_buckets=32, num_partitions=8):
         return t.filter(pc.greater(t.column("n"), 0))
 
     return folded.map_batches(nonzero, batch_format="pyarrow")
+
+
+def hull_vertices(x, y):
+    """STRICT convex hull (Andrew monotone chain, collinear boundary
+    points excluded) over int64 grid points -> sorted [(x, y), ...] hull
+    vertex list. Duplicates are deduped first; all-collinear inputs
+    reduce to the two extremes; a single distinct point is its own hull.
+    All arithmetic is exact int64 cross products, so the SQL oracle's
+    edge characterization (every other point strictly left, or collinear
+    strictly between) selects the identical vertex set."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)  # sorted (x, y)
+    n = len(pts)
+    if n <= 2:
+        return [tuple(map(int, p)) for p in pts]
+
+    def chain(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                ox, oy = pts[out[-2]]
+                ax, ay = pts[out[-1]]
+                if (ax - ox) * (pts[i, 1] - oy) - (ay - oy) * (pts[i, 0] - ox) > 0:
+                    break
+                out.pop()  # pop on cross <= 0: STRICT turns only
+            out.append(i)
+        return out
+
+    lower = chain(range(n))
+    upper = chain(range(n - 1, -1, -1))
+    keep = sorted(set(lower[:-1] + upper[:-1]))
+    if len(keep) < 2:  # all collinear: chain degenerates to the extremes
+        keep = [0, n - 1]
+    return [tuple(map(int, pts[i])) for i in keep]
+
+
+def user_hulls(events_ds, num_buckets=32, num_partitions=8):
+    """Per-user convex hull of the trajectory points (same integer grid
+    as the rest of the journey family) -> one row (user_id, x, y) per
+    STRICT hull vertex. One user-keyed exchange; the chain walk is per
+    user over the deduped point set (tiny after np.unique), parallelism
+    across users."""
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        out_u, out_x, out_y = [], [], []
+        if len(u):
+            eid = g.column("event_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(u, kind="stable")
+            u, eid = u[order], eid[order]
+            x = (eid % 100).astype(np.int64)
+            y = ((eid // 7) % 100).astype(np.int64)
+            starts = np.nonzero(np.concatenate([[True], u[1:] != u[:-1]]))[0]
+            ends = np.append(starts[1:], len(u))
+            for s, e in zip(starts, ends):
+                for hx, hy in hull_vertices(x[s:e], y[s:e]):
+                    out_u.append(int(u[s]))
+                    out_x.append(hx)
+                    out_y.append(hy)
+        return pa.table(
+            {
+                "user_id": pa.array(np.asarray(out_u, dtype=np.int64)),
+                "x": pa.array(np.asarray(out_x, dtype=np.int64)),
+                "y": pa.array(np.asarray(out_y, dtype=np.int64)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: per_user(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [("user_id", pa.int64()), ("event_id", pa.int64())]
+        ),
+    )

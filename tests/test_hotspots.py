@@ -209,3 +209,89 @@ class TestMoveOctants:
             ).take_all()
             outs.append(sorted((r["octant"], r["n"]) for r in res))
         assert outs[0] == outs[1]
+
+
+class TestUserHulls:
+    @staticmethod
+    def _brute(x, y):
+        """Edge-characterization reference (the oracle's rule): directed
+        pair (a,b) is a hull edge iff every other point is strictly left
+        or collinear strictly between; vertices = edge endpoints (plus
+        the point itself when only one distinct point exists)."""
+        pts = sorted(set(zip(map(int, x), map(int, y))))
+        if len(pts) == 1:
+            return pts
+        verts = set()
+        for a in pts:
+            for b in pts:
+                if a == b:
+                    continue
+                ok = True
+                for c in pts:
+                    if c == a or c == b:
+                        continue
+                    cr = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+                    dot = (c[0] - a[0]) * (b[0] - a[0]) + (c[1] - a[1]) * (b[1] - a[1])
+                    ln2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+                    if not (cr > 0 or (cr == 0 and 0 < dot < ln2)):
+                        ok = False
+                        break
+                if ok:
+                    verts.add(a)
+                    verts.add(b)
+        return sorted(verts)
+
+    def test_kernel_planted(self):
+        from osm_export_tool_python_ray.stages.journey import hull_vertices
+
+        # square + interior + collinear boundary midpoints: corners only
+        x = np.array([0, 0, 4, 4, 2, 2, 0, 2], dtype=np.int64)
+        y = np.array([0, 4, 0, 4, 2, 0, 2, 4], dtype=np.int64)
+        assert hull_vertices(x, y) == [(0, 0), (0, 4), (4, 0), (4, 4)]
+        # collinear -> extremes; duplicates -> single point
+        assert hull_vertices(
+            np.array([1, 3, 5, 3]), np.array([1, 1, 1, 1])
+        ) == [(1, 1), (5, 1)]
+        assert hull_vertices(np.array([2, 2]), np.array([7, 7])) == [(2, 7)]
+
+    def test_kernel_matches_edge_characterization(self):
+        from osm_export_tool_python_ray.stages.journey import hull_vertices
+
+        rng = np.random.RandomState(13)
+        for trial in range(80):
+            n = int(rng.randint(1, 30))
+            span = int(rng.choice([3, 6, 50]))  # dense grids force collinear runs
+            x = rng.randint(0, span, size=n).astype(np.int64)
+            y = rng.randint(0, span, size=n).astype(np.int64)
+            assert hull_vertices(x, y) == self._brute(x, y), (trial, span)
+
+    def test_stage_and_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import hull_vertices, user_hulls
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(29)
+        rows = [
+            (int(rng.randint(0, 8_000)), int(rng.randint(1, 12)),
+             int(rng.randint(0, 300)), "view", 0.0)
+            for i in range(400)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = user_hulls(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(sorted((r["user_id"], r["x"], r["y"]) for r in res))
+        assert outs[0] == outs[1]
+
+        from collections import defaultdict
+        by_user = defaultdict(list)
+        for eid, u, _ts, _et, _v in rows:
+            by_user[u].append(eid)
+        want = []
+        for u, eids in by_user.items():
+            eid = np.array(eids, dtype=np.int64)
+            for hx, hy in hull_vertices(eid % 100, (eid // 7) % 100):
+                want.append((u, hx, hy))
+        assert outs[0] == sorted(want)
