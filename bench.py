@@ -196,6 +196,11 @@ def run_query_suite(sf_dir):
         ("hll_distinct", Q.q_hll_distinct),
         ("cms_counts", Q.q_cms_counts),
         ("bm25_topk", Q.q_bm25_topk),
+        # round-4 geospatial family
+        ("cell_density", Q.q_cell_density),
+        ("grid_clusters", Q.q_grid_clusters),
+        ("trajectory_simplify", Q.q_trajectory_simplify),
+        ("user_hulls", Q.q_user_hulls),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

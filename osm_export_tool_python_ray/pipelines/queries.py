@@ -2824,6 +2824,81 @@ SELECT user_id, x, y FROM (
 """
 
 
+def q_trajectory_geometry(sf_dir):
+    """Per-user exact-integer geometry (stages/journey.py
+    trajectory_geometry): properly-crossing segment pairs of the
+    trajectory polyline (strict straddle products — touches, shared
+    endpoints and collinear overlaps excluded by the predicate itself)
+    and twice the strict-convex-hull area (CCW shoelace over the
+    monotone-chain cycle). The oracle re-derives the crossing count from
+    the identical orientation products and the area from the hull-edge
+    characterization's CCW boundary edges — all int64, zero
+    tolerance."""
+    from osm_export_tool_python_ray.stages.journey import trajectory_geometry
+
+    return trajectory_geometry(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    )
+
+
+# area2 via the user_hulls edge characterization: the qualifying
+# DIRECTED edges are exactly the CCW boundary edges (the CW reverse
+# fails the strictly-left test), so the shoelace sum over them is the
+# hull area; degenerate hulls contribute both directions -> sum 0.
+SQL_TRAJECTORY_GEOMETRY = """
+WITH pts AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+), seg AS (
+  SELECT user_id, idx, x AS ax, y AS ay,
+         lead(x) OVER w AS bx, lead(y) OVER w AS by2
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+), segs AS (
+  SELECT * FROM seg WHERE bx IS NOT NULL
+), ncross AS (
+  SELECT s.user_id, count(*) AS n_cross
+  FROM segs s JOIN segs t ON t.user_id = s.user_id AND t.idx > s.idx
+  WHERE ((s.bx - s.ax) * (t.ay - s.ay) - (s.by2 - s.ay) * (t.ax - s.ax))
+      * ((s.bx - s.ax) * (t.by2 - s.ay) - (s.by2 - s.ay) * (t.bx - s.ax)) < 0
+    AND ((t.bx - t.ax) * (s.ay - t.ay) - (t.by2 - t.ay) * (s.ax - t.ax))
+      * ((t.bx - t.ax) * (s.by2 - t.ay) - (t.by2 - t.ay) * (s.bx - t.ax)) < 0
+  GROUP BY s.user_id
+), dpts AS (
+  SELECT DISTINCT user_id, x, y FROM pts
+), hedges AS (
+  SELECT a.user_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+  FROM dpts a JOIN dpts b
+    ON b.user_id = a.user_id AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dpts c
+    WHERE c.user_id = a.user_id
+      AND (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y)
+      AND NOT (
+        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+        OR (
+          (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+          AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y) > 0
+          AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y)
+            < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+        )
+      )
+  )
+), harea AS (
+  SELECT user_id, CAST(sum(ax * by2 - bx * ay) AS BIGINT) AS hull_area2
+  FROM hedges GROUP BY user_id
+)
+SELECT u.user_id,
+       coalesce(nc.n_cross, 0) AS n_cross,
+       coalesce(ha.hull_area2, 0) AS hull_area2
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN ncross nc USING (user_id)
+LEFT JOIN harea ha USING (user_id)
+"""
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3486,6 +3561,7 @@ QUERIES = {
     "grid_clusters": q_grid_clusters,
     "move_octants": q_move_octants,
     "user_hulls": q_user_hulls,
+    "trajectory_geometry": q_trajectory_geometry,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3617,6 +3693,7 @@ ORACLES = {
     "grid_clusters": SQL_GRID_CLUSTERS,
     "move_octants": SQL_MOVE_OCTANTS,
     "user_hulls": SQL_USER_HULLS,
+    "trajectory_geometry": SQL_TRAJECTORY_GEOMETRY,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -455,3 +455,113 @@ def user_hulls(events_ds, num_buckets=32, num_partitions=8):
             [("user_id", pa.int64()), ("event_id", pa.int64())]
         ),
     )
+
+
+def count_proper_crossings(x, y):
+    """Number of PROPERLY crossing segment pairs of one polyline (int64
+    grid coords, segments between consecutive points). Proper = the
+    segments cross at an interior point of both: both orientation pairs
+    strictly straddle (d1*d2 < 0 and d3*d4 < 0). Touches, shared
+    endpoints (adjacent segments), collinear overlaps and degenerate
+    zero-length segments all fail the strict predicate — no special
+    cases, and the SQL oracle evaluates the identical products.
+    Vectorized as an m x m orientation broadcast (m = segment count)."""
+    m = len(x) - 1
+    if m < 2:
+        return 0
+    ax, ay, bx, by = x[:-1], y[:-1], x[1:], y[1:]
+    ux, uy = bx - ax, by - ay  # segment direction vectors
+
+    def side(px, py):
+        # side[i, j] = orientation of point j's coords vs segment i
+        return ux[:, None] * (py[None, :] - ay[:, None]) - uy[:, None] * (
+            px[None, :] - ax[:, None]
+        )
+
+    d1 = side(ax, ay)  # d1[j, i]: a_i vs segment j
+    d2 = side(bx, by)
+    straddle = (d1 * d2) < 0  # [j, i]: segment i's endpoints straddle j's line
+    proper = straddle & straddle.T
+    iu = np.triu_indices(m, k=1)
+    return int(proper[iu].sum())
+
+
+def hull_area2(x, y):
+    """Twice the signed area of the strict convex hull (positive CCW
+    shoelace over the monotone-chain cycle) — exact int64. Degenerate
+    hulls (<=2 distinct points, all collinear) have area 0."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return 0
+
+    def chain(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                ox, oy = pts[out[-2]]
+                axx, ayy = pts[out[-1]]
+                if (axx - ox) * (pts[i, 1] - oy) - (ayy - oy) * (pts[i, 0] - ox) > 0:
+                    break
+                out.pop()
+            out.append(i)
+        return out
+
+    lower = chain(range(n))
+    upper = chain(range(n - 1, -1, -1))
+    cyc = lower[:-1] + upper[:-1]  # CCW vertex cycle
+    if len(cyc) < 3:
+        return 0
+    cx = pts[cyc, 0]
+    cy = pts[cyc, 1]
+    return int(np.sum(cx * np.roll(cy, -1) - np.roll(cx, -1) * cy))
+
+
+def trajectory_geometry(events_ds, num_buckets=32, num_partitions=8):
+    """Per-user exact-integer geometry summary: (user_id, n_cross =
+    properly-crossing segment pairs of the trajectory polyline,
+    hull_area2 = twice the strict-convex-hull area). One user-keyed
+    exchange (journey-family shape); both kernels are exact int64 so
+    the oracle re-derives them with zero tolerance."""
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        out_u, out_c, out_a = [], [], []
+        if len(u):
+            ts = _ts_i64(g.column("ts"))
+            eid = g.column("event_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts, u))
+            u, eid = u[order], eid[order]
+            x = (eid % 100).astype(np.int64)
+            y = ((eid // 7) % 100).astype(np.int64)
+            starts = np.nonzero(np.concatenate([[True], u[1:] != u[:-1]]))[0]
+            ends = np.append(starts[1:], len(u))
+            for s, e in zip(starts, ends):
+                out_u.append(int(u[s]))
+                out_c.append(count_proper_crossings(x[s:e], y[s:e]))
+                out_a.append(hull_area2(x[s:e], y[s:e]))
+        return pa.table(
+            {
+                "user_id": pa.array(np.asarray(out_u, dtype=np.int64)),
+                "n_cross": pa.array(np.asarray(out_c, dtype=np.int64)),
+                "hull_area2": pa.array(np.asarray(out_a, dtype=np.int64)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: per_user(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+            ]
+        ),
+    )

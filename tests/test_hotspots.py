@@ -295,3 +295,98 @@ class TestUserHulls:
             for hx, hy in hull_vertices(eid % 100, (eid // 7) % 100):
                 want.append((u, hx, hy))
         assert outs[0] == sorted(want)
+
+
+class TestTrajectoryGeometry:
+    @staticmethod
+    def _brute_crossings(x, y):
+        """Scalar per-pair re-evaluation of the strict predicate."""
+        n = 0
+        m = len(x) - 1
+        for i in range(m):
+            for j in range(i + 1, m):
+                d1 = (x[j + 1] - x[j]) * (y[i] - y[j]) - (y[j + 1] - y[j]) * (x[i] - x[j])
+                d2 = (x[j + 1] - x[j]) * (y[i + 1] - y[j]) - (y[j + 1] - y[j]) * (x[i + 1] - x[j])
+                d3 = (x[i + 1] - x[i]) * (y[j] - y[i]) - (y[i + 1] - y[i]) * (x[j] - x[i])
+                d4 = (x[i + 1] - x[i]) * (y[j + 1] - y[i]) - (y[i + 1] - y[i]) * (x[j + 1] - x[i])
+                if d1 * d2 < 0 and d3 * d4 < 0:
+                    n += 1
+        return n
+
+    @staticmethod
+    def _brute_area2(x, y):
+        """Shoelace over the edge-characterization hull vertices ordered
+        CCW by angle around the centroid — independent of the chain."""
+        import math
+
+        verts = TestUserHulls._brute(x, y)
+        if len(verts) < 3:
+            return 0
+        cx = sum(v[0] for v in verts) / len(verts)
+        cy = sum(v[1] for v in verts) / len(verts)
+        verts = sorted(verts, key=lambda v: math.atan2(v[1] - cy, v[0] - cx))
+        s = 0
+        for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1]):
+            s += ax * by - bx * ay
+        return s
+
+    def test_kernels_match_brute_force(self):
+        from osm_export_tool_python_ray.stages.journey import (
+            count_proper_crossings, hull_area2,
+        )
+
+        rng = np.random.RandomState(37)
+        for trial in range(60):
+            n = int(rng.randint(1, 25))
+            span = int(rng.choice([4, 10, 60]))
+            x = rng.randint(0, span, size=n).astype(np.int64)
+            y = rng.randint(0, span, size=n).astype(np.int64)
+            assert count_proper_crossings(x, y) == self._brute_crossings(
+                list(map(int, x)), list(map(int, y))
+            ), (trial, "cross")
+            assert hull_area2(x, y) == self._brute_area2(x, y), (trial, "area")
+
+    def test_planted(self):
+        from osm_export_tool_python_ray.stages.journey import (
+            count_proper_crossings, hull_area2,
+        )
+
+        # figure-X: one proper crossing; T-touch and shared endpoints: none
+        assert count_proper_crossings(
+            np.array([0, 2, 0, 2], dtype=np.int64),
+            np.array([0, 2, 2, 0], dtype=np.int64),
+        ) == 1
+        # path turning at a shared vertex never "crosses"
+        assert count_proper_crossings(
+            np.array([0, 2, 2, 0], dtype=np.int64),
+            np.array([0, 0, 2, 2], dtype=np.int64),
+        ) == 0
+        # T-touch (endpoint of one segment interior to another) is not proper
+        assert count_proper_crossings(
+            np.array([0, 4, 2, 2], dtype=np.int64),
+            np.array([0, 0, 0, 3], dtype=np.int64),
+        ) == 0
+        assert hull_area2(
+            np.array([0, 0, 4, 4, 2], dtype=np.int64),
+            np.array([0, 4, 0, 4, 2], dtype=np.int64),
+        ) == 32
+
+    def test_stage_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import trajectory_geometry
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(41)
+        rows = [
+            (int(rng.randint(0, 6_000)), int(rng.randint(1, 10)),
+             int(rng.randint(0, 400)), "view", 0.0)
+            for i in range(350)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = trajectory_geometry(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(sorted((r["user_id"], r["n_cross"], r["hull_area2"]) for r in res))
+        assert outs[0] == outs[1]
