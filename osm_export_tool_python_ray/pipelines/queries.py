@@ -2824,6 +2824,33 @@ SELECT user_id, x, y FROM (
 """
 
 
+def q_od_matrix(sf_dir):
+    """Origin-destination matrix (stages/journey.py od_matrix): per
+    user, first-event -> last-event grid points in (ts, event_id) order,
+    folded to distinct-OD-pair user counts. One user-keyed exchange with
+    per-partition OD partials (packed-key unique) before the 4-key
+    groupby — pure int64."""
+    from osm_export_tool_python_ray.stages.journey import od_matrix
+
+    return od_matrix(_read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+SQL_OD_MATRIX = """
+WITH pts AS (
+  SELECT user_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), o AS (SELECT user_id, x AS ox, y AS oy FROM pts WHERE rn = 1),
+d AS (SELECT user_id, x AS dx, y AS dy FROM pts WHERE rn = cnt)
+SELECT ox, oy, dx, dy, count(*) AS n_users
+FROM o JOIN d USING (user_id)
+GROUP BY ox, oy, dx, dy
+"""
+
+
 def q_trajectory_geometry(sf_dir):
     """Per-user exact-integer geometry (stages/journey.py
     trajectory_geometry): properly-crossing segment pairs of the
@@ -3562,6 +3589,7 @@ QUERIES = {
     "move_octants": q_move_octants,
     "user_hulls": q_user_hulls,
     "trajectory_geometry": q_trajectory_geometry,
+    "od_matrix": q_od_matrix,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3694,6 +3722,7 @@ ORACLES = {
     "move_octants": SQL_MOVE_OCTANTS,
     "user_hulls": SQL_USER_HULLS,
     "trajectory_geometry": SQL_TRAJECTORY_GEOMETRY,
+    "od_matrix": SQL_OD_MATRIX,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

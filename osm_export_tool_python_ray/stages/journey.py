@@ -565,3 +565,68 @@ def trajectory_geometry(events_ds, num_buckets=32, num_partitions=8):
             ]
         ),
     )
+
+
+def od_matrix(events_ds, num_buckets=32, num_partitions=8):
+    """Origin-destination matrix: per user, origin = grid point of the
+    FIRST event and destination = grid point of the LAST event (both in
+    the journey family's (ts, event_id) order), folded to one row
+    (ox, oy, dx, dy, n_users) per distinct OD pair.
+
+    One user-keyed exchange; each partition reduces its users to local
+    OD partial counts (np.unique over the packed 4-tuple) before the
+    tiny 4-key groupby sum — the classic mobility-analytics rollup."""
+    from ray.data.aggregate import Sum
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    def partial(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        cols = {k: np.asarray([], dtype=np.int64) for k in ("ox", "oy", "dx", "dy")}
+        n = np.asarray([], dtype=np.int64)
+        if len(u):
+            ts = _ts_i64(g.column("ts"))
+            eid = g.column("event_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts, u))
+            u, eid = u[order], eid[order]
+            x = (eid % 100).astype(np.int64)
+            y = ((eid // 7) % 100).astype(np.int64)
+            starts = np.nonzero(np.concatenate([[True], u[1:] != u[:-1]]))[0]
+            ends = np.append(starts[1:], len(u)) - 1
+            # pack the OD 4-tuple (each coord < 100 < 2^7) for one unique()
+            key = (
+                (x[starts] << np.int64(21))
+                | (y[starts] << np.int64(14))
+                | (x[ends] << np.int64(7))
+                | y[ends]
+            )
+            uk, cnt = np.unique(key, return_counts=True)
+            cols = {
+                "ox": uk >> np.int64(21),
+                "oy": (uk >> np.int64(14)) & np.int64(127),
+                "dx": (uk >> np.int64(7)) & np.int64(127),
+                "dy": uk & np.int64(127),
+            }
+            n = cnt.astype(np.int64)
+        return pa.table(
+            {**{k: pa.array(v) for k, v in cols.items()}, "n_partial": pa.array(n)}
+        )
+
+    partials = grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: partial(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+            ]
+        ),
+    )
+    return partials.groupby(["ox", "oy", "dx", "dy"]).aggregate(
+        Sum("n_partial", alias_name="n_users")
+    )

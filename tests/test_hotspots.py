@@ -390,3 +390,50 @@ class TestTrajectoryGeometry:
             ).take_all()
             outs.append(sorted((r["user_id"], r["n_cross"], r["hull_area2"]) for r in res))
         assert outs[0] == outs[1]
+
+
+class TestOdMatrix:
+    def test_matches_bruteforce_and_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import od_matrix
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(53)
+        rows = [
+            (int(rng.randint(0, 6_000)), int(rng.randint(1, 20)),
+             int(rng.randint(0, 400)), "view", 0.0)
+            for i in range(500)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = od_matrix(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(
+                sorted((r["ox"], r["oy"], r["dx"], r["dy"], r["n_users"]) for r in res)
+            )
+        assert outs[0] == outs[1]
+
+        from collections import Counter, defaultdict
+        by_user = defaultdict(list)
+        for eid, u, ts, _et, _v in rows:
+            by_user[u].append((ts, eid))
+        want = Counter()
+        for pts in by_user.values():
+            pts.sort()
+            o, d = pts[0][1], pts[-1][1]
+            want[(o % 100, (o // 7) % 100, d % 100, (d // 7) % 100)] += 1
+        assert outs[0] == sorted(k + (v,) for k, v in want.items())
+
+    def test_single_event_user_is_self_loop(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import od_matrix
+        from tests.test_temporal import _events_table
+
+        out = od_matrix(
+            ray.data.from_arrow(_events_table([(213, 5, 7, "view", 0.0)])),
+            num_buckets=2, num_partitions=1,
+        ).take_all()
+        x, y = 213 % 100, (213 // 7) % 100
+        assert out == [{"ox": x, "oy": y, "dx": x, "dy": y, "n_users": 1}]
