@@ -6,7 +6,7 @@ Ray pipeline and the oracle (the driver sorts columns by name and
 value-hashes). Floating-point aggregates are rounded to 6 decimals on BOTH
 sides so double-summation order cannot flip the hash; rank/selection ties
 are broken on a quantized key + id on both sides (raw doubles differ in
-the last ulp between numpy and DuckDB). ALL 48 queries are oracle-backed
+the last ulp between numpy and DuckDB). ALL 70 queries are oracle-backed
 — including the LSH families (MinHash/SimHash re-derived with exact hash
 arithmetic in SQL), connected components (recursive CTE), the full export
 surface (span-UNNEST re-derivation), deterministic strided-centroid
