@@ -6,7 +6,7 @@ Ray pipeline and the oracle (the driver sorts columns by name and
 value-hashes). Floating-point aggregates are rounded to 6 decimals on BOTH
 sides so double-summation order cannot flip the hash; rank/selection ties
 are broken on a quantized key + id on both sides (raw doubles differ in
-the last ulp between numpy and DuckDB). ALL 70 queries are oracle-backed
+the last ulp between numpy and DuckDB). ALL 71 queries are oracle-backed
 — including the LSH families (MinHash/SimHash re-derived with exact hash
 arithmetic in SQL), connected components (recursive CTE), the full export
 surface (span-UNNEST re-derivation), deterministic strided-centroid
@@ -2926,6 +2926,68 @@ LEFT JOIN harea ha USING (user_id)
 """
 
 
+BFS_MAX_HOPS = 6
+
+
+def q_grid_distance(sf_dir):
+    """Isochrone-style multi-source BFS (stages/hotspots.py
+    grid_bfs_distance): hop distance over customer-occupied res-8 cells
+    (4-adjacency, walkable = occupied) from the nearest supplier-seeded
+    cell, capped at {h} hops. Reduced-graph shape: both point layers
+    collapse to cell aggregates before anything global; the BFS runs on
+    the collected cell table and the distance map broadcasts back into a
+    distributed attach.""".format(h=BFS_MAX_HOPS)
+    from osm_export_tool_python_ray.stages.hotspots import grid_bfs_distance
+
+    def supplier_points(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lon": pa.array(np.mod(k, 100.0) * 0.01 + 0.003),
+                "lat": pa.array(np.mod(np.floor(k / 3.0), 100.0) * 0.01 + 0.004),
+            }
+        )
+
+    return grid_bfs_distance(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            _customer_points, batch_format="pyarrow"
+        ),
+        _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+            supplier_points, batch_format="pyarrow"
+        ),
+        res=8,
+        max_hops=BFS_MAX_HOPS,
+    )
+
+
+# recursive BFS min-distance walk; UNION dedups (cell, d) pairs and the
+# d < max_hops guard terminates the recursion
+SQL_GRID_DISTANCE = """
+WITH RECURSIVE occ AS (
+  SELECT DISTINCT CAST(8 AS BIGINT) * 288230376151711744
+       + CAST(floor(((c_custkey % 100) * 0.01 + 180.0) * 32768.0 / 360.0) AS BIGINT) * 536870912
+       + CAST(floor(((CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 + 90.0) * 32768.0 / 360.0) AS BIGINT) AS cell
+  FROM customer
+), seedc AS (
+  SELECT DISTINCT CAST(8 AS BIGINT) * 288230376151711744
+       + CAST(floor(((s_suppkey % 100) * 0.01 + 0.003 + 180.0) * 32768.0 / 360.0) AS BIGINT) * 536870912
+       + CAST(floor(((CAST(floor(s_suppkey / 3.0) AS BIGINT) % 100) * 0.01 + 0.004 + 90.0) * 32768.0 / 360.0) AS BIGINT) AS cell
+  FROM supplier
+), seeds AS (
+  -- INTERSECT is rejected inside a WITH RECURSIVE chain; join instead
+  SELECT o.cell FROM occ o JOIN seedc s ON s.cell = o.cell
+), walk(cell, d) AS (
+  SELECT cell, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT o.cell, w.d + 1
+  FROM walk w JOIN occ o
+    ON o.cell IN (w.cell + 1, w.cell - 1, w.cell + 536870912, w.cell - 536870912)
+  WHERE w.d < {h}
+)
+SELECT cell, min(d) AS dist FROM walk GROUP BY cell
+""".format(h=BFS_MAX_HOPS)
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3590,6 +3652,7 @@ QUERIES = {
     "user_hulls": q_user_hulls,
     "trajectory_geometry": q_trajectory_geometry,
     "od_matrix": q_od_matrix,
+    "grid_distance": q_grid_distance,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3723,6 +3786,7 @@ ORACLES = {
     "user_hulls": SQL_USER_HULLS,
     "trajectory_geometry": SQL_TRAJECTORY_GEOMETRY,
     "od_matrix": SQL_OD_MATRIX,
+    "grid_distance": SQL_GRID_DISTANCE,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -178,3 +178,79 @@ def grid_clusters(points_ds, res=8, min_pts=3):
         .groupby("cluster_id")
         .aggregate(Count(alias_name="n_cells"), Sum("n", alias_name="n_points"))
     )
+
+
+def bfs_distances(cells, seed_mask, max_hops):
+    """Multi-source BFS over a SORTED packed-cell array restricted to the
+    cells themselves (4-adjacency): int64 hop distance from the nearest
+    seed, -1 where unreachable within max_hops. Frontier expansion is
+    vectorized (searchsorted probes at the four neighbor offsets)."""
+    m = len(cells)
+    dist = np.where(seed_mask, np.int64(0), np.int64(-1))
+    frontier = np.nonzero(seed_mask)[0]
+    for h in range(1, max_hops + 1):
+        if not len(frontier):
+            break
+        nxt = []
+        for step in (np.int64(1), np.int64(-1), _IX, -_IX):
+            nb = cells[frontier] + step
+            j = np.searchsorted(cells, nb)
+            ok = (j < m) & (cells[np.minimum(j, m - 1)] == nb)
+            nxt.append(j[ok])
+        cand = np.unique(np.concatenate(nxt)) if nxt else np.asarray([], dtype=np.int64)
+        frontier = cand[dist[cand] == -1]
+        dist[frontier] = h
+    return dist
+
+
+def grid_bfs_distance(points_ds, seeds_ds, res=8, max_hops=6):
+    """Isochrone-style reachability: hop distance (4-adjacency BFS,
+    walkable = cells OCCUPIED by ``points_ds``) from the nearest seed
+    cell (cells of ``seeds_ds`` that are themselves occupied) -> one row
+    (cell, dist) per occupied cell reachable within ``max_hops``.
+
+    Same reduced-graph shape as ``grid_clusters``: both point sets
+    collapse to cell aggregates before anything global; the BFS runs on
+    the collected cell table (cells ≪ points); the cell -> dist map is
+    broadcast via ``ray.put`` and the output attach folds distributively
+    over the occupied-cell aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    occ = (
+        points_ds.map_batches(
+            lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+        )
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()
+    )
+    occ_cells = np.sort(occ.to_pandas()["cell"].to_numpy())
+    seed_cells = np.unique(
+        np.concatenate(
+            [
+                b["cell"].to_numpy()
+                for b in seeds_ds.map_batches(
+                    lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+                ).iter_batches(batch_format="pandas")
+            ]
+            or [np.asarray([], dtype=np.int64)]
+        )
+    )
+    seed_mask = np.isin(occ_cells, seed_cells)
+    dist = bfs_distances(occ_cells, seed_mask, max_hops)
+    dist_ref = ray.put((occ_cells, dist))
+
+    def attach(t: pa.Table) -> pa.Table:
+        cs, ds_ = ray.get(dist_ref)
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        d = ds_[np.searchsorted(cs, c)]
+        keep = d >= 0
+        return pa.table(
+            {
+                "cell": pa.array(c[keep]),
+                "dist": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    return occ.map_batches(attach, batch_format="pyarrow")

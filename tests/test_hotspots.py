@@ -437,3 +437,75 @@ class TestOdMatrix:
         ).take_all()
         x, y = 213 % 100, (213 // 7) % 100
         assert out == [{"ox": x, "oy": y, "dx": x, "dy": y, "n_users": 1}]
+
+
+class TestGridDistance:
+    @staticmethod
+    def _brute(cells, seeds, max_hops):
+        """Dict-BFS reference."""
+        IX = 1 << 29
+        cs = set(int(c) for c in cells)
+        dist = {int(c): 0 for c in seeds if int(c) in cs}
+        frontier = list(dist)
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for nb in (v + 1, v - 1, v + IX, v - IX):
+                    if nb in cs and nb not in dist:
+                        dist[nb] = h
+                        nxt.append(nb)
+            frontier = nxt
+        return dist
+
+    def test_kernel_matches_bfs(self):
+        from osm_export_tool_python_ray.stages.hotspots import bfs_distances
+
+        rng = np.random.RandomState(61)
+        IX = 1 << 29
+        base = np.int64(8) << np.int64(58)
+        for trial in range(30):
+            n = int(rng.randint(1, 150))
+            cells = np.unique(
+                base
+                + rng.randint(0, 14, size=n).astype(np.int64) * IX
+                + rng.randint(0, 14, size=n).astype(np.int64)
+            )
+            nseed = int(rng.randint(0, len(cells) + 1))
+            mask = np.zeros(len(cells), dtype=bool)
+            mask[rng.choice(len(cells), size=nseed, replace=False)] = True
+            hops = int(rng.randint(0, 8))
+            d = bfs_distances(cells, mask, hops)
+            want = self._brute(cells, cells[mask], hops)
+            got = {int(c): int(x) for c, x in zip(cells, d) if x >= 0}
+            assert got == want, (trial, hops)
+
+    def test_stage_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import grid_bfs_distance
+
+        rng = np.random.RandomState(67)
+        cw = 360.0 / 32768.0
+        lon = (rng.randint(0, 20, size=400) * cw) + 0.0001
+        lat = (rng.randint(0, 20, size=400) * cw) + 0.0001
+        slon = (rng.randint(0, 20, size=12) * cw) + 0.0001
+        slat = (rng.randint(0, 20, size=12) * cw) + 0.0001
+        out = grid_bfs_distance(
+            ray.data.from_arrow(_points_table(lon, lat)),
+            ray.data.from_arrow(_points_table(slon, slat)),
+            res=8, max_hops=4,
+        ).take_all()
+        occ = np.unique(_cells_of(lon, lat))
+        seeds = np.unique(_cells_of(slon, slat))
+        want = self._brute(occ, [s for s in seeds if s in set(occ.tolist())], 4)
+        assert {r["cell"]: r["dist"] for r in out} == want
+
+    def test_no_seeds_empty(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import grid_bfs_distance
+
+        out = grid_bfs_distance(
+            ray.data.from_arrow(_points_table([0.1, 0.2], [0.1, 0.2])),
+            ray.data.from_arrow(_points_table([50.0], [50.0])),
+            res=8, max_hops=3,
+        ).take_all()
+        assert out == []
