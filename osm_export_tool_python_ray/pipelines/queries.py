@@ -2988,6 +2988,140 @@ SELECT cell, min(d) AS dist FROM walk GROUP BY cell
 """.format(h=BFS_MAX_HOPS)
 
 
+STAY_MIN_DWELL_US = 3_600_000_000  # 1 hour
+
+
+def q_stay_points(sf_dir):
+    """Stay-point detection (stages/journey.py stay_points): per user,
+    maximal runs of consecutive events (journey (ts, event_id) order)
+    inside one coarse 10x10 grid cell, kept when the run has >= 2 events
+    and >= 1 hour of dwell; rolled up to (user_id, n_stays,
+    total_dwell_us, max_dwell_us). One user-keyed exchange, one
+    vectorized pass, rows emit per-user with no further groupby — pure
+    int64 microsecond arithmetic on both sides."""
+    from osm_export_tool_python_ray.stages.journey import stay_points
+
+    return stay_points(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=10,
+        min_events=2,
+        min_dwell_us=STAY_MIN_DWELL_US,
+    )
+
+
+# gaps-and-islands: within (user, cell) the global row_number minus the
+# per-(user, cell) row_number is constant exactly on maximal consecutive
+# runs (a revisit strictly increases the difference) — same (ts,
+# event_id) tie-break as the engine's lexsort
+SQL_STAY_POINTS = """
+WITH pts0 AS (
+  SELECT user_id, ts, event_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy
+  FROM events
+), pts AS (
+  SELECT user_id, ts, cx, cy,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, cx, cy
+                                ORDER BY ts, event_id) AS grp
+  FROM pts0
+), runs AS (
+  SELECT user_id,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell
+  FROM pts GROUP BY user_id, cx, cy, grp
+  HAVING count(*) >= 2
+     AND epoch_us(max(ts)) - epoch_us(min(ts)) >= {d}
+)
+SELECT user_id, count(*) AS n_stays,
+       CAST(sum(dwell) AS BIGINT) AS total_dwell_us,
+       max(dwell) AS max_dwell_us
+FROM runs GROUP BY user_id
+""".format(d=STAY_MIN_DWELL_US)
+
+
+def q_encounters(sf_dir):
+    """Co-location detection (stages/journey.py encounters): distinct
+    user pairs sharing a coarse grid cell within the same hour bucket,
+    with n_shared = number of distinct shared (cell, hour) groups. The
+    exchange moves distinct presence rows (batch combiner), the pair
+    expansion is vectorized repeat/cumsum arithmetic, and oversized
+    groups truncate under a counted cap (never hit at oracle scales —
+    asserted in tests)."""
+    from osm_export_tool_python_ray.stages.journey import encounters
+
+    return encounters(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=10,
+        bucket_us=3_600_000_000,
+    )
+
+
+SQL_ENCOUNTERS = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_shared
+FROM p a JOIN p b
+  ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+"""
+
+
+def q_spatial_autocorr(sf_dir):
+    """Spatial-autocorrelation partials (stages/hotspots.py
+    moran_partials): ONE row of the six int64 sums Moran's I needs over
+    res-8 occupied-cell counts with rook weights — n_cells, sum_n,
+    sum_n2, n_pairs (ordered occupied-neighbor pairs), pair_prod
+    (sum of c_i*c_j over those pairs), deg_n (sum of c_i*deg_i). Points
+    collapse to cell aggregates before any exchange; the x5 rook
+    replication runs on the cell table."""
+    from osm_export_tool_python_ray.stages.hotspots import moran_partials
+
+    return moran_partials(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            _customer_points, batch_format="pyarrow"
+        ),
+        res=8,
+    )
+
+
+SQL_SPATIAL_AUTOCORR = """
+WITH pts AS (
+  SELECT (c_custkey % 100) * 0.01 AS lon,
+         (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
+  FROM customer
+), i8 AS (
+  SELECT CAST(floor((lon + 180.0) * 32768.0 / 360.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 32768.0 / 360.0) AS BIGINT) AS iy
+  FROM pts
+), cellagg AS (
+  SELECT ix, iy, count(*) AS n FROM i8 GROUP BY ix, iy
+), nb AS (
+  SELECT a.n AS an, b.n AS bn
+  FROM cellagg a JOIN cellagg b
+    ON (a.ix = b.ix AND abs(a.iy - b.iy) = 1)
+    OR (a.iy = b.iy AND abs(a.ix - b.ix) = 1)
+), base AS (
+  SELECT count(*) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS sum_n,
+         CAST(sum(n * n) AS BIGINT) AS sum_n2
+  FROM cellagg
+), pr AS (
+  SELECT count(*) AS n_pairs,
+         CAST(coalesce(sum(an * bn), 0) AS BIGINT) AS pair_prod,
+         CAST(coalesce(sum(an), 0) AS BIGINT) AS deg_n
+  FROM nb
+)
+SELECT base.n_cells, base.sum_n, base.sum_n2,
+       pr.n_pairs, pr.pair_prod, pr.deg_n
+FROM base, pr
+"""
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3653,6 +3787,9 @@ QUERIES = {
     "trajectory_geometry": q_trajectory_geometry,
     "od_matrix": q_od_matrix,
     "grid_distance": q_grid_distance,
+    "stay_points": q_stay_points,
+    "encounters": q_encounters,
+    "spatial_autocorr": q_spatial_autocorr,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3787,6 +3924,9 @@ ORACLES = {
     "trajectory_geometry": SQL_TRAJECTORY_GEOMETRY,
     "od_matrix": SQL_OD_MATRIX,
     "grid_distance": SQL_GRID_DISTANCE,
+    "stay_points": SQL_STAY_POINTS,
+    "encounters": SQL_ENCOUNTERS,
+    "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -254,3 +254,95 @@ def grid_bfs_distance(points_ds, seeds_ds, res=8, max_hops=6):
         )
 
     return occ.map_batches(attach, batch_format="pyarrow")
+
+
+def moran_partials(points_ds, res=8):
+    """Spatial-autocorrelation partials (Moran's I over occupied-cell
+    counts with rook / 4-neighbor weights): ONE row
+    (n_cells, sum_n, sum_n2, n_pairs, pair_prod, deg_n) where the sums
+    run over occupied cells c_i and the ordered occupied-neighbor pairs
+    (i, j): n_pairs = Σ deg_i, pair_prod = Σ_{(i,j)} c_i·c_j,
+    deg_n = Σ c_i·deg_i (deg_i = occupied rook neighbors of i). These
+    six int64 partials are exactly what Moran's I needs —
+    I = (N/W)·Σ_{(i,j)}(c_i−m)(c_j−m) / Σ(c_i−m)² expands to
+    (N/n_pairs)·(pair_prod − 2·m·deg_n/2·... ) in terms of them — while
+    staying integer-exact and summation-order independent (the engine's
+    rule for float-free oracles; the division happens client-side).
+
+    Scale shape: per-batch point→cell combiner, one groupby fold to
+    FINAL cell counts (products need finals, unlike cell_density's
+    partial-replication), then the x5 rook replication of the cell
+    table with an in-band self flag and one groupby('target') —
+    cells move, points never. The final reduction is a single
+    fixed-shape row per block folded by a tiny sum."""
+    from ray.data.aggregate import Sum
+
+    def replicate(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        zeros = np.zeros_like(n)
+        tgt = [cell]
+        nb, slf = [zeros], [n]
+        for off in (np.int64(1), np.int64(-1), _IX, -_IX):
+            tgt.append(cell + off)
+            nb.append(n)
+            slf.append(zeros)
+        return pa.table(
+            {
+                "target": pa.array(np.concatenate(tgt)),
+                "nb": pa.array(np.concatenate(nb)),
+                "nb_cnt": pa.array(
+                    np.concatenate([np.zeros_like(n)] + [np.ones_like(n)] * 4)
+                ),
+                "self": pa.array(np.concatenate(slf)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # occupied targets only (spill targets from packed ±1/±2^29
+        # offsets can never gain a self contribution — cell_density's
+        # boundary argument)
+        t = t.filter(pc.greater(t.column("n"), 0))
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        nbs = t.column("nbr_sum").to_numpy(zero_copy_only=False)
+        deg = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "grp": pa.array([np.int64(0)]),
+                "n_cells": pa.array([np.int64(len(n))]),
+                "sum_n": pa.array([n.sum()]),
+                "sum_n2": pa.array([(n * n).sum()]),
+                "n_pairs": pa.array([deg.sum()]),
+                "pair_prod": pa.array([(n * nbs).sum()]),
+                "deg_n": pa.array([(n * deg).sum()]),
+            }
+        )
+
+    cells = (
+        points_ds.map_batches(
+            lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+        )
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    per_cell = (
+        cells.map_batches(replicate, batch_format="pyarrow")
+        .groupby("target")
+        .aggregate(
+            Sum("nb", alias_name="nbr_sum"),
+            Sum("nb_cnt", alias_name="deg"),
+            Sum("self", alias_name="n"),
+        )
+    )
+    partial_rows = per_cell.map_batches(fold, batch_format="pyarrow")
+    folded = partial_rows.groupby("grp").aggregate(
+        Sum("n_cells", alias_name="n_cells"),
+        Sum("sum_n", alias_name="sum_n"),
+        Sum("sum_n2", alias_name="sum_n2"),
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("pair_prod", alias_name="pair_prod"),
+        Sum("deg_n", alias_name="deg_n"),
+    )
+    return folded.map_batches(
+        lambda t: t.drop_columns(["grp"]), batch_format="pyarrow"
+    )

@@ -630,3 +630,218 @@ def od_matrix(events_ds, num_buckets=32, num_partitions=8):
     return partials.groupby(["ox", "oy", "dx", "dy"]).aggregate(
         Sum("n_partial", alias_name="n_users")
     )
+
+
+def stay_points(
+    events_ds,
+    cell_div=10,
+    min_events=2,
+    min_dwell_us=3_600_000_000,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """Stay-point detection (the GeoLife-style mobility primitive): a
+    stay is a MAXIMAL run of consecutive events (in the journey family's
+    (ts, event_id) order) whose grid points fall in the same coarse cell
+    (``x // cell_div``, ``y // cell_div``), with at least ``min_events``
+    events and a dwell (last ts - first ts) of at least ``min_dwell_us``
+    microseconds. Returns one row per user that has at least one stay:
+    (user_id, n_stays, total_dwell_us, max_dwell_us) — pure int64.
+
+    Scale shape: ONE user-keyed bucket exchange (the shared journey
+    partitioning key), then a single vectorized pass per partition —
+    run boundaries are a shifted-compare, run extents come from the
+    boundary index arithmetic, and the per-user rollup is reduceat over
+    the kept runs (users are partition-local, so rows emit directly
+    with no further groupby)."""
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % num_buckets).astype(np.int32)))
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_stays": pa.array([], type=pa.int64()),
+            "total_dwell_us": pa.array([], type=pa.int64()),
+            "max_dwell_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return EMPTY
+        ts = _ts_i64(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        cx = ((eid % 100) // cell_div).astype(np.int64)
+        cy = (((eid // 7) % 100) // cell_div).astype(np.int64)
+        # a run breaks on a new user OR a cell change
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])]
+        )
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(u)) - 1
+        n_run = (ends - starts + 1).astype(np.int64)
+        dwell = ts[ends] - ts[starts]  # runs are ts-sorted within a user
+        keep = (n_run >= min_events) & (dwell >= min_dwell_us)
+        if not keep.any():
+            return EMPTY
+        ku, kd = u[starts][keep], dwell[keep]
+        # kept runs are still user-sorted; roll up per user with reduceat
+        ustarts = np.nonzero(np.concatenate([[True], ku[1:] != ku[:-1]]))[0]
+        return pa.table(
+            {
+                "user_id": pa.array(ku[ustarts]),
+                "n_stays": pa.array(np.diff(np.append(ustarts, len(ku))).astype(np.int64)),
+                "total_dwell_us": pa.array(np.add.reduceat(kd, ustarts)),
+                "max_dwell_us": pa.array(np.maximum.reduceat(kd, ustarts)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: per_user(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+            ]
+        ),
+    )
+
+
+ENCOUNTER_GROUP_CAP = 1024
+
+
+def encounters(
+    events_ds,
+    cell_div=10,
+    bucket_us=3_600_000_000,
+    group_cap=ENCOUNTER_GROUP_CAP,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """Co-location (encounter) detection: two distinct users encounter
+    each other when both have at least one event in the same coarse grid
+    cell (``cell_div`` as in stay_points) during the same time bucket
+    (``bucket_us``-wide, epoch-aligned). Returns one row per unordered
+    user pair: (user_a, user_b, n_shared) with user_a < user_b and
+    n_shared = number of distinct (cell, bucket) groups they share.
+
+    Scale shape: a per-batch combiner first reduces events to DISTINCT
+    (group, user) presence rows — the exchange moves presence rows,
+    never raw events — then ONE group-keyed exchange and a vectorized
+    combination expansion per partition (no per-group Python loop: the
+    left/right pair indices come from repeat/cumsum arithmetic over the
+    group-size array). Groups larger than ``group_cap`` users keep the
+    ``group_cap`` smallest user_ids and count the dropped presence rows
+    via report_cap('encounter_group_truncated') — the hot-band cap
+    pattern of the dedup family (a global cell×hour with millions of
+    users would otherwise emit a quadratic pair set)."""
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.state.metrics import report_cap
+
+    def presence(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "gkey": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cx = ((eid % 100) // cell_div).astype(np.int64)
+        cy = (((eid // 7) % 100) // cell_div).astype(np.int64)
+        hb = ts // np.int64(bucket_us)
+        ncy = np.int64(100 // cell_div + 1)
+        gkey = (hb * ncy + cx) * ncy + cy
+        # batch-local distinct (gkey, user) — two-column unique via lexsort
+        order = np.lexsort((u, gkey))
+        gs, us = gkey[order], u[order]
+        first = np.concatenate([[True], (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])])
+        gs, us = gs[first], us[first]
+        return pa.table(
+            {
+                "gkey": pa.array(gs),
+                "user_id": pa.array(us),
+                "bucket": pa.array((gs % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        EMPTY = pa.table(
+            {
+                "user_a": pa.array([], type=pa.int64()),
+                "user_b": pa.array([], type=pa.int64()),
+                "n_partial": pa.array([], type=pa.int64()),
+            }
+        )
+        gk = g.column("gkey").to_numpy(zero_copy_only=False)
+        if not len(gk):
+            return EMPTY
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, gk))
+        gk, u = gk[order], u[order]
+        # cross-batch dedup of presence rows (same (gkey,user) may arrive
+        # from several upstream batches)
+        first = np.concatenate([[True], (gk[1:] != gk[:-1]) | (u[1:] != u[:-1])])
+        gk, u = gk[first], u[first]
+        starts = np.nonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))[0]
+        sizes = np.diff(np.append(starts, len(gk)))
+        over = sizes > group_cap
+        if over.any():
+            # keep the group_cap smallest user_ids (rows are user-sorted
+            # within a group), count dropped presence rows
+            rank = np.arange(len(gk)) - np.repeat(starts, sizes)
+            keep = rank < group_cap
+            report_cap("encounter_group_truncated", int((~keep).sum()))
+            gk, u = gk[keep], u[keep]
+            starts = np.nonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))[0]
+            sizes = np.diff(np.append(starts, len(gk)))
+        # vectorized combination expansion: row r (rank k in a group of
+        # size s) is the LEFT element of (s - 1 - k) pairs whose right
+        # elements are the rows immediately after it
+        rank = np.arange(len(gk)) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return EMPTY
+        L = np.repeat(np.arange(len(gk)), left_counts)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(offs, left_counts) + L + 1
+        ua, ub = u[L], u[R]  # user-sorted within group => ua < ub
+        # partition-local pair partials
+        order = np.lexsort((ub, ua))
+        ua, ub = ua[order], ub[order]
+        nfirst = np.concatenate([[True], (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])])
+        pstarts = np.nonzero(nfirst)[0]
+        return pa.table(
+            {
+                "user_a": pa.array(ua[pstarts]),
+                "user_b": pa.array(ub[pstarts]),
+                "n_partial": pa.array(
+                    np.diff(np.append(pstarts, len(ua))).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = grouped_map(
+        events_ds.map_batches(presence, batch_format="pyarrow"),
+        "bucket",
+        lambda g: pairs(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema([("gkey", pa.int64()), ("user_id", pa.int64())]),
+    )
+    return partials.groupby(["user_a", "user_b"]).aggregate(
+        Sum("n_partial", alias_name="n_shared")
+    )

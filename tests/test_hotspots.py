@@ -509,3 +509,229 @@ class TestGridDistance:
             res=8, max_hops=3,
         ).take_all()
         assert out == []
+
+
+class TestStayPoints:
+    @staticmethod
+    def _brute(rows, cell_div=10, min_events=2, min_dwell_us=0):
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for eid, u, ts, _et, _v in rows:
+            by_user[u].append((ts, eid))
+        out = {}
+        for u, pts in by_user.items():
+            pts.sort()
+            stays = []
+            run = [pts[0]]
+            def cell(p):
+                return ((p[1] % 100) // cell_div, ((p[1] // 7) % 100) // cell_div)
+            for p in pts[1:]:
+                if cell(p) == cell(run[-1]):
+                    run.append(p)
+                else:
+                    stays.append(run)
+                    run = [p]
+            stays.append(run)
+            kept = [
+                r[-1][0] - r[0][0]
+                for r in stays
+                if len(r) >= min_events and r[-1][0] - r[0][0] >= min_dwell_us
+            ]
+            if kept:
+                out[u] = (len(kept), sum(kept), max(kept))
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import stay_points
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(33)
+        # small event_id range => coarse cells repeat => real runs form
+        rows = [
+            (int(rng.randint(0, 300)), int(rng.randint(1, 8)),
+             int(rng.randint(0, 5_000)), "view", 0.0)
+            for _ in range(400)
+        ]
+        out = stay_points(
+            ray.data.from_arrow(_events_table(rows)),
+            min_dwell_us=100, num_buckets=4, num_partitions=2,
+        ).take_all()
+        got = {
+            r["user_id"]: (r["n_stays"], r["total_dwell_us"], r["max_dwell_us"])
+            for r in out
+        }
+        assert got == self._brute(rows, min_dwell_us=100)
+
+    def test_dwell_and_minevents_filters(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import stay_points
+        from tests.test_temporal import _events_table
+
+        # user 1: three events in one cell, dwell 200us; user 2: a
+        # single-event visit (never a stay) then a 2-event run of dwell 50
+        rows = [
+            (5, 1, 1_000, "view", 0.0),
+            (6, 1, 1_100, "view", 0.0),
+            (7, 1, 1_200, "view", 0.0),
+            (500, 2, 10, "view", 0.0),
+            (5, 2, 2_000, "view", 0.0),
+            (6, 2, 2_050, "view", 0.0),
+        ]
+        ds = ray.data.from_arrow(_events_table(rows))
+        out = stay_points(ds, min_dwell_us=100, num_buckets=2, num_partitions=1).take_all()
+        assert {r["user_id"]: r["n_stays"] for r in out} == {1: 1}
+        out0 = stay_points(ds, min_dwell_us=0, num_buckets=2, num_partitions=1).take_all()
+        assert {r["user_id"]: r["n_stays"] for r in out0} == {1: 1, 2: 1}
+
+    def test_parallelism_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import stay_points
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(34)
+        rows = [
+            (int(rng.randint(0, 200)), int(rng.randint(1, 6)),
+             int(rng.randint(0, 3_000)), "view", 0.0)
+            for _ in range(300)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = stay_points(
+                ray.data.from_arrow(_events_table(rows)),
+                min_dwell_us=10, num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(sorted(tuple(sorted(r.items())) for r in res))
+        assert outs[0] == outs[1]
+
+
+class TestEncounters:
+    @staticmethod
+    def _brute(rows, cell_div=10, bucket_us=3_600_000_000):
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for eid, u, ts, _et, _v in rows:
+            cx = (eid % 100) // cell_div
+            cy = ((eid // 7) % 100) // cell_div
+            groups[(cx, cy, ts // bucket_us)].add(u)
+        pairs = defaultdict(int)
+        for users in groups.values():
+            us = sorted(users)
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    pairs[(us[i], us[j])] += 1
+        return dict(pairs)
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import encounters
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(35)
+        rows = [
+            (int(rng.randint(0, 400)), int(rng.randint(1, 12)),
+             int(rng.randint(0, 10_000)), "view", 0.0)
+            for _ in range(500)
+        ]
+        out = encounters(
+            ray.data.from_arrow(_events_table(rows)),
+            bucket_us=2_000, num_buckets=4, num_partitions=2,
+        ).take_all()
+        got = {(r["user_a"], r["user_b"]): r["n_shared"] for r in out}
+        assert got == self._brute(rows, bucket_us=2_000)
+
+    def test_group_cap_truncates_and_counts(self, ray_session):
+        import time
+
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import encounters
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+        from tests.test_temporal import _events_table
+
+        # 10 users in ONE cell+bucket; cap=4 keeps the 4 smallest ids
+        rows = [(1, u, 100, "view", 0.0) for u in range(1, 11)]
+        snapshot_caps()
+        out = encounters(
+            ray.data.from_arrow(_events_table(rows)),
+            group_cap=4, num_buckets=2, num_partitions=1,
+        ).take_all()
+        got = sorted((r["user_a"], r["user_b"]) for r in out)
+        assert got == [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        caps = {}
+        for _ in range(50):
+            caps.update(snapshot_caps())
+            if "encounter_group_truncated" in caps:
+                break
+            time.sleep(0.1)
+        assert caps.get("encounter_group_truncated", 0) >= 6
+
+    def test_parallelism_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import encounters
+        from tests.test_temporal import _events_table
+
+        rng = np.random.RandomState(36)
+        rows = [
+            (int(rng.randint(0, 300)), int(rng.randint(1, 9)),
+             int(rng.randint(0, 8_000)), "view", 0.0)
+            for _ in range(400)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = encounters(
+                ray.data.from_arrow(_events_table(rows)),
+                bucket_us=3_000, num_buckets=nb, num_partitions=npart,
+            ).take_all()
+            outs.append(sorted(tuple(sorted(r.items())) for r in res))
+        assert outs[0] == outs[1]
+
+
+class TestMoranPartials:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.functions.cells import cell_of
+        from osm_export_tool_python_ray.stages.hotspots import moran_partials
+
+        rng = np.random.RandomState(40)
+        lon = rng.uniform(-0.5, 0.5, 600)
+        lat = rng.uniform(-0.5, 0.5, 600)
+        ds = ray.data.from_arrow(
+            pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        ).repartition(4)
+        row = moran_partials(ds, res=8).take_all()[0]
+
+        from collections import Counter
+
+        counts = Counter(cell_of(lon, lat, res=8).astype(np.int64).tolist())
+        IX = 1 << 29
+        n_pairs = pair_prod = deg_n = 0
+        for c, n in counts.items():
+            for off in (1, -1, IX, -IX):
+                if c + off in counts:
+                    n_pairs += 1
+                    pair_prod += n * counts[c + off]
+                    deg_n += n
+        assert row == {
+            "n_cells": len(counts),
+            "sum_n": sum(counts.values()),
+            "sum_n2": sum(n * n for n in counts.values()),
+            "n_pairs": n_pairs,
+            "pair_prod": pair_prod,
+            "deg_n": deg_n,
+        }
+
+    def test_no_adjacent_cells(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.hotspots import moran_partials
+
+        # two far-apart points: occupied cells with zero rook neighbors
+        ds = ray.data.from_arrow(
+            pa.table({"lon": pa.array([0.0, 10.0]), "lat": pa.array([0.0, 10.0])})
+        )
+        row = moran_partials(ds, res=8).take_all()[0]
+        assert row == {
+            "n_cells": 2, "sum_n": 2, "sum_n2": 2,
+            "n_pairs": 0, "pair_prod": 0, "deg_n": 0,
+        }
