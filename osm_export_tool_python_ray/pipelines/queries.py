@@ -3122,6 +3122,118 @@ FROM base, pr
 """
 
 
+# Z-order rectangle: engine filters by CURVE INTERVALS only; the oracle
+# filters by the plain rectangle and re-derives the Morton code — hash
+# equality proves the quadtree decomposition covers exactly the rect.
+_ZQ = (23, 61, 17, 76)  # xlo, xhi, ylo, yhi (inclusive, non-aligned)
+
+
+def q_zorder_range(sf_dir):
+    """Space-filling-curve range query (stages/zorder.py
+    zorder_range_query): the rectangle is decomposed driver-side into
+    disjoint Morton intervals (O(perimeter) state, broadcast in the
+    closure), points are kept by a vectorized searchsorted membership
+    test on the curve code ALONE — the x/y predicate never runs engine
+    side — then folded per 8×8 Z-block with per-batch partials. This is
+    the pruning contract of a curve-sorted Lance/parquet table: row
+    groups are skipped by Morton min/max, never by per-row rectangles."""
+    from osm_export_tool_python_ray.stages.zorder import zorder_range_query
+
+    return zorder_range_query(
+        _read(sf_dir, "events", ["event_id"]), *_ZQ
+    )
+
+
+def _sql_morton(x, y, bits=7):
+    """Morton interleave as integer SQL: bit b of x -> 2b, of y -> 2b+1
+    (matches stages/zorder.py morton_encode bit-for-bit)."""
+    terms = []
+    for b in range(bits):
+        terms.append("((%s // %d) %% 2) * %d" % (x, 1 << b, 1 << (2 * b)))
+        terms.append("((%s // %d) %% 2) * %d" % (y, 1 << b, 1 << (2 * b + 1)))
+    return " + ".join(terms)
+
+
+SQL_ZORDER_RANGE = f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+), sel AS (
+  SELECT event_id, ({_sql_morton("x", "y")}) AS m
+  FROM pts
+  WHERE x BETWEEN {_ZQ[0]} AND {_ZQ[1]} AND y BETWEEN {_ZQ[2]} AND {_ZQ[3]}
+)
+SELECT m // 64 AS qkey,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM sel GROUP BY qkey
+"""
+
+
+def q_map_match(sf_dir):
+    """Map matching (stages/mapmatch.py map_match): snap every
+    non-road-user probe point to the nearest road segment inside a
+    RADIUS-expanded bbox corridor. Road network = trajectories of
+    user_id % 17 == 0 users (one user-keyed exchange to order them),
+    broadcast as a cell->segment CSR index via ray.put (the
+    decontamination small-side shape); probes stream through one
+    stateless map_batches — candidate gather by searchsorted, exact
+    scaled-integer point-to-segment distance (floor-division interior
+    case), two masked reduceat passes for the (d2q, seg_id) argmin."""
+    from osm_export_tool_python_ray.stages.mapmatch import map_match
+
+    return map_match(_read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+SQL_MAP_MATCH = """
+WITH rd AS (
+  SELECT user_id, event_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 17 = 0
+), seg0 AS (
+  SELECT event_id AS seg_id, x AS ax, y AS ay,
+         lead(x) OVER w AS bx, lead(y) OVER w AS by2
+  FROM rd WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), segs AS (
+  SELECT seg_id, ax, ay, bx, by2 FROM seg0
+  WHERE bx IS NOT NULL AND abs(bx - ax) <= 20 AND abs(by2 - ay) <= 20
+), pts AS (
+  SELECT event_id,
+         CAST(event_id % 100 AS BIGINT) AS px,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS py
+  FROM events WHERE user_id % 17 <> 0
+), cand AS (
+  SELECT p.event_id, s.seg_id,
+         s.bx - s.ax AS dx, s.by2 - s.ay AS dy,
+         p.px - s.ax AS pxa, p.py - s.ay AS pya,
+         p.px - s.bx AS pxb, p.py - s.by2 AS pyb
+  FROM pts p JOIN segs s
+    ON p.px BETWEEN least(s.ax, s.bx) - 10 AND greatest(s.ax, s.bx) + 10
+   AND p.py BETWEEN least(s.ay, s.by2) - 10 AND greatest(s.ay, s.by2) + 10
+), scored AS (
+  SELECT event_id, seg_id,
+    CASE
+      WHEN dx*dx + dy*dy = 0 OR dx*pxa + dy*pya <= 0
+        THEN (pxa*pxa + pya*pya) * 1048576
+      WHEN dx*pxa + dy*pya >= dx*dx + dy*dy
+        THEN (pxb*pxb + pyb*pyb) * 1048576
+      ELSE ((dx*pya - dy*pxa) * (dx*pya - dy*pxa) * 1048576)
+           // (dx*dx + dy*dy)
+    END AS d2q
+  FROM cand
+), ranked AS (
+  SELECT event_id, seg_id, d2q,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2q, seg_id) AS rk
+  FROM scored
+)
+SELECT event_id, seg_id, d2q FROM ranked WHERE rk = 1
+"""
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3790,6 +3902,8 @@ QUERIES = {
     "stay_points": q_stay_points,
     "encounters": q_encounters,
     "spatial_autocorr": q_spatial_autocorr,
+    "zorder_range": q_zorder_range,
+    "map_match": q_map_match,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -3927,6 +4041,8 @@ ORACLES = {
     "stay_points": SQL_STAY_POINTS,
     "encounters": SQL_ENCOUNTERS,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
+    "zorder_range": SQL_ZORDER_RANGE,
+    "map_match": SQL_MAP_MATCH,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1,0 +1,146 @@
+"""Map matching: engine result verified against an INDEPENDENT
+brute-force scan (all probe × all segment, exact Fraction distances
+clamped per the scalar textbook formula) — not a reimplementation of
+the CSR/reduceat kernel."""
+
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.stages.mapmatch import (
+    CELL,
+    MAX_SEG,
+    RADIUS,
+    ROAD_MOD,
+    SCALE,
+    build_cell_index,
+    build_segments,
+    map_match,
+)
+
+
+def _events_table(rng, n_users=40, n_events=900):
+    uid = rng.integers(1, n_users + 1, n_events).astype(np.int64)
+    eid = rng.permutation(np.arange(1, n_events * 3, 3))[:n_events].astype(np.int64)
+    ts = rng.integers(0, 10**9, n_events).astype("datetime64[us]")
+    return pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts),
+        }
+    )
+
+
+def _xy(eid):
+    return int(eid % 100), int((eid // 7) % 100)
+
+
+def _brute_segments(t):
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64),
+            t.column("event_id").to_pylist(),
+        )
+    )
+    segs = []
+    for (u1, _, e1), (u2, _, e2) in zip(rows, rows[1:]):
+        if u1 != u2 or u1 % ROAD_MOD != 0:
+            continue
+        ax, ay = _xy(e1)
+        bx, by = _xy(e2)
+        if abs(bx - ax) <= MAX_SEG and abs(by - ay) <= MAX_SEG:
+            segs.append((e1, ax, ay, bx, by))
+    return segs
+
+
+def _brute_match(t):
+    segs = _brute_segments(t)
+    out = {}
+    for u, e in zip(t.column("user_id").to_pylist(), t.column("event_id").to_pylist()):
+        if u % ROAD_MOD == 0:
+            continue
+        px, py = _xy(e)
+        best = None
+        for sid, ax, ay, bx, by in segs:
+            if not (
+                min(ax, bx) - RADIUS <= px <= max(ax, bx) + RADIUS
+                and min(ay, by) - RADIUS <= py <= max(ay, by) + RADIUS
+            ):
+                continue
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            dot = dx * (px - ax) + dy * (py - ay)
+            if len2 == 0 or dot <= 0:
+                d2 = Fraction((px - ax) ** 2 + (py - ay) ** 2)
+            elif dot >= len2:
+                d2 = Fraction((px - bx) ** 2 + (py - by) ** 2)
+            else:
+                cross = dx * (py - ay) - dy * (px - ax)
+                d2 = Fraction(cross * cross, len2)
+            d2q = int(d2 * int(SCALE))  # floor of the scaled exact value
+            if best is None or (d2q, sid) < best[1:]:
+                best = (e, d2q, sid)
+        if best is not None:
+            out[e] = (best[2], best[1])
+    return out
+
+
+class TestBuildSegments:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        t = _events_table(np.random.default_rng(3))
+        got = build_segments(ray.data.from_arrow(t)).take_all()
+        got = sorted((r["seg_id"], r["ax"], r["ay"], r["bx"], r["by"]) for r in got)
+        assert got == sorted(_brute_segments(t))
+
+
+class TestCellIndex:
+    def test_covers_every_corridor_cell(self):
+        rng = np.random.default_rng(5)
+        n = 30
+        segs = {
+            "seg_id": np.arange(n, dtype=np.int64),
+            "ax": rng.integers(0, 100, n),
+            "ay": rng.integers(0, 100, n),
+        }
+        segs["bx"] = np.clip(segs["ax"] + rng.integers(-MAX_SEG, MAX_SEG + 1, n), 0, 99)
+        segs["by"] = np.clip(segs["ay"] + rng.integers(-MAX_SEG, MAX_SEG + 1, n), 0, 99)
+        segs = {k: v.astype(np.int64) for k, v in segs.items()}
+        cells, starts, flat = build_cell_index(segs)
+        lut = {}
+        for i, c in enumerate(cells):
+            lut[int(c)] = set(
+                flat["seg_id"][starts[i] : starts[i + 1]].tolist()
+            )
+        for i in range(n):
+            ax, ay, bx, by = (int(segs[c][i]) for c in ("ax", "ay", "bx", "by"))
+            for px in range(min(ax, bx) - RADIUS, max(ax, bx) + RADIUS + 1):
+                for py in range(min(ay, by) - RADIUS, max(ay, by) + RADIUS + 1):
+                    key = (px // CELL) * 1024 + (py // CELL)
+                    assert i in lut.get(key, set()), (i, px, py)
+
+
+class TestMapMatch:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        t = _events_table(np.random.default_rng(9))
+        got = {
+            r["event_id"]: (r["seg_id"], r["d2q"])
+            for r in map_match(ray.data.from_arrow(t)).take_all()
+        }
+        assert got == _brute_match(t)
+
+    def test_no_roads_matches_nothing(self, ray_session):
+        import ray.data
+
+        t = _events_table(np.random.default_rng(13))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        t = t.set_column(
+            1, "user_id", pa.array(np.where(u % ROAD_MOD == 0, u + 1, u))
+        )
+        assert map_match(ray.data.from_arrow(t)).take_all() == []
