@@ -3234,6 +3234,81 @@ SELECT event_id, seg_id, d2q FROM ranked WHERE rk = 1
 """
 
 
+def q_shard_assign(sf_dir):
+    """Rendezvous-hash shard assignment (stages/shard.py shard_assign):
+    each doc's owner shard is the highest-random-weight argmax over 16
+    shards (splitmix64 avalanche of the wrapping-u64 key·K1 + s·K2;
+    weight DESC, shard ASC). Pure function of the key — no data
+    exchange; per-batch partials fold to ≤16 rows before the groupby.
+    The minimal-movement property (removing a shard moves only its own
+    keys) is pinned by tests/test_shard.py."""
+    from osm_export_tool_python_ray.stages.shard import shard_assign
+
+    return shard_assign(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def _build_shard_assign_sql():
+    base = (
+        "CAST((CAST({m} AS HUGEINT) + CAST(s AS HUGEINT)"
+        " * CAST('13787848793156543929' AS HUGEINT))"
+        " % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)"
+    ).format(
+        m=_sql_mulmod64(
+            "CAST(doc_id AS UBIGINT)", "CAST('11400714819323198485' AS UBIGINT)"
+        )
+    )
+    return """
+WITH w0 AS (
+  SELECT doc_id, s, {base} AS b
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+), w1 AS (
+  SELECT doc_id, s, {mix} AS wt FROM w0
+), ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rk
+  FROM w1
+)
+SELECT s AS shard, count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM ranked WHERE rk = 1 GROUP BY s
+""".format(base=base, mix=_sql_mix64("b"))
+
+
+SQL_SHARD_ASSIGN = _build_shard_assign_sql()
+
+
+def q_cell_peak_hour(sf_dir):
+    """Space-time-cube peak hour (stages/journey.py cell_peak_hour):
+    per 10×10 grid cell the busiest hour-of-day, smallest-hour
+    tie-break, plus peak and total counts. The per-cell argmax is a
+    packed Max aggregate ((n<<5)|(31-hour)) so both exchanges move only
+    bounded aggregate tables — no window pass, no event-row shuffle."""
+    from osm_export_tool_python_ray.stages.journey import cell_peak_hour
+
+    return cell_peak_hour(_read(sf_dir, "events", ["event_id", "ts"]))
+
+
+SQL_CELL_PEAK_HOUR = """
+WITH pts AS (
+  SELECT CAST(event_id % 100 AS BIGINT) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         ((epoch_us(ts) // 3600000000) % 24 + 24) % 24 AS hod
+  FROM events
+), ch AS (
+  SELECT cx, cy, hod, count(*) AS n FROM pts GROUP BY cx, cy, hod
+), ranked AS (
+  SELECT cx, cy, hod, n,
+         row_number() OVER (PARTITION BY cx, cy ORDER BY n DESC, hod) AS rk,
+         CAST(sum(n) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_total
+  FROM ch
+)
+SELECT cx, cy, hod AS peak_hour, n AS n_peak, n_total
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3904,6 +3979,8 @@ QUERIES = {
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
+    "shard_assign": q_shard_assign,
+    "cell_peak_hour": q_cell_peak_hour,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4043,6 +4120,8 @@ ORACLES = {
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,
+    "shard_assign": SQL_SHARD_ASSIGN,
+    "cell_peak_hour": SQL_CELL_PEAK_HOUR,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

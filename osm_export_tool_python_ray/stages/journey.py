@@ -845,3 +845,64 @@ def encounters(
     return partials.groupby(["user_a", "user_b"]).aggregate(
         Sum("n_partial", alias_name="n_shared")
     )
+
+
+def cell_peak_hour(events_ds):
+    """Space-time-cube peak: per 10×10 grid cell, the hour-of-day with
+    the most events — (cx, cy, peak_hour, n_peak, n_total).
+
+    Scale shape: per-batch (cell, hour) count partials → ONE groupby
+    over the bounded (cells × 24)-row aggregate table → the per-cell
+    argmax is a PACKED-MAX, not a second window pass: each (cell, hour)
+    row packs (n << 5) | (31 - hour) so a plain Max aggregate picks the
+    largest count with smallest-hour tie-break, alongside a Sum for the
+    cell total. Exchanges only ever move aggregate rows, never events."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        x = (eid % 100).astype(np.int64)
+        y = ((eid // 7) % 100).astype(np.int64)
+        hod = (_ts_i64(t.column("ts")) // 3_600_000_000) % 24
+        key = (x // 10) * 240 + (y // 10) * 24 + hod
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"ckey": pa.array(uq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        ckey = t.column("ckey").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        hod = ckey % 24
+        return pa.table(
+            {
+                "cell": pa.array(ckey // 24),
+                "packed": pa.array((n << np.int64(5)) | (31 - hod)),
+                "n": pa.array(n),
+            }
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        packed = t.column("packed").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cx": pa.array(cell // 10),
+                "cy": pa.array(cell % 10),
+                "peak_hour": pa.array(31 - (packed & np.int64(31))),
+                "n_peak": pa.array(packed >> np.int64(5)),
+                "n_total": t.column("n_total"),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ckey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    peaks = (
+        counts.map_batches(pack, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Max("packed", alias_name="packed"), Sum("n", alias_name="n_total"))
+    )
+    return peaks.map_batches(unpack, batch_format="pyarrow")

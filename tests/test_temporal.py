@@ -549,3 +549,35 @@ class TestTrajectorySimplify:
             ).take_all()
             outs.append(sorted((r["user_id"], r["idx"]) for r in res))
         assert outs[0] == outs[1]
+
+
+class TestCellPeakHour:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+        from collections import Counter
+        from osm_export_tool_python_ray.stages.journey import cell_peak_hour
+
+        rng = np.random.RandomState(11)
+        rows = [
+            (int(rng.randint(0, 5_000)), 1,
+             int(rng.randint(0, 90 * 3_600_000_000)), "view", 0.0)
+            for _ in range(600)
+        ]
+        got = {
+            (r["cx"], r["cy"]): (r["peak_hour"], r["n_peak"], r["n_total"])
+            for r in cell_peak_hour(
+                ray.data.from_arrow(_events_table(rows))
+            ).take_all()
+        }
+        counts = Counter()
+        for eid, _u, ts, _et, _v in rows:
+            cx, cy = (eid % 100) // 10, ((eid // 7) % 100) // 10
+            counts[(cx, cy, (ts // 3_600_000_000) % 24)] += 1
+        want = {}
+        for (cx, cy, hod), n in counts.items():
+            tot = sum(v for (a, b, _), v in counts.items() if (a, b) == (cx, cy))
+            best = want.get((cx, cy))
+            if best is None or (n, -hod) > (best[1], -best[0]):
+                want[(cx, cy)] = (hod, n, tot)
+        # peak compared on (n desc, hod asc); totals identical either way
+        assert got == want
