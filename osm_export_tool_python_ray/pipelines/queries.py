@@ -3309,6 +3309,87 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_media_near_dup(sf_dir):
+    """Perceptual media near-dup (stages/media.py media_near_dup): each
+    doc renders its family's PPM pattern shifted by a per-doc brightness
+    offset; an actor-pool stage STRICT-decodes the payload and computes a
+    64-bit average hash with exact integer cross-multiplication (bit =
+    blocksum·N > totalsum·blockcnt — constant shifts cancel EXACTLY, no
+    float means), then one groupby over (signature) aggregate rows. The
+    oracle re-derives every bit from the closed-form block sums of the
+    ramp+stripe pattern (no pixel enumeration), so hash equality proves
+    decode → pixel math → hash → invariance end-to-end."""
+    from osm_export_tool_python_ray.stages.media import media_near_dup
+
+    return media_near_dup(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def _build_media_near_dup_sql(families=97):
+    powers = ", ".join(
+        "(%d, CAST('%d' AS HUGEINT))" % (k, 1 << k) for k in range(64)
+    )
+    stripe = "(({x} // p) * (p // 2) + least({x} % p, p // 2))"
+    return """
+WITH fams AS (
+  SELECT DISTINCT doc_id % {F} AS fam FROM documents
+), fs AS (
+  SELECT fam, ({le}) % CAST(4294967296 AS UBIGINT) AS seed
+  FROM (SELECT fam, md5('img:' || CAST(fam AS VARCHAR)) AS h FROM fams)
+), dims AS (
+  SELECT fam,
+         CAST(16 + seed % 17 AS BIGINT) AS h,
+         CAST(16 + (seed // 256) % 23 AS BIGINT) AS w,
+         CAST(16 + (seed // 65536) % 16 AS BIGINT) AS amp,
+         CAST(4 + (seed // 4096) % 5 AS BIGINT) AS p
+  FROM fs
+), powers(k, pw) AS (VALUES {powers}),
+blocks AS (
+  SELECT fam, h, w, amp, p, bi, bj,
+         (bi * h) // 8 AS i0, ((bi + 1) * h) // 8 AS i1,
+         (bj * w) // 8 AS j0, ((bj + 1) * w) // 8 AS j1
+  FROM dims
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bi)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bj)
+), scored AS (
+  SELECT fam, bi, bj,
+         (i1 - i0) * (j1 - j0) AS cnt,
+         ((i1 - i0) * (i0 + i1 - 1) // 2) * (j1 - j0)
+           + 2 * ((j1 - j0) * (j0 + j1 - 1) // 2) * (i1 - i0)
+           + amp * ({f_i1} - {f_i0}) * (j1 - j0) AS a,
+         w * (h * (h - 1) // 2) + h * w * (w - 1)
+           + amp * {f_h} * w AS g,
+         h * w AS n
+  FROM blocks
+), famsig AS (
+  SELECT fam,
+         sum(CASE WHEN a * n > g * cnt THEN pw
+                  ELSE CAST('0' AS HUGEINT) END) AS s
+  FROM scored JOIN powers ON powers.k = bi * 8 + bj
+  GROUP BY fam
+), sigs AS (
+  SELECT fam,
+         CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN s - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE s END AS BIGINT) AS sig
+  FROM famsig
+)
+SELECT sig, count(*) AS n_docs, min(doc_id) AS min_doc,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN sigs ON d.doc_id % {F} = sigs.fam
+GROUP BY sig
+""".format(
+        F=families,
+        le=_le64_expr("h"),
+        powers=powers,
+        f_i1=stripe.format(x="i1"),
+        f_i0=stripe.format(x="i0"),
+        f_h=stripe.format(x="h"),
+    )
+
+
+SQL_MEDIA_NEAR_DUP = _build_media_near_dup_sql()
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -3981,6 +4062,7 @@ QUERIES = {
     "map_match": q_map_match,
     "shard_assign": q_shard_assign,
     "cell_peak_hour": q_cell_peak_hour,
+    "media_near_dup": q_media_near_dup,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4122,6 +4204,7 @@ ORACLES = {
     "map_match": SQL_MAP_MATCH,
     "shard_assign": SQL_SHARD_ASSIGN,
     "cell_peak_hour": SQL_CELL_PEAK_HOUR,
+    "media_near_dup": SQL_MEDIA_NEAR_DUP,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

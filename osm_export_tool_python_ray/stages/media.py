@@ -267,3 +267,128 @@ def media_pipeline(media_ds, concurrency=2, batch_size=256):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def make_patterned_media_table(doc_ids, families=97):
+    """Near-dup PPM family payloads for the perceptual-hash operator:
+    doc d renders its FAMILY's deterministic grayscale pattern
+    pix(i, j) = c + (d % 32) + i + 2·j + amp·[i % P < P//2]
+    (uint8-safe: ≤ 230) — a ramp plus horizontal stripes whose block
+    sums stay CLOSED-FORM (stripe count over [i0,i1) is
+    f(i1) − f(i0) with f(x) = (x//P)·(P//2) + min(x%P, P//2), so the
+    SQL oracle re-derives every bit without enumerating pixels). The
+    family is d % families, seed = LE32(md5('img:<fam>')), c = seed %
+    64, h = 16 + seed % 17, w = 16 + (seed >> 8) % 23, amp = 16 +
+    (seed >> 16) % 16, P = 4 + (seed >> 12) % 5. Same family ⇒ same
+    pattern up to a per-doc BRIGHTNESS SHIFT (c + d%32) — exactly the
+    transform an average-hash must be invariant to."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    payloads = []
+    refs = []
+    for d in ids.tolist():
+        fam = d % families
+        ref = "img:%d" % fam
+        seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "little")
+        h, w = 16 + seed % 17, 16 + (seed >> 8) % 23
+        c = seed % 64
+        amp = 16 + (seed >> 16) % 16
+        p = 4 + (seed >> 12) % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (
+            c + d % 32 + yy + 2 * xx + amp * ((yy % p) < p // 2)
+        ).astype(np.uint8)
+        payloads.append(codecs.encode_ppm(img))
+        refs.append(ref)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "media_type": pa.array(["image"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def ahash64(img):
+    """64-bit average hash with EXACT integer comparisons: 8×8 block
+    sums via two reduceats, bit(bi,bj) = blocksum·N > totalsum·blockcnt
+    (cross-multiplied — no float means, so constant brightness shifts
+    cancel exactly). Returns a Python int in [0, 2^64)."""
+    a = img.astype(np.int64)
+    h, w = a.shape[:2]
+    if a.ndim == 3:
+        a = a.sum(axis=2)
+    ib = (np.arange(8) * h) // 8
+    jb = (np.arange(8) * w) // 8
+    blocks = np.add.reduceat(np.add.reduceat(a, ib, axis=0), jb, axis=1)
+    cnt = np.diff(np.append(ib, h)).reshape(-1, 1) * np.diff(np.append(jb, w))
+    total = int(a.sum())
+    bits = blocks * (h * w) > total * cnt
+    k = (np.arange(8).reshape(-1, 1) * 8 + np.arange(8)).astype(np.uint64)
+    return int((bits.astype(np.uint64) << k).sum(dtype=np.uint64))
+
+
+class PerceptualHashStage:
+    """Actor-pool stage: strict PPM decode → 64-bit average hash per
+    payload, emitted as a SIGNED int64 (two's-complement view) so the
+    downstream groupby and the SQL oracle share one integer domain."""
+
+    def __init__(self):
+        self.codec = codecs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sigs = np.empty(len(t), dtype=np.uint64)
+        for i, p in enumerate(t.column("payload").to_pylist()):
+            sigs[i] = ahash64(self.codec.decode_ppm(p))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "sig": pa.array(sigs.view(np.int64)),
+            }
+        )
+
+
+def media_near_dup(docs_ds, families=97, concurrency=2, batch_size=256):
+    """Perceptual near-dup clusters over rendered media: payload build →
+    actor-pool decode+hash → per-batch partials → ONE groupby over
+    (signature) aggregate rows: (sig, n_docs, min_doc, id_sum)."""
+    from ray.data.aggregate import Min, Sum
+
+    def build(t: pa.Table) -> pa.Table:
+        return make_patterned_media_table(
+            t.column("doc_id").to_numpy(zero_copy_only=False), families
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sig = t.column("sig").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uq, inv, cnt = np.unique(sig, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sums, inv, d)
+        mins = np.full(len(uq), np.iinfo(np.int64).max)
+        np.minimum.at(mins, inv, d)
+        return pa.table(
+            {
+                "sig": pa.array(uq),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+                "min_partial": pa.array(mins),
+                "sum_partial": pa.array(sums),
+            }
+        )
+
+    hashed = docs_ds.map_batches(build, batch_format="pyarrow").map_batches(
+        PerceptualHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return (
+        hashed.map_batches(partial, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(
+            Sum("n_partial", alias_name="n_docs"),
+            Min("min_partial", alias_name="min_doc"),
+            Sum("sum_partial", alias_name="id_sum"),
+        )
+    )
