@@ -201,6 +201,12 @@ def run_query_suite(sf_dir):
         ("grid_clusters", Q.q_grid_clusters),
         ("trajectory_simplify", Q.q_trajectory_simplify),
         ("user_hulls", Q.q_user_hulls),
+        # round-4 late adds: SFC index, map matching, shard routing,
+        # perceptual media hashing
+        ("zorder_range", Q.q_zorder_range),
+        ("map_match", Q.q_map_match),
+        ("shard_assign", Q.q_shard_assign),
+        ("media_near_dup", Q.q_media_near_dup),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()
