@@ -3390,6 +3390,99 @@ GROUP BY sig
 SQL_MEDIA_NEAR_DUP = _build_media_near_dup_sql()
 
 
+# integer hexagon AOI for the raster-cover query; shared literal between
+# the engine call and the SQL edge list
+_COVER_POLY = [(10, 50), (35, 10), (75, 15), (90, 55), (60, 90), (25, 85)]
+
+
+def q_aoi_cell_cover(sf_dir):
+    """Polygon raster cover (stages/journey.py aoi_cell_cover): per-cell
+    event counts for cells whose center passes the exact-integer
+    ray-crossing test against a broadcast hexagon AOI. Events fold to
+    per-cell aggregates per batch; the PIP filter runs on the bounded
+    cell table — the raster-side counterpart of the export pipeline's
+    vector AOI clipping."""
+    from osm_export_tool_python_ray.stages.journey import aoi_cell_cover
+
+    return aoi_cell_cover(_read(sf_dir, "events", ["event_id"]), _COVER_POLY)
+
+
+def _build_aoi_cell_cover_sql(poly=_COVER_POLY):
+    edges = ", ".join(
+        "(%d, %d, %d, %d)"
+        % (poly[i][0], poly[i][1], poly[(i + 1) % len(poly)][0], poly[(i + 1) % len(poly)][1])
+        for i in range(len(poly))
+    )
+    return """
+WITH pts AS (
+  SELECT event_id,
+         CAST(event_id % 100 AS BIGINT) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy
+  FROM events
+), cc AS (
+  SELECT cx, cy, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+  FROM pts GROUP BY cx, cy
+), edges(x1, y1, x2, y2) AS (VALUES {edges}),
+pip AS (
+  SELECT cx, cy, n, id_sum,
+         sum(CASE WHEN (y1 > 10 * cy + 5) <> (y2 > 10 * cy + 5)
+                   AND ((y2 > y1 AND (10 * cy + 5 - y1) * (x2 - x1)
+                           - (10 * cx + 5 - x1) * (y2 - y1) > 0)
+                     OR (y2 < y1 AND (10 * cy + 5 - y1) * (x2 - x1)
+                           - (10 * cx + 5 - x1) * (y2 - y1) < 0))
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM cc CROSS JOIN edges
+  GROUP BY cx, cy, n, id_sum
+)
+SELECT cx, cy, n, id_sum FROM pip WHERE crossings % 2 = 1
+""".format(edges=edges)
+
+
+SQL_AOI_CELL_COVER = _build_aoi_cell_cover_sql()
+
+
+def q_triangles(sf_dir):
+    """Co-location triangle counts (stages/graph.py
+    colocation_triangles): per-user triangle participation on the
+    encounter graph (edges = pairs with ≥2 shared (cell, hour) groups).
+    Wedges emit once from each triangle's smallest node (counted once),
+    close against the edge set through ONE tagged (v, w)-keyed exchange
+    (the asof trick — no broadcast, no driver state), with the
+    quadratic wedge expansion capped+counted per center."""
+    from osm_export_tool_python_ray.stages.graph import colocation_triangles
+
+    return colocation_triangles(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    )
+
+
+SQL_TRIANGLES = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+), e0 AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= 2
+), tri AS (
+  SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.ua = e1.ub
+  JOIN e0 e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+), m AS (
+  SELECT a AS user_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT user_id, count(*) AS n_tri FROM m GROUP BY user_id
+"""
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -4063,6 +4156,8 @@ QUERIES = {
     "shard_assign": q_shard_assign,
     "cell_peak_hour": q_cell_peak_hour,
     "media_near_dup": q_media_near_dup,
+    "aoi_cell_cover": q_aoi_cell_cover,
+    "triangles": q_triangles,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4205,6 +4300,8 @@ ORACLES = {
     "shard_assign": SQL_SHARD_ASSIGN,
     "cell_peak_hour": SQL_CELL_PEAK_HOUR,
     "media_near_dup": SQL_MEDIA_NEAR_DUP,
+    "aoi_cell_cover": SQL_AOI_CELL_COVER,
+    "triangles": SQL_TRIANGLES,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -232,3 +232,164 @@ def textrank_scores(
             "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
         }
     )
+
+
+def colocation_triangles(
+    events_ds,
+    min_shared=2,
+    wedge_cap=512,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """Per-user triangle counts on the co-location graph: nodes are
+    users, edges are pairs with ≥ ``min_shared`` shared (cell, hour)
+    presence groups (stages/journey.py encounters), and each triangle
+    {a < b < c} is counted ONCE — wedges (v, w) are emitted only from
+    their smallest node (adjacency is min-endpoint-keyed, so both
+    neighbors exceed the center) and closed against the edge set.
+    Returns (user_id, n_tri).
+
+    Scale shape: the edge table is an aggregate (materialized once —
+    it feeds both the wedge expansion and the closure probe; the
+    upstream encounters exchange must not run twice). Wedge expansion
+    is one center-keyed exchange with the same vectorized combination
+    arithmetic as encounters, capped per center at ``wedge_cap``
+    neighbors (kept = smallest ids, drops counted via
+    report_cap('triangle_wedge_truncated') — per-node degree is the
+    quadratic lever in triangle counting). Closure is the asof-join
+    trick: edges (center = -1) and wedges (center = a) ride ONE
+    (v, w)-keyed exchange in one schema; a segment emits its wedge rows
+    iff it contains an edge row. No broadcast of the edge set, no
+    driver state.
+    """
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, union_all
+    from osm_export_tool_python_ray.stages.journey import encounters
+    from osm_export_tool_python_ray.state.metrics import report_cap
+
+    _PAIR = pa.schema(
+        [
+            ("v", pa.int64()),
+            ("w", pa.int64()),
+            ("center", pa.int64()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def efilter(t: pa.Table) -> pa.Table:
+        ns = t.column("n_shared").to_numpy(zero_copy_only=False)
+        keep = ns >= min_shared
+        return pa.table(
+            {
+                "a": t.column("user_a").to_numpy(zero_copy_only=False)[keep],
+                "b": t.column("user_b").to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    edges = (
+        encounters(events_ds, num_buckets=num_buckets, num_partitions=num_partitions)
+        .map_batches(efilter, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def abucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((a % num_buckets).astype(np.int32)))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        if not len(a):
+            return _PAIR.empty_table()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.nonzero(np.concatenate([[True], a[1:] != a[:-1]]))[0]
+        sizes = np.diff(np.append(starts, len(a)))
+        if (sizes > wedge_cap).any():
+            rank = np.arange(len(a)) - np.repeat(starts, sizes)
+            keep = rank < wedge_cap
+            report_cap("triangle_wedge_truncated", int((~keep).sum()))
+            a, b = a[keep], b[keep]
+            starts = np.nonzero(np.concatenate([[True], a[1:] != a[:-1]]))[0]
+            sizes = np.diff(np.append(starts, len(a)))
+        rank = np.arange(len(a)) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return _PAIR.empty_table()
+        L = np.repeat(np.arange(len(a)), left_counts)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(offs, left_counts) + L + 1
+        v, w, c = b[L], b[R], a[L]  # b sorted within center => v < w
+        key = v * np.int64(1_000_003) + w
+        return pa.table(
+            {
+                "v": pa.array(v),
+                "w": pa.array(w),
+                "center": pa.array(c),
+                "bucket": pa.array((key % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def etag(t: pa.Table) -> pa.Table:
+        v = t.column("a").to_numpy(zero_copy_only=False)
+        w = t.column("b").to_numpy(zero_copy_only=False)
+        key = v * np.int64(1_000_003) + w
+        return pa.table(
+            {
+                "v": pa.array(v),
+                "w": pa.array(w),
+                "center": pa.array(np.full(len(v), -1, dtype=np.int64)),
+                "bucket": pa.array((key % num_buckets).astype(np.int32)),
+            }
+        )
+
+    wedge_ds = grouped_map(
+        edges.map_batches(abucket, batch_format="pyarrow"),
+        "bucket",
+        lambda g: wedges(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    tagged = union_all(
+        edges.map_batches(etag, batch_format="pyarrow"), wedge_ds
+    )
+
+    def close(g: pa.Table) -> pa.Table:
+        EMPTY = pa.table(
+            {"user_id": pa.array([], type=pa.int64()),
+             "n_partial": pa.array([], type=pa.int64())}
+        )
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        if not len(v):
+            return EMPTY
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        c = g.column("center").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, w, v))
+        v, w, c = v[order], w[order], c[order]
+        starts = np.nonzero(
+            np.concatenate([[True], (v[1:] != v[:-1]) | (w[1:] != w[:-1])])
+        )[0]
+        # edge rows sort first in a segment (center -1 < any user id)
+        has_edge = c[starts] == -1
+        seg_of = np.cumsum(
+            np.concatenate([[True], (v[1:] != v[:-1]) | (w[1:] != w[:-1])])
+        ) - 1
+        tri = (c >= 0) & has_edge[seg_of]
+        if not tri.any():
+            return EMPTY
+        members = np.concatenate([c[tri], v[tri], w[tri]])
+        uq, cnt = np.unique(members, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uq), "n_partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = grouped_map(
+        tagged,
+        "bucket",
+        lambda g: close(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=_PAIR,
+    )
+    return partials.groupby("user_id").aggregate(Sum("n_partial", alias_name="n_tri"))

@@ -906,3 +906,72 @@ def cell_peak_hour(events_ds):
         .aggregate(Max("packed", alias_name="packed"), Sum("n", alias_name="n_total"))
     )
     return peaks.map_batches(unpack, batch_format="pyarrow")
+
+
+def cells_in_polygon(cx, cy, poly):
+    """Exact-integer ray-crossing test for 10×10 grid-cell CENTERS
+    (10·cx+5, 10·cy+5) against integer polygon ``poly`` [(x, y), ...].
+    The half-open crossing rule — edge counted iff (y1>py) != (y2>py)
+    and the +x ray passes strictly left of the exact rational
+    intersection (cross-multiplied, no division) — is the shared spec
+    with the SQL oracle, so boundary-degenerate centers classify
+    identically on both sides. Vectorized over cells × edges."""
+    px = (10 * cx + 5).reshape(-1, 1)
+    py = (10 * cy + 5).reshape(-1, 1)
+    v = np.asarray(poly, dtype=np.int64)
+    x1, y1 = v[:, 0], v[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    straddle = (y1 > py) != (y2 > py)
+    d = (y2 - y1)[None, :]
+    expr = (py - y1) * (x2 - x1)[None, :] - (px - x1[None, :]) * d
+    crossing = straddle & (expr * np.sign(d) > 0)
+    return (crossing.sum(axis=1) % 2) == 1
+
+
+def aoi_cell_cover(events_ds, poly):
+    """Polygon raster cover over the event grid: per-cell event counts
+    for exactly the cells whose center lies inside ``poly`` —
+    (cx, cy, n, id_sum). The raster side of the reference's AOI
+    clipping (reference geometry.py + clipping in export): at scale the
+    polygon is broadcast (tiny), events fold to per-cell aggregates
+    per batch, ONE groupby moves only cell rows, and the PIP filter
+    runs on the bounded cell table."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        x = (eid % 100).astype(np.int64)
+        y = ((eid // 7) % 100).astype(np.int64)
+        key = (x // 10) * 10 + (y // 10)
+        uq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sums, inv, eid)
+        return pa.table(
+            {
+                "ckey": pa.array(uq),
+                "n": pa.array(cnt.astype(np.int64)),
+                "id_sum": pa.array(sums),
+            }
+        )
+
+    def pip_filter(t: pa.Table) -> pa.Table:
+        ckey = t.column("ckey").to_numpy(zero_copy_only=False)
+        cx, cy = ckey // 10, ckey % 10
+        inside = cells_in_polygon(cx, cy, poly)
+        return pa.table(
+            {
+                "cx": pa.array(cx[inside]),
+                "cy": pa.array(cy[inside]),
+                "n": pa.array(t.column("n").to_numpy(zero_copy_only=False)[inside]),
+                "id_sum": pa.array(
+                    t.column("id_sum").to_numpy(zero_copy_only=False)[inside]
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ckey")
+        .aggregate(Sum("n", alias_name="n"), Sum("id_sum", alias_name="id_sum"))
+        .map_batches(pip_filter, batch_format="pyarrow")
+    )

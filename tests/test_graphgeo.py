@@ -1,0 +1,139 @@
+"""aoi_cell_cover and colocation_triangles: verified against
+independent characterizations (Fraction-exact scalar ray cast; triple
+loop over a brute-force edge dict)."""
+
+from fractions import Fraction
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.stages.journey import aoi_cell_cover, cells_in_polygon
+
+POLY = [(10, 50), (35, 10), (75, 15), (90, 55), (60, 90), (25, 85)]
+
+
+def _pip_scalar(px, py, poly):
+    # independent: exact rational x-intersection comparison
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = Fraction(x1) + Fraction(py - y1, y2 - y1) * (x2 - x1)
+            if Fraction(px) < xint:
+                inside = not inside
+    return inside
+
+
+class TestCellsInPolygon:
+    def test_matches_rational_ray_cast(self):
+        cx, cy = np.meshgrid(np.arange(10), np.arange(10))
+        cx, cy = cx.ravel().astype(np.int64), cy.ravel().astype(np.int64)
+        got = cells_in_polygon(cx, cy, POLY)
+        for i in range(len(cx)):
+            want = _pip_scalar(10 * int(cx[i]) + 5, 10 * int(cy[i]) + 5, POLY)
+            assert bool(got[i]) == want, (cx[i], cy[i])
+        assert 0 < got.sum() < len(cx)  # nontrivial polygon
+
+    def test_cover_counts(self, ray_session):
+        import ray.data
+
+        eid = np.arange(0, 3000, dtype=np.int64)
+        out = aoi_cell_cover(
+            ray.data.from_arrow(pa.table({"event_id": pa.array(eid)})), POLY
+        ).take_all()
+        want = {}
+        for e in eid.tolist():
+            cx, cy = (e % 100) // 10, ((e // 7) % 100) // 10
+            if _pip_scalar(10 * cx + 5, 10 * cy + 5, POLY):
+                n, s = want.get((cx, cy), (0, 0))
+                want[(cx, cy)] = (n + 1, s + e)
+        got = {(r["cx"], r["cy"]): (r["n"], r["id_sum"]) for r in out}
+        assert got == want
+
+
+def _brute_triangles(rows, min_shared=2):
+    """rows: (event_id, user_id, ts_us). Returns {user: n_tri}."""
+    pres = set()
+    for e, u, ts in rows:
+        pres.add((u, (e % 100) // 10, ((e // 7) % 100) // 10, ts // 3_600_000_000))
+    from collections import Counter
+
+    shared = Counter()
+    bygroup = {}
+    for u, cx, cy, hr in pres:
+        bygroup.setdefault((cx, cy, hr), set()).add(u)
+    for us in bygroup.values():
+        for a, b in combinations(sorted(us), 2):
+            shared[(a, b)] += 1
+    edges = {p for p, n in shared.items() if n >= min_shared}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out = {}
+    for a, b in edges:
+        for c in adj.get(b, set()):
+            if (a, c) in edges:
+                for u in (a, b, c):
+                    out[u] = out.get(u, 0) + 1
+    return out
+
+
+class TestTriangles:
+    def _events(self, seed, n=500, users=25):
+        rng = np.random.RandomState(seed)
+        rows = [
+            (int(rng.randint(0, 4000)), int(rng.randint(1, users + 1)),
+             int(rng.randint(0, 20 * 3_600_000_000)))
+            for _ in range(n)
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+            }
+        )
+        return rows, t
+
+    def test_matches_brute(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.graph import colocation_triangles
+
+        rows, t = self._events(7)
+        got = {
+            r["user_id"]: r["n_tri"]
+            for r in colocation_triangles(ray.data.from_arrow(t)).take_all()
+        }
+        assert got == _brute_triangles(rows)
+        assert sum(got.values()) % 3 == 0
+
+    def test_parallelism_determinism(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.graph import colocation_triangles
+
+        _, t = self._events(13)
+        outs = []
+        for nb, npart in [(4, 2), (32, 8)]:
+            res = colocation_triangles(
+                ray.data.from_arrow(t), num_buckets=nb, num_partitions=npart
+            ).take_all()
+            outs.append(sorted((r["user_id"], r["n_tri"]) for r in res))
+        assert outs[0] == outs[1]
+
+    def test_wedge_cap_counts_drops(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.graph import colocation_triangles
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        rows, t = self._events(21, n=800, users=40)
+        snapshot_caps()
+        full = colocation_triangles(ray.data.from_arrow(t)).take_all()
+        assert not snapshot_caps().get("triangle_wedge_truncated")
+        capped = colocation_triangles(ray.data.from_arrow(t), wedge_cap=2).take_all()
+        caps = snapshot_caps()
+        brute_total = sum(_brute_triangles(rows).values())
+        if brute_total and caps.get("triangle_wedge_truncated"):
+            assert sum(r["n_tri"] for r in capped) <= sum(r["n_tri"] for r in full)
