@@ -3483,6 +3483,69 @@ SELECT user_id, count(*) AS n_tri FROM m GROUP BY user_id
 """
 
 
+def q_hilbert_range(sf_dir):
+    """Hilbert-curve range query (stages/zorder.py hilbert_range_query):
+    the zorder_range contract on the locality-optimal curve — the SAME
+    rectangle is answered purely from decomposed Hilbert intervals
+    (each fully covered quadtree square is one contiguous d-run whose
+    base is its minimum corner index; no orientation bookkeeping). The
+    oracle re-runs the classic xy2d recurrence as seven chained CTE
+    steps and filters by the plain rectangle."""
+    from osm_export_tool_python_ray.stages.zorder import hilbert_range_query
+
+    return hilbert_range_query(
+        _read(sf_dir, "events", ["event_id"]), *_ZQ
+    )
+
+
+def _build_hilbert_range_sql():
+    n = 128
+    steps = []
+    prev = "h0"
+    for k, s in enumerate([64, 32, 16, 8, 4, 2, 1], start=1):
+        cur = "h%d" % k
+        steps.append(
+            """{cur} AS (
+  SELECT event_id,
+         d + {ss} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                        CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d,
+         CASE WHEN (y & {s}) > 0 THEN x
+              WHEN (x & {s}) > 0 THEN {n1} - y
+              ELSE y END AS x,
+         CASE WHEN (y & {s}) > 0 THEN y
+              WHEN (x & {s}) > 0 THEN {n1} - x
+              ELSE x END AS y
+  FROM {prev}
+)""".format(cur=cur, prev=prev, s=s, ss=s * s, n1=n - 1)
+        )
+        prev = cur
+    return """
+WITH h0 AS (
+  SELECT event_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events
+  WHERE CAST(event_id % 100 AS BIGINT) BETWEEN {xlo} AND {xhi}
+    AND CAST(floor(event_id / 7.0) AS BIGINT) % 100 BETWEEN {ylo} AND {yhi}
+), {steps}
+SELECT d // 64 AS qkey,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM {last} GROUP BY qkey
+""".format(
+        steps=",\n".join(steps),
+        last=prev,
+        xlo=_ZQ[0],
+        xhi=_ZQ[1],
+        ylo=_ZQ[2],
+        yhi=_ZQ[3],
+    )
+
+
+SQL_HILBERT_RANGE = _build_hilbert_range_sql()
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -4158,6 +4221,7 @@ QUERIES = {
     "media_near_dup": q_media_near_dup,
     "aoi_cell_cover": q_aoi_cell_cover,
     "triangles": q_triangles,
+    "hilbert_range": q_hilbert_range,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4302,6 +4366,7 @@ ORACLES = {
     "media_near_dup": SQL_MEDIA_NEAR_DUP,
     "aoi_cell_cover": SQL_AOI_CELL_COVER,
     "triangles": SQL_TRIANGLES,
+    "hilbert_range": SQL_HILBERT_RANGE,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -134,3 +134,100 @@ def zorder_range_query(events_ds, xlo, xhi, ylo, yhi, block_shift=6):
         .groupby("qkey")
         .aggregate(Sum("n", alias_name="n"), Sum("id_sum", alias_name="id_sum"))
     )
+
+
+def hilbert_d(x, y, bits=BITS):
+    """Vectorized Hilbert curve index (xy2d, the classic iterative
+    form): n = 2^bits grid side, flip uses n-1 coordinates. int64."""
+    n = 1 << bits
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rot(n, x, y, rx, ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, n - 1 - x, x)
+        yf = np.where(flip, n - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def decompose_rect_hilbert(xlo, xhi, ylo, yhi, bits=BITS):
+    """Hilbert-interval decomposition of an inclusive rectangle: the
+    SAME geometric quadtree walk as ``decompose_rect``, but each fully
+    covered level-L square contributes the d-interval
+    [min d(corner cells), +4^L) — valid because a Hilbert curve visits
+    an aligned square as one contiguous run and enters/exits at square
+    corners, so the run's base is the minimum corner index. No
+    orientation bookkeeping; d evaluated per emitted node only (O(bits)
+    each, O(perimeter) nodes)."""
+    out = []
+
+    def walk(level, qx, qy):
+        size = 1 << level
+        x0, y0 = qx * size, qy * size
+        x1, y1 = x0 + size - 1, y0 + size - 1
+        if x0 > xhi or x1 < xlo or y0 > yhi or y1 < ylo:
+            return
+        if x0 >= xlo and x1 <= xhi and y0 >= ylo and y1 <= yhi:
+            corners = hilbert_d(
+                np.array([x0, x0, x1, x1]), np.array([y0, y1, y0, y1]), bits
+            )
+            base = int(corners.min())
+            out.append((base, base + size * size - 1))
+            return
+        walk(level - 1, 2 * qx, 2 * qy)
+        walk(level - 1, 2 * qx + 1, 2 * qy)
+        walk(level - 1, 2 * qx, 2 * qy + 1)
+        walk(level - 1, 2 * qx + 1, 2 * qy + 1)
+
+    walk(bits, 0, 0)
+    out.sort()
+    merged = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def hilbert_range_query(events_ds, xlo, xhi, ylo, yhi, block_shift=6):
+    """Rectangle query answered purely from Hilbert-curve intervals
+    (the zorder_range contract on the locality-optimal curve): per
+    d-block counts + id sums, (qkey = d >> block_shift, n, id_sum)."""
+    intervals = decompose_rect_hilbert(xlo, xhi, ylo, yhi)
+    bounds = interval_bounds(intervals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        x = (eid % 100).astype(np.int64)
+        y = ((eid // 7) % 100).astype(np.int64)
+        d = hilbert_d(x, y)
+        inside = (np.searchsorted(bounds, d, side="right") & 1) == 1
+        d, eid = d[inside], eid[inside]
+        qkey = d >> block_shift
+        uq, inv, cnt = np.unique(qkey, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sums, inv, eid)
+        return pa.table(
+            {
+                "qkey": pa.array(uq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "id_sum": pa.array(sums),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("id_sum", alias_name="id_sum"))
+    )
