@@ -204,9 +204,13 @@ def run_query_suite(sf_dir):
         # round-4 late adds: SFC index, map matching, shard routing,
         # perceptual media hashing
         ("zorder_range", Q.q_zorder_range),
+        ("hilbert_range", Q.q_hilbert_range),
         ("map_match", Q.q_map_match),
         ("shard_assign", Q.q_shard_assign),
         ("media_near_dup", Q.q_media_near_dup),
+        ("cell_peak_hour", Q.q_cell_peak_hour),
+        ("aoi_cell_cover", Q.q_aoi_cell_cover),
+        ("triangles", Q.q_triangles),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()
