@@ -3546,6 +3546,71 @@ FROM {last} GROUP BY qkey
 SQL_HILBERT_RANGE = _build_hilbert_range_sql()
 
 
+DIJKSTRA_MAX_COST = 8
+
+
+def q_grid_dijkstra(sf_dir):
+    """Congestion-aware isochrone (stages/hotspots.py
+    grid_weighted_distance): cheapest entry-cost path over
+    customer-occupied res-8 cells — entering a cell costs 1, or 3 when
+    ≥2 customers occupy it — from the nearest supplier seed, capped at
+    total cost {c}. The weighted sibling of grid_distance: same reduced
+    cell-table shape, label-correcting relaxation instead of hop BFS;
+    the oracle is the same recursive min-dist CTE with the per-cell
+    cost joined into the step.""".format(c=DIJKSTRA_MAX_COST)
+    from osm_export_tool_python_ray.stages.hotspots import grid_weighted_distance
+
+    def supplier_points(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lon": pa.array(np.mod(k, 100.0) * 0.01 + 0.003),
+                "lat": pa.array(np.mod(np.floor(k / 3.0), 100.0) * 0.01 + 0.004),
+            }
+        )
+
+    return grid_weighted_distance(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            _customer_points, batch_format="pyarrow"
+        ),
+        _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+            supplier_points, batch_format="pyarrow"
+        ),
+        res=8,
+        max_cost=DIJKSTRA_MAX_COST,
+        hot_threshold=2,
+    )
+
+
+SQL_GRID_DIJKSTRA = """
+WITH RECURSIVE occ AS (
+  SELECT cell, count(*) AS n FROM (
+    SELECT CAST(8 AS BIGINT) * 288230376151711744
+         + CAST(floor(((c_custkey % 100) * 0.01 + 180.0) * 32768.0 / 360.0) AS BIGINT) * 536870912
+         + CAST(floor(((CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 + 90.0) * 32768.0 / 360.0) AS BIGINT) AS cell
+    FROM customer
+  ) GROUP BY cell
+), wocc AS (
+  SELECT cell, CASE WHEN n >= 2 THEN 3 ELSE 1 END AS cost FROM occ
+), seedc AS (
+  SELECT DISTINCT CAST(8 AS BIGINT) * 288230376151711744
+       + CAST(floor(((s_suppkey % 100) * 0.01 + 0.003 + 180.0) * 32768.0 / 360.0) AS BIGINT) * 536870912
+       + CAST(floor(((CAST(floor(s_suppkey / 3.0) AS BIGINT) % 100) * 0.01 + 0.004 + 90.0) * 32768.0 / 360.0) AS BIGINT) AS cell
+  FROM supplier
+), seeds AS (
+  SELECT o.cell FROM wocc o JOIN seedc s ON s.cell = o.cell
+), walk(cell, d) AS (
+  SELECT cell, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT o.cell, w.d + o.cost
+  FROM walk w JOIN wocc o
+    ON o.cell IN (w.cell + 1, w.cell - 1, w.cell + 536870912, w.cell - 536870912)
+  WHERE w.d + o.cost <= {c}
+)
+SELECT cell, min(d) AS dist FROM walk GROUP BY cell
+""".format(c=DIJKSTRA_MAX_COST)
+
+
 def q_move_octants(sf_dir):
     """Movement-direction histogram (stages/journey.py move_octants):
     consecutive per-user trajectory segments classified into 8 integer
@@ -4222,6 +4287,7 @@ QUERIES = {
     "aoi_cell_cover": q_aoi_cell_cover,
     "triangles": q_triangles,
     "hilbert_range": q_hilbert_range,
+    "grid_dijkstra": q_grid_dijkstra,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4367,6 +4433,7 @@ ORACLES = {
     "aoi_cell_cover": SQL_AOI_CELL_COVER,
     "triangles": SQL_TRIANGLES,
     "hilbert_range": SQL_HILBERT_RANGE,
+    "grid_dijkstra": SQL_GRID_DIJKSTRA,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

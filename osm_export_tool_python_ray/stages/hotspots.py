@@ -346,3 +346,89 @@ def moran_partials(points_ds, res=8):
     return folded.map_batches(
         lambda t: t.drop_columns(["grp"]), batch_format="pyarrow"
     )
+
+
+def dijkstra_distances(cells, counts, seed_mask, max_cost, hot_threshold):
+    """Weighted multi-source shortest path over a SORTED packed-cell
+    array (4-adjacency): entering a cell costs 1, or 3 when the cell is
+    congested (count >= hot_threshold). Label-correcting relaxation —
+    each pass relaxes EVERY present edge via searchsorted probes and a
+    ``minimum.at`` scatter; positive costs bound passes by the longest
+    shortest path, and the cell table is the reduced graph, so the loop
+    is driver-cheap. Returns int64 costs, -1 above ``max_cost`` /
+    unreachable."""
+    m = len(cells)
+    cost = np.where(counts >= hot_threshold, np.int64(3), np.int64(1))
+    INF = np.int64(1) << np.int64(62)
+    dist = np.where(seed_mask, np.int64(0), INF)
+    if not m:
+        return np.where(seed_mask, 0, -1).astype(np.int64)
+    changed = True
+    while changed:
+        changed = False
+        for step in (np.int64(1), np.int64(-1), _IX, -_IX):
+            nb = cells + step
+            j = np.searchsorted(cells, nb)
+            ok = (j < m) & (cells[np.minimum(j, m - 1)] == nb)
+            src = np.nonzero(ok)[0]
+            dst = j[ok]
+            nd = dist[src] + cost[dst]
+            better = nd < dist[dst]
+            if better.any():
+                np.minimum.at(dist, dst[better], nd[better])
+                changed = True
+    out = np.where(dist <= max_cost, dist, np.int64(-1))
+    return out
+
+
+def grid_weighted_distance(
+    points_ds, seeds_ds, res=8, max_cost=8, hot_threshold=2
+):
+    """Congestion-aware isochrone: cheapest entry-cost path (1 per cell,
+    3 per congested cell) from the nearest seed over occupied cells —
+    (cell, dist) per cell reachable within ``max_cost``. Same reduced
+    cell-table shape as grid_bfs_distance; only the relaxation differs
+    (weighted label-correcting instead of hop BFS)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    occ = (
+        points_ds.map_batches(
+            lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+        )
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()
+    )
+    df = occ.to_pandas()
+    order = np.argsort(df["cell"].to_numpy())
+    occ_cells = df["cell"].to_numpy()[order]
+    occ_n = df["n"].to_numpy()[order].astype(np.int64)
+    seed_cells = np.unique(
+        np.concatenate(
+            [
+                b["cell"].to_numpy()
+                for b in seeds_ds.map_batches(
+                    lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+                ).iter_batches(batch_format="pandas")
+            ]
+            or [np.asarray([], dtype=np.int64)]
+        )
+    )
+    seed_mask = np.isin(occ_cells, seed_cells)
+    dist = dijkstra_distances(occ_cells, occ_n, seed_mask, max_cost, hot_threshold)
+    dist_ref = ray.put((occ_cells, dist))
+
+    def attach(t: pa.Table) -> pa.Table:
+        cs, ds_ = ray.get(dist_ref)
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        d = ds_[np.searchsorted(cs, c)]
+        keep = d >= 0
+        return pa.table(
+            {
+                "cell": pa.array(c[keep]),
+                "dist": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    return occ.map_batches(attach, batch_format="pyarrow")

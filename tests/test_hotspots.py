@@ -735,3 +735,57 @@ class TestMoranPartials:
             "n_cells": 2, "sum_n": 2, "sum_n2": 2,
             "n_pairs": 0, "pair_prod": 0, "deg_n": 0,
         }
+
+
+class TestGridWeightedDistance:
+    def _brute(self, cells, counts, seeds, max_cost, thr):
+        import heapq
+
+        cost = {c: (3 if n >= thr else 1) for c, n in zip(cells, counts)}
+        IX = 1 << 29
+        dist = {c: 0 for c in seeds}
+        pq = [(0, c) for c in seeds]
+        heapq.heapify(pq)
+        while pq:
+            d, c = heapq.heappop(pq)
+            if d > dist.get(c, 10**18):
+                continue
+            for nb in (c + 1, c - 1, c + IX, c - IX):
+                if nb in cost:
+                    nd = d + cost[nb]
+                    if nd < dist.get(nb, 10**18):
+                        dist[nb] = nd
+                        heapq.heappush(pq, (nd, nb))
+        return {c: d for c, d in dist.items() if d <= max_cost}
+
+    def test_matches_heap_dijkstra(self):
+        from osm_export_tool_python_ray.stages.hotspots import dijkstra_distances
+
+        rng = np.random.RandomState(3)
+        base = np.int64(8) << np.int64(58)
+        cells = np.unique(
+            base
+            + rng.randint(0, 12, 400).astype(np.int64) * (np.int64(1) << np.int64(29))
+            + rng.randint(0, 12, 400).astype(np.int64)
+        )
+        counts = rng.randint(1, 4, len(cells)).astype(np.int64)
+        seed_mask = rng.rand(len(cells)) < 0.05
+        if not seed_mask.any():
+            seed_mask[0] = True
+        got = dijkstra_distances(cells, counts, seed_mask, 8, 2)
+        want = self._brute(
+            cells.tolist(), counts.tolist(), cells[seed_mask].tolist(), 8, 2
+        )
+        gmap = {int(c): int(d) for c, d in zip(cells, got) if d >= 0}
+        assert gmap == want
+
+    def test_congestion_changes_routes(self):
+        from osm_export_tool_python_ray.stages.hotspots import dijkstra_distances
+
+        base = np.int64(8) << np.int64(58)
+        # a 1×5 corridor; middle cell congested
+        cells = base + np.arange(5, dtype=np.int64)
+        counts = np.array([1, 1, 5, 1, 1], dtype=np.int64)
+        seed = np.array([True, False, False, False, False])
+        d = dijkstra_distances(cells, counts, seed, 8, 2)
+        assert d.tolist() == [0, 1, 4, 5, 6]
