@@ -4234,6 +4234,150 @@ def q_kml_layer_counts(sf_dir):
     return _layer_counts_table(rows)
 
 
+def q_cohort_retention(sf_dir):
+    """Weekly cohort retention matrix (stages/analytics.py
+    cohort_retention): per (cohort_week, week_offset) active-user counts
+    where cohort_week is the epoch week of a user's first event. The
+    exchange moves distinct (user, week) presence rows (batch combiner),
+    cohorting is a per-user segment min inside one user-keyed
+    grouped_map, and the final groupby folds O(weeks²) partial rows per
+    partition — never user rows."""
+    from osm_export_tool_python_ray.stages.analytics import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+SQL_COHORT_RETENTION = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM p GROUP BY user_id
+)
+SELECT c.cohort_week, p.week - c.cohort_week AS week_offset,
+       count(*) AS users
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+"""
+
+
+def q_idw_grid(sf_dir):
+    """Inverse-distance-weighted interpolation surface (stages/
+    analytics.py idw_grid): the event `value` field interpolated at a
+    fixed 5×5 probe grid with exact integer weights
+    w = 1e6 // (d² + 1) and 1e-4-quantized values, so the (Σw, Σwv)
+    partials fold in any order and the floor-division ratio matches the
+    oracle bit-for-bit. Pure combiner shape: 25 partial rows per batch,
+    no event exchange."""
+    from osm_export_tool_python_ray.stages.analytics import idw_grid
+
+    return idw_grid(_read(sf_dir, "events", ["event_id", "value"]))
+
+
+SQL_IDW_GRID = """
+WITH probes AS (
+  SELECT (i // 5) AS gx, (i % 5) AS gy,
+         (i // 5) * 20 + 10 AS px, (i % 5) * 20 + 10 AS py
+  FROM range(25) t(i)
+), pts AS (
+  SELECT CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(event_id // 7 AS BIGINT) % 100 AS y,
+         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq
+  FROM events
+), terms AS (
+  SELECT p.gy * 5 + p.gx AS probe_id, p.px, p.py,
+         1000000 // ((pts.x - p.px) * (pts.x - p.px)
+                   + (pts.y - p.py) * (pts.y - p.py) + 1) AS w,
+         vq
+  FROM probes p CROSS JOIN pts
+)
+SELECT probe_id, px, py,
+       CAST(sum(w) AS BIGINT) AS wsum,
+       CAST(sum(w * vq) AS BIGINT) // CAST(greatest(sum(w), 1) AS BIGINT)
+         AS idw_q
+FROM terms GROUP BY probe_id, px, py
+"""
+
+
+def q_hausdorff_pairs(sf_dir):
+    """Trajectory-similarity join (stages/analytics.py hausdorff_pairs):
+    symmetric discrete Hausdorff distance (squared int64) between
+    per-user distinct point sets — capped to the 16 lexicographically
+    smallest points per user, candidate pairs blocked by the anchor
+    point's 20×20 cell. Two keyed exchanges (user pack, anchor-cell pair
+    expansion), vectorized per-pair distance matrices, counted bucket
+    cap. The oracle re-derives the row_number cut, the anchor blocking
+    and the max-min distance with plain SQL aggregation."""
+    from osm_export_tool_python_ray.stages.analytics import hausdorff_pairs
+
+    return hausdorff_pairs(_read(sf_dir, "events", ["event_id", "user_id"]))
+
+
+SQL_HAUSDORFF_PAIRS = """
+WITH pts0 AS (
+  SELECT DISTINCT user_id,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(event_id // 7 AS BIGINT) % 100 AS y
+  FROM events
+), ranked AS (
+  SELECT user_id, x, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY x, y) AS rn
+  FROM pts0
+), pts AS (
+  SELECT * FROM ranked WHERE rn <= 16
+), anchors AS (
+  SELECT user_id, (x // 20) * 5 + (y // 20) AS bkey FROM pts WHERE rn = 1
+), cand AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM anchors a JOIN anchors b
+    ON a.bkey = b.bkey AND a.user_id < b.user_id
+), dmat AS (
+  SELECT c.ua, c.ub, p1.rn AS ra, p2.rn AS rb,
+         (p1.x - p2.x) * (p1.x - p2.x) + (p1.y - p2.y) * (p1.y - p2.y) AS d2
+  FROM cand c
+  JOIN pts p1 ON p1.user_id = c.ua
+  JOIN pts p2 ON p2.user_id = c.ub
+), dir_ab AS (
+  SELECT ua, ub, ra, min(d2) AS md FROM dmat GROUP BY ua, ub, ra
+), h_ab AS (
+  SELECT ua, ub, max(md) AS h FROM dir_ab GROUP BY ua, ub
+), dir_ba AS (
+  SELECT ua, ub, rb, min(d2) AS md FROM dmat GROUP BY ua, ub, rb
+), h_ba AS (
+  SELECT ua, ub, max(md) AS h FROM dir_ba GROUP BY ua, ub
+)
+SELECT h_ab.ua AS user_a, h_ab.ub AS user_b,
+       greatest(h_ab.h, h_ba.h) AS haus_d2
+FROM h_ab JOIN h_ba ON h_ab.ua = h_ba.ua AND h_ab.ub = h_ba.ub
+"""
+
+
+def q_decayed_cells(sf_dir):
+    """Time-decayed cell heat (stages/analytics.py decayed_cells):
+    per 10×10 coarse cell, count and exponentially decayed weight
+    Σ 1e6 // 2^(age_h // 24h) against the fixed reference instant
+    2024-02-01T00:00:00Z — the streaming-hotspot op with a pure-integer
+    decay so partials fold in any order. Pure combiner shape."""
+    from osm_export_tool_python_ray.stages.analytics import decayed_cells
+
+    return decayed_cells(_read(sf_dir, "events", ["event_id", "ts"]))
+
+
+SQL_DECAYED_CELLS = """
+WITH e AS (
+  SELECT (CAST(event_id % 100 AS BIGINT)) // 10 AS cx,
+         (CAST(event_id // 7 AS BIGINT) % 100) // 10 AS cy,
+         least(greatest(1706745600000000 - epoch_us(ts), 0)
+               // 3600000000 // 24, 40) AS k
+  FROM events
+)
+SELECT cx, cy, count(*) AS n,
+       CAST(sum(1000000 // CAST(pow(2, k) AS BIGINT)) AS BIGINT) AS decayed
+FROM e GROUP BY cx, cy
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -4288,6 +4432,10 @@ QUERIES = {
     "triangles": q_triangles,
     "hilbert_range": q_hilbert_range,
     "grid_dijkstra": q_grid_dijkstra,
+    "cohort_retention": q_cohort_retention,
+    "idw_grid": q_idw_grid,
+    "hausdorff_pairs": q_hausdorff_pairs,
+    "decayed_cells": q_decayed_cells,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4434,6 +4582,10 @@ ORACLES = {
     "triangles": SQL_TRIANGLES,
     "hilbert_range": SQL_HILBERT_RANGE,
     "grid_dijkstra": SQL_GRID_DIJKSTRA,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "idw_grid": SQL_IDW_GRID,
+    "hausdorff_pairs": SQL_HAUSDORFF_PAIRS,
+    "decayed_cells": SQL_DECAYED_CELLS,
     "training_kept_docs": SQL_TRAINING_KEPT_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
