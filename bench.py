@@ -211,6 +211,12 @@ def run_query_suite(sf_dir):
         ("cell_peak_hour", Q.q_cell_peak_hour),
         ("aoi_cell_cover", Q.q_aoi_cell_cover),
         ("triangles", Q.q_triangles),
+        # round-4 event-analytics quartet (stages/analytics.py)
+        ("cohort_retention", Q.q_cohort_retention),
+        ("idw_grid", Q.q_idw_grid),
+        ("hausdorff_pairs", Q.q_hausdorff_pairs),
+        ("decayed_cells", Q.q_decayed_cells),
+        ("span_adjacency", Q.q_span_adjacency),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -4234,6 +4234,96 @@ def q_kml_layer_counts(sf_dir):
     return _layer_counts_table(rows)
 
 
+def span_adjacency(docs_ds):
+    """Span-sequence transition counts over an interleaved documents
+    dataset (doc_id, spans) — see q_span_adjacency."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(spans)
+        EMPTY = pa.table(
+            {
+                "kind_a": pa.array([], type=pa.string()),
+                "kind_b": pa.array([], type=pa.string()),
+                "n_p": pa.array([], type=pa.int64()),
+                "gap_p": pa.array([], type=pa.int64()),
+            }
+        )
+        if not len(parent):
+            return EMPTY
+        off = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        dk = pc.dictionary_encode(flat.field("kind"))
+        if isinstance(dk, pa.ChunkedArray):
+            dk = dk.combine_chunks()
+        codes = np.asarray(dk.indices, dtype=np.int64)
+        kinds = dk.dictionary.to_pylist()  # batch-local dictionary
+        order = np.lexsort((off, parent))
+        par_s, off_s, code_s = parent[order], off[order], codes[order]
+        same = par_s[1:] == par_s[:-1]
+        if not same.any():
+            return EMPTY
+        a, b = code_s[:-1][same], code_s[1:][same]
+        gaps = (off_s[1:] - off_s[:-1])[same]
+        K = len(kinds)
+        key = a * K + b
+        o2 = np.argsort(key, kind="stable")
+        ks, gs = key[o2], gaps[o2]
+        starts = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
+        uk = ks[starts]
+        n = np.diff(np.append(starts, len(ks))).astype(np.int64)
+        gsum = np.add.reduceat(gs, starts).astype(np.int64)  # pure int64
+        return pa.table(
+            {
+                "kind_a": pa.array([kinds[int(k) // K] for k in uk]),
+                "kind_b": pa.array([kinds[int(k) % K] for k in uk]),
+                "n_p": pa.array(n),
+                "gap_p": pa.array(gsum),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind_a", "kind_b"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("gap_p", alias_name="gap_sum"))
+    )
+
+
+def q_span_adjacency(sf_dir):
+    """Span-sequence transition counts over the interleaved corpus — the
+    north-rule per-row invariant (kind/text/media_ref ORDER preserved
+    through every stage) turned into a measurable query: for every
+    consecutive span pair within a document (by offset order), count
+    transitions kind_a → kind_b and sum the offset gaps. Any stage that
+    reorders, drops or duplicates a span flips a transition count or a
+    gap sum. Pure combiner shape: per-batch (kind_a, kind_b, n, gap_sum)
+    partials via list_parent_indices + one lexsort; the groupby moves
+    O(kinds²) rows per batch, never spans. Offsets are strictly
+    increasing within a doc by corpus construction, so the SQL
+    row_number ORDER BY offset is total on both sides."""
+    import ray.data
+
+    return span_adjacency(ray.data.read_parquet(corpus_path(n_shards=4)))
+
+
+def sql_span_adjacency(corpus):
+    return f"""
+WITH s AS (
+  SELECT doc_id, u.kind AS kind, u."offset" AS off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY u."offset") AS rn
+  FROM (SELECT doc_id, UNNEST(spans) AS u FROM read_parquet('{corpus}'))
+)
+SELECT a.kind AS kind_a, b.kind AS kind_b, count(*) AS n,
+       CAST(sum(b.off - a.off) AS BIGINT) AS gap_sum
+FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+GROUP BY kind_a, kind_b
+"""
+
+
 def q_cohort_retention(sf_dir):
     """Weekly cohort retention matrix (stages/analytics.py
     cohort_retention): per (cohort_week, week_offset) active-user counts
@@ -4436,6 +4526,7 @@ QUERIES = {
     "idw_grid": q_idw_grid,
     "hausdorff_pairs": q_hausdorff_pairs,
     "decayed_cells": q_decayed_cells,
+    "span_adjacency": q_span_adjacency,
     "training_kept_docs": q_training_kept_docs,
     "bloom_incremental": q_bloom_incremental,
     "textrank_keywords": q_textrank_keywords,
@@ -4480,6 +4571,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "gpkg_layer_counts",
     "shp_layer_counts",
     "kml_layer_counts",
+    "span_adjacency",
 )
 
 
@@ -4513,6 +4605,7 @@ def export_surface_oracles():
         "gpkg_layer_counts": sql_gpkg_layer_counts(path, mapping),
         "shp_layer_counts": sql_shp_layer_counts(path, mapping),
         "kml_layer_counts": sql_kml_layer_counts(path, mapping),
+        "span_adjacency": sql_span_adjacency(path),
     }
     assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
     return out
