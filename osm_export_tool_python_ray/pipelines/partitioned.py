@@ -39,6 +39,7 @@ import json
 import os
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 
 from osm_export_tool_python_ray.state.checkpoint import checkpoint, is_complete, manifest
 
@@ -190,7 +191,7 @@ def _isin_filter(column, ids_ref):
     import ray
 
     def fn(t):
-        ids = ray.get(ids_ref)
+        ids = cached_get(ids_ref)
         v = t.column(column).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(_sorted_member(ids, v)))
 

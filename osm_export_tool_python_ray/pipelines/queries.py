@@ -19,6 +19,7 @@ verification for the model-shaped ones.
 import os
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -359,7 +360,7 @@ def q_unigram_logprob(sf_dir):
     vocab_ref = ray.put((vterms[vorder], vtf[vorder], total))
 
     def score(t: pa.Table) -> pa.Table:
-        vt, vc, tot = ray.get(vocab_ref)
+        vt, vc, tot = cached_get(vocab_ref)
         flat, ntoks = alnum_tokens_batch(t.column("text").to_pylist())
         if tot == 0 or not flat:
             lp_doc = np.zeros(len(ntoks), dtype=np.int64)

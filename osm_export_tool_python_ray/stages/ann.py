@@ -13,6 +13,7 @@ documented; the exact variant is the brute-force path over buckets of the
 hash prefix."""
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 
 from osm_export_tool_python_ray.state.metrics import report_cap
@@ -43,7 +44,7 @@ def ann_topk(embeddings_ds, query_matrix, query_ids, k=10):
     qids = np.asarray(query_ids, dtype=np.int64)
 
     def partial(t: pa.Table) -> pa.Table:
-        q, qn = ray.get(qref)
+        q, qn = cached_get(qref)
         m = _to_matrix(t.column("embedding"), np.float64)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:
@@ -251,7 +252,7 @@ def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048, in
         cref = ray.put(cents)
 
         def partial(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
+            c = cached_get(cref)
             m = _to_matrix(t.column("embedding"), np.float64)
             if m.shape[0] == 0:
                 return pa.table(
@@ -294,7 +295,7 @@ def embedding_kmeans(embeddings_ds, k=8, iters=10, seed=42, sample_size=2048, in
     final_ref = ray.put(cents)
 
     def assign_fn(t: pa.Table) -> pa.Table:
-        c = ray.get(final_ref)
+        c = cached_get(final_ref)
         m = _to_matrix(t.column("embedding"), np.float64)
         if m.shape[0] == 0:
             return pa.table({"vec_id": t.column("vec_id"), "cluster": pa.array([], type=pa.int32())})
@@ -346,9 +347,9 @@ def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, npr
     qref = ray.put(qm)
 
     def partial(t: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        q = ray.get(qref)
-        pr = ray.get(probe_ref)
+        c = cached_get(cref)
+        q = cached_get(qref)
+        pr = cached_get(probe_ref)
         m = _normalize(_to_matrix(t.column("embedding"), dtype))
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:

@@ -21,6 +21,7 @@ fan-out knob — raise it with cluster size.
 import os
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -488,7 +489,7 @@ def assemble_ways_broadcast(ways_ds, nodes_ds):
     loc_ref = ray.put((ids_s, lon_s, lat_s))
 
     def resolve(t: pa.Table) -> pa.Table:
-        sids, slon, slat = ray.get(loc_ref)
+        sids, slon, slat = cached_get(loc_ref)
         refs = t.column("refs")
         if isinstance(refs, pa.ChunkedArray):
             refs = refs.combine_chunks()
@@ -585,7 +586,7 @@ def assemble_relations_broadcast(rels_ds, way_geoms_ds):
     geom_ref = ray.put((ids_s, starts_s, counts_s, comp_s, flat_lon, flat_lat))
 
     def stitch_batch(t: pa.Table) -> pa.Table:
-        sids, sstarts, scounts, scomp, flon, flat_ = ray.get(geom_ref)
+        sids, sstarts, scounts, scomp, flon, flat_ = cached_get(geom_ref)
         members = t.column("members")
         if isinstance(members, pa.ChunkedArray):
             members = members.combine_chunks()

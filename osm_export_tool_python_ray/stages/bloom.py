@@ -27,6 +27,7 @@ survivors if exactness is required)."""
 import hashlib
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 
 DEFAULT_M_BITS = 1 << 20
@@ -97,7 +98,7 @@ def bloom_probe(new_ds, bits, text_col="text", id_col="doc_id", m_bits=DEFAULT_M
     bits_ref = ray.put(bits)
 
     def probe(t: pa.Table) -> pa.Table:
-        b = ray.get(bits_ref)
+        b = cached_get(bits_ref)
         texts = t.column(text_col).to_pylist()
         if texts:
             pos = _positions(*_doc_hashes(texts), m_bits, k)

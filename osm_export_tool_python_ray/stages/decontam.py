@@ -20,6 +20,7 @@ Reference analog: none (engine mandate — reference is an OSM exporter).
 """
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 
 from osm_export_tool_python_ray.functions.text import word_ngram_hashes_batch
@@ -52,7 +53,7 @@ def decontaminate(docs_ds, n=5, bench_mod=97):
     keys_ref = ray.put(benchmark_gram_keys(docs_ds, n=n, bench_mod=bench_mod))
 
     def flag(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)  # zero-copy read from the object store
+        keys = cached_get(keys_ref)  # zero-copy read from the object store
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         sub = t.filter(pa.array(ids % bench_mod != 0))
         gk, off = word_ngram_hashes_batch(sub.column("text").to_pylist(), n=n)

@@ -11,6 +11,7 @@ spans within a document (SURVEY.md §1.2 invariant).
 import json
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -303,7 +304,7 @@ def dedup_elements_light(ds, num_buckets=64, loser_limit=20_000_000):
     loser_ref = ray.put(pack)
 
     def drop_losers(t: pa.Table) -> pa.Table:
-        lp = ray.get(loser_ref)
+        lp = cached_get(loser_ref)
         if len(lp) == 0 or t.num_rows == 0:
             return t
         ek = t.column("ekey").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -28,6 +28,7 @@ defaults; raise to HUGEINT-style splitting before that at planet scale.
 """
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 
 from osm_export_tool_python_ray.stages.joins import bucket_join
@@ -59,7 +60,7 @@ def _edge_partial(vocab_sorted_ref, text_col="text"):
     from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
 
     def fn(t: pa.Table) -> pa.Table:
-        vt = ray.get(vocab_sorted_ref)
+        vt = cached_get(vocab_sorted_ref)
         V = len(vt)
         flat, ntoks = alnum_tokens_batch(t.column(text_col).to_pylist())
         if not flat:

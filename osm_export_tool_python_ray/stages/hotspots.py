@@ -34,6 +34,7 @@ No reference analog — engine mandate (geospatial family).
 """
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -166,7 +167,7 @@ def grid_clusters(points_ds, res=8, min_pts=3):
     labels_ref = ray.put((cells, cc_labels(cells)))
 
     def attach(t: pa.Table) -> pa.Table:
-        cs, ls = ray.get(labels_ref)
+        cs, ls = cached_get(labels_ref)
         c = t.column("cell").to_numpy(zero_copy_only=False)
         lab = ls[np.searchsorted(cs, c)]
         return pa.table(
@@ -242,7 +243,7 @@ def grid_bfs_distance(points_ds, seeds_ds, res=8, max_hops=6):
     dist_ref = ray.put((occ_cells, dist))
 
     def attach(t: pa.Table) -> pa.Table:
-        cs, ds_ = ray.get(dist_ref)
+        cs, ds_ = cached_get(dist_ref)
         c = t.column("cell").to_numpy(zero_copy_only=False)
         d = ds_[np.searchsorted(cs, c)]
         keep = d >= 0
@@ -420,7 +421,7 @@ def grid_weighted_distance(
     dist_ref = ray.put((occ_cells, dist))
 
     def attach(t: pa.Table) -> pa.Table:
-        cs, ds_ = ray.get(dist_ref)
+        cs, ds_ = cached_get(dist_ref)
         c = t.column("cell").to_numpy(zero_copy_only=False)
         d = ds_[np.searchsorted(cs, c)]
         keep = d >= 0

@@ -39,6 +39,7 @@ contract (stages/knn.py).
 """
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 import ray
 
@@ -181,7 +182,7 @@ def map_match(events_ds, num_partitions=8):
     index_ref = ray.put(build_cell_index(segs))
 
     def match(t: pa.Table) -> pa.Table:
-        cells, starts, flat = ray.get(index_ref)
+        cells, starts, flat = cached_get(index_ref)
         if not len(cells):
             return _OUT.empty_table()
         u = t.column("user_id").to_numpy(zero_copy_only=False)

@@ -21,6 +21,7 @@ pipeline's work.
 """
 
 import numpy as np
+from osm_export_tool_python_ray.state.broadcast import cached_get
 import pyarrow as pa
 
 from osm_export_tool_python_ray.stages.exchange import grouped_map
@@ -70,7 +71,7 @@ def ordered_prefix_scan(ds, *, order_col, value_col, num_buckets=64, num_partiti
 
     # phase B: per-bucket local scan + broadcast offset
     def scan(g: pa.Table) -> pa.Table:
-        off = ray.get(offsets_ref)
+        off = cached_get(offsets_ref)
         g = g.sort_by([("bucket", "ascending"), (order_col, "ascending")])
         b = g.column("bucket").to_numpy(zero_copy_only=False)
         v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)

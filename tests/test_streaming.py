@@ -81,3 +81,48 @@ class TestStreamingEquivalence:
         assert sorted(r["media_ref"] for r in tile_rows) == sorted(
             r["media_ref"] for r in expected
         )
+
+
+class TestBroadcastCache:
+    """Per-worker memo for broadcast ray.put objects (state/broadcast.py):
+    VERDICT r3 cosmetic #3 — stage closures fetch the broadcast once per
+    worker process, not once per batch, and the memo is a bounded LRU so
+    long-lived workers don't pin dead broadcasts."""
+
+    def test_cached_get_memoizes_and_bounds(self, ray_session):
+        import ray
+
+        from osm_export_tool_python_ray.state import broadcast as bc
+
+        bc._cache.clear()
+        ref = ray.put((1, 2, 3))
+        a = bc.cached_get(ref)
+        b = bc.cached_get(ref)
+        assert a is b == (1, 2, 3)
+        assert len(bc._cache) == 1
+        # LRU bound: inserting > _MAX_ENTRIES distinct refs evicts the oldest
+        refs = [ray.put(i) for i in range(bc._MAX_ENTRIES + 2)]
+        for r in refs:
+            bc.cached_get(r)
+        assert len(bc._cache) == bc._MAX_ENTRIES
+        assert ref.hex() not in bc._cache  # the first entry was evicted
+        # evicted entries are re-fetchable
+        assert bc.cached_get(ref) == (1, 2, 3)
+
+    def test_cached_get_inside_map_batches(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from osm_export_tool_python_ray.state.broadcast import cached_get
+
+        lookup_ref = ray.put(np.arange(10, dtype=np.int64) * 100)
+
+        def add_lookup(t: pa.Table) -> pa.Table:
+            lk = cached_get(lookup_ref)
+            v = t.column("k").to_numpy(zero_copy_only=False)
+            return t.append_column("v", pa.array(lk[v]))
+
+        ds = ray.data.from_items([{"k": i % 10} for i in range(50)])
+        out = ds.map_batches(add_lookup, batch_format="pyarrow").take_all()
+        assert all(r["v"] == r["k"] * 100 for r in out)
