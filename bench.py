@@ -217,6 +217,7 @@ def run_query_suite(sf_dir):
         ("hausdorff_pairs", Q.q_hausdorff_pairs),
         ("decayed_cells", Q.q_decayed_cells),
         ("span_adjacency", Q.q_span_adjacency),
+        ("segment_crossings", Q.q_segment_crossings),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

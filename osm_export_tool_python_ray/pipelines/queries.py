@@ -3072,6 +3072,53 @@ GROUP BY a.user_id, b.user_id
 """
 
 
+def q_segment_crossings(sf_dir):
+    """Cross-user segment-crossing join (stages/crossings.py): per
+    unordered user pair, how many trajectory segment pairs PROPERLY cross
+    (both orientation products strictly negative — exact int64, the
+    predicate of journey.py count_proper_crossings applied across users).
+    Teleport segments (> max_step in either axis) are dropped first —
+    the standard GPS-trace cleaning step that keeps segments local so
+    cell blocking actually prunes. Three exchanges, all combiner-shaped:
+    user-keyed (ordered segments), cell-keyed (vectorized candidate
+    pairs, bbox prefilter, counted truncation cap), pair-keyed (dedup of
+    multi-cell discoveries, moves only CROSSING pairs)."""
+    from osm_export_tool_python_ray.stages.crossings import segment_crossings
+
+    return segment_crossings(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        max_step=15,
+        cell=16,
+    )
+
+
+SQL_SEGMENT_CROSSINGS = """
+WITH pts AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+),
+seg AS (
+  SELECT p.user_id, p.x AS ax, p.y AS ay, q.x AS bx, q.y AS by_
+  FROM pts p JOIN pts q ON q.user_id = p.user_id AND q.idx = p.idx + 1
+  WHERE NOT (p.x = q.x AND p.y = q.y)
+    AND abs(q.x - p.x) <= 15 AND abs(q.y - p.y) <= 15
+),
+pr AS (
+  SELECT s.user_id AS user_a, t.user_id AS user_b
+  FROM seg s JOIN seg t ON s.user_id < t.user_id
+  WHERE ((s.bx-s.ax)*(t.ay-s.ay)-(s.by_-s.ay)*(t.ax-s.ax))
+      * ((s.bx-s.ax)*(t.by_-s.ay)-(s.by_-s.ay)*(t.bx-s.ax)) < 0
+    AND ((t.bx-t.ax)*(s.ay-t.ay)-(t.by_-t.ay)*(s.ax-t.ax))
+      * ((t.bx-t.ax)*(s.by_-t.ay)-(t.by_-t.ay)*(s.bx-t.ax)) < 0
+)
+SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_cross
+FROM pr GROUP BY user_a, user_b
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4513,6 +4560,7 @@ QUERIES = {
     "grid_distance": q_grid_distance,
     "stay_points": q_stay_points,
     "encounters": q_encounters,
+    "segment_crossings": q_segment_crossings,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4666,6 +4714,7 @@ ORACLES = {
     "grid_distance": SQL_GRID_DISTANCE,
     "stay_points": SQL_STAY_POINTS,
     "encounters": SQL_ENCOUNTERS,
+    "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

@@ -1,0 +1,144 @@
+"""Cross-user segment-crossing join (stages/crossings.py): brute-force
+differential on randomized inputs, determinism across parallelism levels,
+the teleport filter, and the cell cap."""
+
+import numpy as np
+import pytest
+
+from tests.test_temporal import _events_table
+
+
+def _brute(rows, max_step=15, grid=100):
+    """O(S²) reference: per-user (ts, event_id)-ordered segments, strict
+    proper-crossing predicate, count per unordered user pair."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, u, ts, _et, _v in rows:
+        by_user[u].append((ts, eid))
+    segs = []
+    for u, pts in by_user.items():
+        pts.sort()
+        xy = [(eid % grid, (eid // 7) % grid) for _ts, eid in pts]
+        for (ax, ay), (bx, by) in zip(xy, xy[1:]):
+            if (ax, ay) == (bx, by):
+                continue
+            if abs(bx - ax) > max_step or abs(by - ay) > max_step:
+                continue
+            segs.append((u, ax, ay, bx, by))
+    out = defaultdict(int)
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            (ua, ax, ay, bx, by) = segs[i]
+            (ub, cx, cy, dx, dy) = segs[j]
+            if ua == ub:
+                continue
+            ux, uy = bx - ax, by - ay
+            d1 = ux * (cy - ay) - uy * (cx - ax)
+            d2 = ux * (dy - ay) - uy * (dx - ax)
+            vx, vy = dx - cx, dy - cy
+            d3 = vx * (ay - cy) - vy * (ax - cx)
+            d4 = vx * (by - cy) - vy * (bx - cx)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                out[(min(ua, ub), max(ua, ub))] += 1
+    return dict(out)
+
+
+def _rand_rows(seed, n=400, users=10, eid_range=3000):
+    rng = np.random.RandomState(seed)
+    # distinct event_ids so (ts, event_id) ordering is unambiguous
+    eids = rng.choice(eid_range, size=n, replace=False)
+    return [
+        (int(e), int(rng.randint(1, users + 1)), int(rng.randint(0, 10_000)),
+         "view", 0.0)
+        for e in eids
+    ]
+
+
+class TestSegmentCrossings:
+    @pytest.mark.parametrize("seed", [7, 21, 99])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.crossings import segment_crossings
+
+        rows = _rand_rows(seed)
+        out = segment_crossings(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {(r["user_a"], r["user_b"]): r["n_cross"] for r in out}
+        assert got == _brute(rows)
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.crossings import segment_crossings
+
+        rows = _rand_rows(5)
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = segment_crossings(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(sorted((r["user_a"], r["user_b"], r["n_cross"]) for r in res))
+        assert outs[0] == outs[1]
+
+    def test_teleport_and_degenerate_segments_dropped(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.crossings import segment_crossings
+
+        # user 1 walks a long diagonal (teleport: |dx| > max_step) that
+        # would cross user 2's short segment if kept; user 3 stands still
+        # (degenerate). event_id → (x, y) = (eid % 100, (eid // 7) % 100).
+        rows = [
+            (0, 1, 0, "v", 0.0),     # (0, 0)
+            (350, 1, 1, "v", 0.0),   # (50, 50): step 50 → teleport, dropped
+            (212, 2, 0, "v", 0.0),   # (12, 30)
+            (240, 2, 1, "v", 0.0),   # (40, 34): step ≤ 15? dx=28 → teleport too
+            (7, 3, 0, "v", 0.0),     # (7, 1)
+            (7, 3, 1, "v", 0.0),     # duplicate position → degenerate
+        ]
+        out = segment_crossings(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        assert out == []
+
+    def test_cell_cap_truncates_and_counts(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.crossings import segment_crossings
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        rows = _rand_rows(11)
+        snapshot_caps()
+        out = segment_crossings(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+            cell_seg_cap=3,
+        ).take_all()
+        caps = snapshot_caps()
+        assert caps.get("crossing_cell_truncated", 0) > 0
+        # truncated run must still produce a valid (possibly smaller) result
+        full = _brute(rows)
+        got = {(r["user_a"], r["user_b"]): r["n_cross"] for r in out}
+        assert sum(got.values()) <= sum(full.values())
+
+    def test_cap_not_hit_at_oracle_scale(self, ray_session):
+        """The driver-gate scales must run uncapped (oracle equality
+        depends on it) — mirror of the encounters cap assertion."""
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        snapshot_caps()
+        QUERIES["segment_crossings"]("/root/testdata/sf0.001").materialize()
+        assert snapshot_caps().get("crossing_cell_truncated", 0) == 0
