@@ -218,6 +218,7 @@ def run_query_suite(sf_dir):
         ("decayed_cells", Q.q_decayed_cells),
         ("span_adjacency", Q.q_span_adjacency),
         ("segment_crossings", Q.q_segment_crossings),
+        ("session_overlap", Q.q_session_overlap),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3119,6 +3119,40 @@ FROM pr GROUP BY user_a, user_b
 """
 
 
+def q_session_overlap(sf_dir):
+    """Interval×interval overlap join (stages/intervals.py
+    session_overlap_join): per unordered user pair, the number of
+    overlapping session pairs and total overlap µs — the co-presence
+    completion of the temporal-join family (asof = point←point,
+    range_join = interval×point, this = interval×interval). Sessions are
+    the events_sessions 30-minute-gap rule; overlaps count once via
+    canonical attribution to the epoch containing the overlap start, so
+    the epoch replication needs NO dedup exchange; all arithmetic exact
+    int64 µs on both sides."""
+    from osm_export_tool_python_ray.stages.intervals import session_overlap_join
+
+    return session_overlap_join(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+SQL_SESSION_OVERLAP = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+      CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+           OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e),
+g AS (SELECT user_id, t,
+      sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+ses AS (SELECT user_id, sid, min(t) AS st, max(t) AS en FROM g GROUP BY user_id, sid)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT) AS overlap_us
+FROM ses a JOIN ses b
+  ON a.user_id < b.user_id AND greatest(a.st, b.st) < least(a.en, b.en)
+GROUP BY user_a, user_b
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4561,6 +4595,7 @@ QUERIES = {
     "stay_points": q_stay_points,
     "encounters": q_encounters,
     "segment_crossings": q_segment_crossings,
+    "session_overlap": q_session_overlap,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4715,6 +4750,7 @@ ORACLES = {
     "stay_points": SQL_STAY_POINTS,
     "encounters": SQL_ENCOUNTERS,
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
+    "session_overlap": SQL_SESSION_OVERLAP,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

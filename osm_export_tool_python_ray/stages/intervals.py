@@ -1,0 +1,208 @@
+"""Interval×interval overlap join: which user pairs were ACTIVE AT THE
+SAME TIME (overlapping sessions), for how long.
+
+Completes the temporal-join family: stages/temporal.py has the keyed AS-OF
+join (point←latest point) and the unkeyed time-RANGE join
+(interval×point); this is the third member, interval×interval, the shape
+of co-presence / concurrent-session / resource-contention analyses.
+
+Scale shape (the range_join pattern, plus canonical attribution instead
+of a dedup exchange):
+- ONE user-keyed exchange sessionizes events (>gap_us split — identical
+  rule to the events_sessions query); the exchange output is tiny session
+  rows (user, start, end), never raw events.
+- Sessions replicate to every fixed ``epoch_us`` bucket they span
+  (factor = len/epoch + 1), then ONE epoch-keyed exchange co-locates
+  candidates; pairing is the vectorized repeat/cumsum candidate expansion
+  per epoch.
+- A pair overlapping across several epochs is counted ONCE, in the epoch
+  containing the OVERLAP START (max of the two session starts — inside
+  both sessions, so both replicas are present there). Attribution is
+  arithmetic, so no cross-epoch dedup exchange exists at all.
+- Hot epochs (every user active at once) truncate deterministically under
+  a counted cap (``report_cap('interval_epoch_truncated')``) — never hit
+  at oracle scales (asserted in tests).
+
+Reference analog: none (engine mandate — temporal-join family).
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from osm_export_tool_python_ray.stages.exchange import grouped_map
+from osm_export_tool_python_ray.state.metrics import report_cap
+
+_SES_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("st", pa.int64()), ("en", pa.int64())]
+)
+
+
+def _empty(schema, extra=()):
+    cols = {f.name: pa.array([], type=f.type) for f in schema}
+    for name, typ in extra:
+        cols[name] = pa.array([], type=typ)
+    return pa.table(cols)
+
+
+def session_overlap_join(
+    events_ds,
+    gap_us=1_800_000_000,
+    epoch_us=21_600_000_000,
+    num_buckets=32,
+    num_partitions=8,
+    epoch_cap=200_000,
+):
+    """→ (user_a, user_b, n_overlaps, overlap_us): per unordered user pair
+    (user_a < user_b), how many of their session pairs overlap with
+    strictly positive duration, and the total overlap in µs (exact int64
+    on both engine and SQL side — no floats anywhere)."""
+
+    # ---- stage A: user-keyed exchange → sessions ------------------------
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return _empty(
+                pa.schema([("user_id", pa.int64()), ("ts", pa.int64())]),
+                extra=(("bucket", pa.int32()),),
+            )
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "ts": pa.array(ts),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty(_SES_SCHEMA)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)]
+        )
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(u)) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "st": pa.array(ts[starts]),
+                "en": pa.array(ts[ends]),
+            }
+        )
+
+    sessions = grouped_map(
+        events_ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        lambda g: sessionize(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema([("user_id", pa.int64()), ("ts", pa.int64())]),
+    )
+
+    # ---- stage B: replicate to spanned epochs ---------------------------
+    def to_epochs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(
+                _SES_SCHEMA, extra=(("epoch", pa.int64()), ("bucket", pa.int32()))
+            )
+        st = t.column("st").to_numpy(zero_copy_only=False)
+        en = t.column("en").to_numpy(zero_copy_only=False)
+        e0 = st // epoch_us
+        e1 = en // epoch_us
+        ncopy = (e1 - e0 + 1).astype(np.int64)
+        rows = np.repeat(np.arange(t.num_rows), ncopy)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(ncopy)])[:-1]
+        ep = e0[rows] + (np.arange(int(ncopy.sum())) - np.repeat(offs, ncopy))
+        rep = t.take(pa.array(rows)).append_column("epoch", pa.array(ep))
+        return rep.append_column(
+            "bucket", pa.array((ep % num_buckets).astype(np.int32))
+        )
+
+    placed = sessions.map_batches(to_epochs, batch_format="pyarrow")
+
+    # ---- stage C: per-epoch pairing + canonical attribution -------------
+    def epoch_pairs(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("user_a", pa.int64()),
+                ("user_b", pa.int64()),
+                ("n_partial", pa.int64()),
+                ("ov_partial", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return _empty(OUT)
+        ep = g.column("epoch").to_numpy(zero_copy_only=False)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        st = g.column("st").to_numpy(zero_copy_only=False)
+        en = g.column("en").to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, u, ep))
+        ep, u, st, en = ep[order], u[order], st[order], en[order]
+        gstarts = np.nonzero(np.concatenate([[True], ep[1:] != ep[:-1]]))[0]
+        sizes = np.diff(np.append(gstarts, len(ep)))
+        if (sizes > epoch_cap).any():
+            rank = np.arange(len(ep)) - np.repeat(gstarts, sizes)
+            keep = rank < epoch_cap
+            report_cap("interval_epoch_truncated", int((~keep).sum()))
+            ep, u, st, en = ep[keep], u[keep], st[keep], en[keep]
+            gstarts = np.nonzero(np.concatenate([[True], ep[1:] != ep[:-1]]))[0]
+            sizes = np.diff(np.append(gstarts, len(ep)))
+        rank = np.arange(len(ep)) - np.repeat(gstarts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return _empty(OUT)
+        L = np.repeat(np.arange(len(ep)), left_counts)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(offs, left_counts) + L + 1
+        ov_st = np.maximum(st[L], st[R])
+        ov_en = np.minimum(en[L], en[R])
+        keep = (
+            (u[L] != u[R])
+            & (ov_st < ov_en)  # strictly positive overlap
+            & (ov_st // epoch_us == ep[L])  # canonical epoch: overlap start
+        )
+        L, R, ov_st, ov_en = L[keep], R[keep], ov_st[keep], ov_en[keep]
+        if not len(L):
+            return _empty(OUT)
+        swap = u[L] > u[R]
+        ua = np.where(swap, u[R], u[L])
+        ub = np.where(swap, u[L], u[R])
+        ov = ov_en - ov_st
+        # partition-local (ua, ub) partials
+        order = np.lexsort((ub, ua))
+        ua, ub, ov = ua[order], ub[order], ov[order]
+        first = np.concatenate([[True], (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])])
+        ps = np.nonzero(first)[0]
+        n_partial = np.diff(np.append(ps, len(ua))).astype(np.int64)
+        ov_partial = np.add.reduceat(ov, ps)
+        return pa.table(
+            {
+                "user_a": pa.array(ua[ps]),
+                "user_b": pa.array(ub[ps]),
+                "n_partial": pa.array(n_partial),
+                "ov_partial": pa.array(ov_partial),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = grouped_map(
+        placed,
+        "bucket",
+        lambda g: epoch_pairs(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(list(_SES_SCHEMA) + [pa.field("epoch", pa.int64())]),
+    )
+    return partials.groupby(["user_a", "user_b"]).aggregate(
+        Sum("n_partial", alias_name="n_overlaps"),
+        Sum("ov_partial", alias_name="overlap_us"),
+    )

@@ -1,0 +1,164 @@
+"""Interval×interval session-overlap join (stages/intervals.py):
+brute-force differential on randomized inputs, determinism across
+parallelism levels, cross-epoch attribution, and the hot-epoch cap."""
+
+import numpy as np
+import pytest
+
+from tests.test_temporal import _events_table
+
+GAP = 1_800_000_000
+
+
+def _brute(rows, gap_us=GAP):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for _eid, u, ts, _et, _v in rows:
+        by_user[u].append(ts)
+    ses = []
+    for u, tss in by_user.items():
+        tss.sort()
+        st = en = tss[0]
+        for t in tss[1:]:
+            if t - en > gap_us:
+                ses.append((u, st, en))
+                st = t
+            en = t
+        ses.append((u, st, en))
+    out = {}
+    for i in range(len(ses)):
+        for j in range(i + 1, len(ses)):
+            ua, sa, ea = ses[i]
+            ub, sb, eb = ses[j]
+            if ua == ub:
+                continue
+            ov = min(ea, eb) - max(sa, sb)
+            if ov > 0:
+                k = (min(ua, ub), max(ua, ub))
+                n, tot = out.get(k, (0, 0))
+                out[k] = (n + 1, tot + ov)
+    return out
+
+
+def _rand_rows(seed, n=300, users=8, span_us=40_000_000_000):
+    rng = np.random.RandomState(seed)
+    return [
+        (i, int(rng.randint(1, users + 1)), int(rng.randint(0, span_us)), "v", 0.0)
+        for i in range(n)
+    ]
+
+
+class TestSessionOverlap:
+    @pytest.mark.parametrize("seed", [3, 17, 42])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import session_overlap_join
+
+        rows = _rand_rows(seed)
+        out = session_overlap_join(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {
+            (r["user_a"], r["user_b"]): (r["n_overlaps"], r["overlap_us"])
+            for r in out
+        }
+        assert got == _brute(rows)
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import session_overlap_join
+
+        rows = _rand_rows(9)
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = session_overlap_join(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(
+                sorted(
+                    (r["user_a"], r["user_b"], r["n_overlaps"], r["overlap_us"])
+                    for r in res
+                )
+            )
+        assert outs[0] == outs[1]
+
+    def test_cross_epoch_overlap_counted_once(self, ray_session):
+        """Two long sessions spanning many epochs overlap for several
+        epochs' worth of time — counted as ONE overlap with the full
+        duration (attribution to the overlap-start epoch, no dedup)."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import session_overlap_join
+
+        E = 1_000_000  # tiny epoch to force heavy spanning
+        # user 1 active [0, 10 Mµs] (events every 0.5 Mµs — one session);
+        # user 2 active [3 M, 8 Mµs]
+        rows = [(i, 1, i * 500_000, "v", 0.0) for i in range(21)]
+        rows += [(100 + i, 2, 3_000_000 + i * 500_000, "v", 0.0) for i in range(11)]
+        out = session_overlap_join(
+            ray.data.from_arrow(_events_table(rows)),
+            epoch_us=E,
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["user_a"], r["user_b"]) == (1, 2)
+        assert r["n_overlaps"] == 1
+        assert r["overlap_us"] == 5_000_000  # [3 M, 8 M]
+
+    def test_touching_sessions_not_counted(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import session_overlap_join
+
+        # user 1 session [0, 100]; user 2 session [100, 200] — zero overlap
+        rows = [
+            (1, 1, 0, "v", 0.0),
+            (2, 1, 100, "v", 0.0),
+            (3, 2, 100, "v", 0.0),
+            (4, 2, 200, "v", 0.0),
+        ]
+        out = session_overlap_join(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        assert out == []
+
+    def test_epoch_cap_truncates_and_counts(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import session_overlap_join
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        # 10 users all active in one epoch
+        rows = [(u * 10 + i, u, 1000 * i, "v", 0.0) for u in range(1, 11) for i in range(2)]
+        snapshot_caps()
+        out = session_overlap_join(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+            epoch_cap=3,
+        ).take_all()
+        caps = snapshot_caps()
+        assert caps.get("interval_epoch_truncated", 0) > 0
+        full = _brute(rows)
+        assert sum(r["n_overlaps"] for r in out) <= sum(n for n, _ in full.values())
+
+    def test_cap_not_hit_at_oracle_scale(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        snapshot_caps()
+        QUERIES["session_overlap"]("/root/testdata/sf0.001").materialize()
+        assert snapshot_caps().get("interval_epoch_truncated", 0) == 0
