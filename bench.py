@@ -219,6 +219,7 @@ def run_query_suite(sf_dir):
         ("span_adjacency", Q.q_span_adjacency),
         ("segment_crossings", Q.q_segment_crossings),
         ("session_overlap", Q.q_session_overlap),
+        ("compact_cover", Q.q_compact_cover),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3153,6 +3153,44 @@ GROUP BY user_a, user_b
 """
 
 
+def q_compact_cover(sf_dir):
+    """Quadtree compact cell cover (stages/journey.py compact_cover — the
+    H3 ``compact`` analog): minimal multi-resolution cover of occupied
+    unit cells, a parent replacing its four children recursively. One
+    subtree-keyed exchange computes everything below the cut level
+    (compaction is subtree-local); a second constant-key exchange folds
+    the ≤4^cut fully-covered-subtree markers into the top levels."""
+    from osm_export_tool_python_ray.stages.journey import compact_cover
+
+    return compact_cover(_read(sf_dir, "events", ["event_id"]))
+
+
+def _build_compact_cover_sql(top=6):
+    side = 1 << top
+    lines = [
+        "WITH c AS (SELECT DISTINCT (event_id * 48271) %% 65537 %% %d AS c"
+        " FROM events), s%d AS (SELECT CAST(c %% %d AS BIGINT) AS x,"
+        " CAST(c // %d AS BIGINT) AS y FROM c)" % (side * side, top, side, side)
+    ]
+    for k in range(top - 1, -1, -1):
+        lines.append(
+            "s%d AS (SELECT x // 2 AS x, y // 2 AS y FROM s%d"
+            " GROUP BY x // 2, y // 2 HAVING count(*) = 4)" % (k, k + 1)
+        )
+    parts = []
+    for k in range(top, 0, -1):
+        parts.append(
+            "SELECT CAST(%d AS BIGINT) AS res, a.x AS cx, a.y AS cy FROM s%d a"
+            " LEFT JOIN s%d p ON p.x = a.x // 2 AND p.y = a.y // 2"
+            " WHERE p.x IS NULL" % (k, k, k - 1)
+        )
+    parts.append("SELECT CAST(0 AS BIGINT) AS res, x AS cx, y AS cy FROM s0")
+    return ",\n".join(lines) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+SQL_COMPACT_COVER = _build_compact_cover_sql()
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4596,6 +4634,7 @@ QUERIES = {
     "encounters": q_encounters,
     "segment_crossings": q_segment_crossings,
     "session_overlap": q_session_overlap,
+    "compact_cover": q_compact_cover,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4751,6 +4790,7 @@ ORACLES = {
     "encounters": SQL_ENCOUNTERS,
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "session_overlap": SQL_SESSION_OVERLAP,
+    "compact_cover": SQL_COMPACT_COVER,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

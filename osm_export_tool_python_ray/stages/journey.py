@@ -975,3 +975,155 @@ def aoi_cell_cover(events_ds, poly):
         .aggregate(Sum("n", alias_name="n"), Sum("id_sum", alias_name="id_sum"))
         .map_batches(pip_filter, batch_format="pyarrow")
     )
+
+
+def _compact_levels(x, y, top_bits, cut_bits):
+    """Local quadtree compaction from unit cells at ``top_bits`` down to
+    ``cut_bits``: returns (cover_rows, full_cut_cells) where cover_rows is
+    a list of (res, cx, cy) arrays for cells IN the compact cover at
+    levels (cut_bits, top_bits], and full_cut_cells the (cx, cy) arrays of
+    fully-covered level-``cut_bits`` cells (all 4^(top-cut) descendants
+    present). Pure numpy on packed keys; exact set semantics."""
+    key = (x.astype(np.int64) << np.int64(top_bits)) | y.astype(np.int64)
+    cur = np.unique(key)
+    out = []
+    for lvl in range(top_bits, cut_bits, -1):
+        cx = cur >> np.int64(top_bits)
+        cy = cur & np.int64((1 << top_bits) - 1)
+        pkey = ((cx >> 1) << np.int64(top_bits)) | (cy >> 1)
+        up, inv, cnt = np.unique(pkey, return_inverse=True, return_counts=True)
+        full = cnt == 4
+        # cover at this level: cells whose parent is NOT fully covered
+        keep = ~full[inv]
+        out.append((lvl, cx[keep], cy[keep]))
+        cur = up[full]  # already (px << top_bits) | py — the next level's keys
+    fx = cur >> np.int64(top_bits)
+    fy = cur & np.int64((1 << top_bits) - 1)
+    return out, (fx, fy)
+
+
+def compact_cover(events_ds, top_bits=6, cut_bits=3, num_buckets=32, num_partitions=8):
+    """Minimal multi-resolution quadtree cover of the occupied event
+    cells — the H3 ``compact`` analog. Leaf cells come from a Lehmer-LCG
+    scramble of event_id (c = id·48271 mod 65537 mod 4096; x = c % 64,
+    y = c ∕∕ 64): the journey 100-grid point family is a 1-D lattice
+    (≤ 7·side distinct cells — full 2×2 sibling blocks NEVER occur), so
+    this op uses a mixing derivation that actually fills 2-D space with
+    binomial collisions and the rollup is exercised at test scales
+    (sf0.01: ~97% occupancy, full blocks through 8×8)
+    at level ``top_bits`` (cell size 1 in a 2^top_bits space); a parent
+    replaces its children iff ALL FOUR are covered, recursively. Output
+    (res, cx, cy): the unique minimal cover, union over levels.
+
+    Scale shape: compaction above level ``cut_bits`` is LOCAL to a
+    level-``cut_bits`` subtree (a cell is replaced only by ancestors
+    within its own subtree), so ONE exchange keyed by the subtree id
+    computes levels (cut, top] with per-batch distinct-cell combining
+    ahead of it; the top levels [0, cut] see only the ≤ 4^cut_bits
+    fully-covered-subtree marker cells, folded in a second constant-key
+    exchange over that bounded table. No driver-side set logic."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, union_all
+
+    OUT = pa.schema([("res", pa.int64()), ("cx", pa.int64()), ("cy", pa.int64())])
+
+    def empty():
+        return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        if not len(eid):
+            return pa.table(
+                {
+                    "x": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        c = (eid.astype(np.int64) * 48271) % 65537 % (1 << (2 * top_bits))
+        x = c % (1 << top_bits)
+        y = c // (1 << top_bits)
+        key = np.unique((x << np.int64(top_bits)) | y)  # batch-local distinct
+        x = key >> np.int64(top_bits)
+        y = key & np.int64((1 << top_bits) - 1)
+        shift = np.int64(top_bits - cut_bits)  # unit cell → its subtree cell
+        sub = ((x >> shift) << np.int64(cut_bits)) | (y >> shift)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "bucket": pa.array((sub % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def subtree_compact(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty()
+        x = g.column("x").to_numpy(zero_copy_only=False)
+        y = g.column("y").to_numpy(zero_copy_only=False)
+        rows, (fx, fy) = _compact_levels(x, y, top_bits, cut_bits)
+        res = [np.full(len(cx), lvl, dtype=np.int64) for lvl, cx, _cy in rows]
+        cxs = [cx for _l, cx, _cy in rows]
+        cys = [cy for _l, _cx, cy in rows]
+        # fully-covered cut-level cells ride along as marker rows (res=cut)
+        res.append(np.full(len(fx), cut_bits, dtype=np.int64))
+        cxs.append(fx)
+        cys.append(fy)
+        return pa.table(
+            {
+                "res": pa.array(np.concatenate(res)),
+                "cx": pa.array(np.concatenate(cxs)),
+                "cy": pa.array(np.concatenate(cys)),
+            }
+        )
+
+    compacted = grouped_map(
+        events_ds.map_batches(leaf_partial, batch_format="pyarrow"),
+        "bucket",
+        lambda g: subtree_compact(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema([("x", pa.int64()), ("y", pa.int64())]),
+    )
+
+    def deep_only(t: pa.Table) -> pa.Table:
+        r = t.column("res").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r > cut_bits))
+
+    def marker_only(t: pa.Table) -> pa.Table:
+        r = t.column("res").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(r == cut_bits))
+        return t.append_column(
+            "bucket", pa.array(np.zeros(t.num_rows, dtype=np.int32))
+        )
+
+    def top_compact(g: pa.Table) -> pa.Table:
+        # ≤ 4^cut_bits fully-covered cut-level cells: rerun the identical
+        # local compaction from level cut_bits up to the root
+        if g.num_rows == 0:
+            return empty()
+        x = g.column("cx").to_numpy(zero_copy_only=False)
+        y = g.column("cy").to_numpy(zero_copy_only=False)
+        rows, (fx, fy) = _compact_levels(x, y, cut_bits, 0)
+        res = [np.full(len(cx), lvl, dtype=np.int64) for lvl, cx, _cy in rows]
+        cxs = [cx for _l, cx, _cy in rows]
+        cys = [cy for _l, _cx, cy in rows]
+        # a fully-covered ROOT (level 0) is its own cover
+        res.append(np.full(len(fx), 0, dtype=np.int64))
+        cxs.append(fx)
+        cys.append(fy)
+        return pa.table(
+            {
+                "res": pa.array(np.concatenate(res)),
+                "cx": pa.array(np.concatenate(cxs)),
+                "cy": pa.array(np.concatenate(cys)),
+            }
+        )
+
+    deep = compacted.map_batches(deep_only, batch_format="pyarrow")
+    top = grouped_map(
+        compacted.map_batches(marker_only, batch_format="pyarrow"),
+        "bucket",
+        lambda g: top_compact(g.drop_columns(["bucket"])),
+        num_partitions=1,
+        payload_schema=OUT,
+    )
+    return union_all(deep, top)

@@ -142,3 +142,109 @@ class TestSegmentCrossings:
         snapshot_caps()
         QUERIES["segment_crossings"]("/root/testdata/sf0.001").materialize()
         assert snapshot_caps().get("crossing_cell_truncated", 0) == 0
+
+
+class TestCompactCover:
+    """Quadtree compact cover (stages/journey.py compact_cover)."""
+
+    @staticmethod
+    def _brute(eids, top=6):
+        side = 1 << top
+        cells = {((e * 48271) % 65537 % (side * side)) for e in eids}
+        S = {top: {(c % side, c // side) for c in cells}}
+        for k in range(top - 1, -1, -1):
+            from collections import Counter
+
+            cnt = Counter((x // 2, y // 2) for x, y in S[k + 1])
+            S[k] = {c for c, n in cnt.items() if n == 4}
+        out = set()
+        for k in range(top, 0, -1):
+            for x, y in S[k]:
+                if (x // 2, y // 2) not in S[k - 1]:
+                    out.add((k, x, y))
+        for x, y in S[0]:
+            out.add((0, x, y))
+        return out
+
+    @staticmethod
+    def _events(eids):
+        import pyarrow as pa
+
+        return pa.table({"event_id": pa.array(eids, type=pa.int64())})
+
+    def test_matches_bruteforce_dense(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import compact_cover
+
+        rng = np.random.RandomState(4)
+        eids = [int(e) for e in rng.randint(0, 200_000, size=9000)]
+        got = {
+            (r["res"], r["cx"], r["cy"])
+            for r in compact_cover(
+                ray.data.from_arrow(self._events(eids))
+            ).take_all()
+        }
+        want = self._brute(eids)
+        assert got == want
+        assert any(res < 6 for res, _x, _y in got)  # rollup actually fired
+
+    def test_cover_invariants(self, ray_session):
+        """No cell in the cover has an ancestor in the cover, and the
+        union of cover cells equals exactly the occupied leaf set."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import compact_cover
+
+        rng = np.random.RandomState(8)
+        eids = [int(e) for e in rng.randint(0, 100_000, size=6000)]
+        cover = {
+            (r["res"], r["cx"], r["cy"])
+            for r in compact_cover(
+                ray.data.from_arrow(self._events(eids))
+            ).take_all()
+        }
+        index = set(cover)
+        for res, x, y in cover:
+            r, cx, cy = res, x, y
+            while r > 0:
+                r, cx, cy = r - 1, cx // 2, cy // 2
+                assert (r, cx, cy) not in index
+        leaves = set()
+        for res, x, y in cover:
+            f = 1 << (6 - res)
+            for dx in range(f):
+                for dy in range(f):
+                    leaves.add((x * f + dx, y * f + dy))
+        side = 64
+        occupied = {
+            ((e * 48271) % 65537 % (side * side)) for e in eids
+        }
+        assert leaves == {(c % side, c // side) for c in occupied}
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import compact_cover
+
+        rng = np.random.RandomState(12)
+        eids = [int(e) for e in rng.randint(0, 60_000, size=5000)]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = compact_cover(
+                ray.data.from_arrow(self._events(eids)),
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(sorted((r["res"], r["cx"], r["cy"]) for r in res))
+        assert outs[0] == outs[1]
+
+    def test_sparse_input_all_leaves(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import compact_cover
+
+        out = compact_cover(
+            ray.data.from_arrow(self._events([1, 2, 3]))
+        ).take_all()
+        assert len(out) == 3 and all(r["res"] == 6 for r in out)
