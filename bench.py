@@ -220,6 +220,7 @@ def run_query_suite(sf_dir):
         ("segment_crossings", Q.q_segment_crossings),
         ("session_overlap", Q.q_session_overlap),
         ("compact_cover", Q.q_compact_cover),
+        ("geofence_dwell", Q.q_geofence_dwell),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

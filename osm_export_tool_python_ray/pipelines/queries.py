@@ -3191,6 +3191,7 @@ def _build_compact_cover_sql(top=6):
 SQL_COMPACT_COVER = _build_compact_cover_sql()
 
 
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -3559,6 +3560,67 @@ SELECT cx, cy, n, id_sum FROM pip WHERE crossings % 2 = 1
 
 
 SQL_AOI_CELL_COVER = _build_aoi_cell_cover_sql()
+
+def q_geofence_dwell(sf_dir):
+    """Geofence enter/exit state machine (stages/journey.py
+    geofence_dwell): per user, separate visits to the hexagon AOI
+    (maximal in-fence runs in (ts, event_id) order), in-fence event count
+    and total dwell µs. PIP flags resolve per batch BEFORE the one
+    user-keyed exchange; episode detection is a vectorized boundary scan.
+    Exact int64 end to end (points_in_polygon shared-spec PIP rule)."""
+    from osm_export_tool_python_ray.stages.journey import geofence_dwell
+
+    return geofence_dwell(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), _COVER_POLY
+    )
+
+
+def _build_geofence_dwell_sql(poly=_COVER_POLY):
+    edges = ", ".join(
+        "(%d, %d, %d, %d)"
+        % (poly[i][0], poly[i][1], poly[(i + 1) % len(poly)][0], poly[(i + 1) % len(poly)][1])
+        for i in range(len(poly))
+    )
+    return """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(event_id % 100 AS BIGINT) AS x,
+         CAST(floor(event_id / 7.0) AS BIGINT) % 100 AS y
+  FROM events
+), edges(x1, y1, x2, y2) AS (VALUES {edges}),
+flags AS (
+  SELECT user_id, event_id, t,
+         (sum(CASE WHEN (y1 > y) <> (y2 > y)
+                    AND ((y2 > y1 AND (y - y1) * (x2 - x1) - (x - x1) * (y2 - y1) > 0)
+                      OR (y2 < y1 AND (y - y1) * (x2 - x1) - (x - x1) * (y2 - y1) < 0))
+                   THEN 1 ELSE 0 END) % 2 = 1) AS inside
+  FROM p CROSS JOIN edges
+  GROUP BY user_id, event_id, t, x, y
+),
+seq AS (
+  SELECT user_id, event_id, t, inside,
+         CASE WHEN inside AND coalesce(NOT lag(inside) OVER w, TRUE)
+              THEN 1 ELSE 0 END AS entry
+  FROM flags WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+ep AS (
+  SELECT user_id, t, inside,
+         sum(entry) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS epi
+  FROM seq
+),
+dw AS (
+  SELECT user_id, epi, max(t) - min(t) AS dwell, count(*) AS ninside
+  FROM ep WHERE inside GROUP BY user_id, epi
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(sum(ninside) AS BIGINT) AS n_inside,
+       CAST(sum(dwell) AS BIGINT) AS dwell_us
+FROM dw GROUP BY user_id
+""".format(edges=edges)
+
+
+SQL_GEOFENCE_DWELL = _build_geofence_dwell_sql()
 
 
 def q_triangles(sf_dir):
@@ -4635,6 +4697,7 @@ QUERIES = {
     "segment_crossings": q_segment_crossings,
     "session_overlap": q_session_overlap,
     "compact_cover": q_compact_cover,
+    "geofence_dwell": q_geofence_dwell,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4791,6 +4854,7 @@ ORACLES = {
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "session_overlap": SQL_SESSION_OVERLAP,
     "compact_cover": SQL_COMPACT_COVER,
+    "geofence_dwell": SQL_GEOFENCE_DWELL,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

@@ -1127,3 +1127,121 @@ def compact_cover(events_ds, top_bits=6, cut_bits=3, num_buckets=32, num_partiti
         payload_schema=OUT,
     )
     return union_all(deep, top)
+
+
+def points_in_polygon(px, py, poly):
+    """Exact-integer ray-crossing PIP for raw integer points — the
+    identical half-open rule as cells_in_polygon (which tests 10·c+5 cell
+    CENTERS); shared-spec with the SQL oracle so boundary-degenerate
+    points classify identically on both sides."""
+    px = np.asarray(px, dtype=np.int64).reshape(-1, 1)
+    py = np.asarray(py, dtype=np.int64).reshape(-1, 1)
+    v = np.asarray(poly, dtype=np.int64)
+    x1, y1 = v[:, 0], v[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    straddle = (y1 > py) != (y2 > py)
+    d = (y2 - y1)[None, :]
+    expr = (py - y1) * (x2 - x1)[None, :] - (px - x1[None, :]) * d
+    crossing = straddle & (expr * np.sign(d) > 0)
+    return (crossing.sum(axis=1) % 2) == 1
+
+
+def geofence_dwell(events_ds, poly, num_buckets=32, num_partitions=8):
+    """Geofence enter/exit state machine: per user, how many separate
+    VISITS (maximal runs of consecutive in-fence events in (ts, event_id)
+    order) they made to polygon ``poly``, how many events fell inside,
+    and the total dwell time (µs between the first and last event of each
+    visit — single-event visits dwell 0). The ordered-stream op a
+    location-analytics pipeline runs after sessionization; exact int64
+    everywhere (the PIP rule is points_in_polygon's shared spec).
+
+    Scale shape: the polygon is broadcast by closure (tiny); the inside
+    flag is computed per BATCH (vectorized points×edges) so the one
+    user-keyed exchange moves (user, ts, flag) rows with the flag already
+    resolved; episode detection is a vectorized boundary scan per
+    partition. Users with no in-fence events emit nothing."""
+
+    def flagged(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.int64()),
+                    "eid": pa.array([], type=pa.int64()),
+                    "inside": pa.array([], type=pa.bool_()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = eid % 100
+        y = (eid // 7) % 100
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "ts": pa.array(_ts_i64(t.column("ts"))),
+                "eid": pa.array(eid),
+                "inside": pa.array(points_in_polygon(x, y, poly)),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def episodes(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_episodes", pa.int64()),
+                ("n_inside", pa.int64()),
+                ("dwell_us", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        ins = g.column("inside").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, ins = u[order], ts[order], ins[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        entry = ins & (new_user | ~np.concatenate([[False], ins[:-1]]))
+        if not entry.any():
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        # episode id per inside-row: cumsum of entries
+        epi = np.cumsum(entry) - 1
+        ik = np.nonzero(ins)[0]
+        ep = epi[ik]
+        starts = np.nonzero(np.concatenate([[True], ep[1:] != ep[:-1]]))[0]
+        ends = np.append(starts[1:], len(ik)) - 1
+        ep_user = u[ik[starts]]
+        dwell = ts[ik[ends]] - ts[ik[starts]]
+        n_in = np.diff(np.append(starts, len(ik))).astype(np.int64)
+        # fold per user (episodes of one user are contiguous in ep order)
+        ustarts = np.nonzero(
+            np.concatenate([[True], ep_user[1:] != ep_user[:-1]])
+        )[0]
+        return pa.table(
+            {
+                "user_id": pa.array(ep_user[ustarts]),
+                "n_episodes": pa.array(
+                    np.diff(np.append(ustarts, len(ep_user))).astype(np.int64)
+                ),
+                "n_inside": pa.array(np.add.reduceat(n_in, ustarts)),
+                "dwell_us": pa.array(np.add.reduceat(dwell, ustarts)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(flagged, batch_format="pyarrow"),
+        "bucket",
+        lambda g: episodes(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("eid", pa.int64()),
+                ("inside", pa.bool_()),
+            ]
+        ),
+    )

@@ -248,3 +248,99 @@ class TestCompactCover:
             ray.data.from_arrow(self._events([1, 2, 3]))
         ).take_all()
         assert len(out) == 3 and all(r["res"] == 6 for r in out)
+
+
+class TestGeofenceDwell:
+    """Geofence enter/exit state machine (stages/journey.py geofence_dwell)."""
+
+    POLY = [(10, 50), (35, 10), (75, 15), (90, 55), (60, 90), (25, 85)]
+
+    @classmethod
+    def _brute(cls, rows):
+        from collections import defaultdict
+
+        from osm_export_tool_python_ray.stages.journey import points_in_polygon
+
+        by_user = defaultdict(list)
+        for eid, u, ts, _et, _v in rows:
+            by_user[u].append((ts, eid))
+        out = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            flags = [
+                bool(points_in_polygon([e % 100], [(e // 7) % 100], cls.POLY)[0])
+                for _t, e in evs
+            ]
+            n_ep = n_in = dwell = 0
+            i = 0
+            while i < len(evs):
+                if flags[i]:
+                    j = i
+                    while j + 1 < len(evs) and flags[j + 1]:
+                        j += 1
+                    n_ep += 1
+                    n_in += j - i + 1
+                    dwell += evs[j][0] - evs[i][0]
+                    i = j + 1
+                else:
+                    i += 1
+            if n_ep:
+                out[u] = (n_ep, n_in, dwell)
+        return out
+
+    @pytest.mark.parametrize("seed", [2, 31])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import geofence_dwell
+
+        rows = _rand_rows(seed, n=500, users=8, eid_range=5000)
+        out = geofence_dwell(
+            ray.data.from_arrow(_events_table(rows)),
+            self.POLY,
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {
+            r["user_id"]: (r["n_episodes"], r["n_inside"], r["dwell_us"])
+            for r in out
+        }
+        assert got == self._brute(rows)
+
+    def test_episode_boundaries(self, ray_session):
+        """in-out-in = two episodes; dwell sums only within episodes."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import geofence_dwell
+
+        # (50,50) inside the hexagon; (0,0) far outside. eid 350 → (50, 50);
+        # eid 0 → (0, 0)
+        rows = [
+            (350, 1, 0, "v", 0.0),     # inside (episode 1 start)
+            (351, 1, 100, "v", 0.0),   # (51,50) inside → episode 1, dwell 100
+            (0, 1, 200, "v", 0.0),     # outside — episode 1 ends
+            (357, 1, 300, "v", 0.0),   # (57,51) inside → episode 2, dwell 0
+        ]
+        out = geofence_dwell(
+            ray.data.from_arrow(_events_table(rows)),
+            self.POLY,
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_episodes"], r["n_inside"], r["dwell_us"]) == (2, 3, 100)
+
+    def test_all_outside_emits_nothing(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import geofence_dwell
+
+        rows = [(0, 1, 0, "v", 0.0), (1, 1, 10, "v", 0.0)]
+        out = geofence_dwell(
+            ray.data.from_arrow(_events_table(rows)),
+            self.POLY,
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        assert out == []
