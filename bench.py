@@ -221,6 +221,7 @@ def run_query_suite(sf_dir):
         ("session_overlap", Q.q_session_overlap),
         ("compact_cover", Q.q_compact_cover),
         ("geofence_dwell", Q.q_geofence_dwell),
+        ("cusum_bursts", Q.q_cusum_bursts),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3192,6 +3192,62 @@ SQL_COMPACT_COVER = _build_compact_cover_sql()
 
 
 
+def q_cusum_bursts(sf_dir):
+    """CUSUM burst detection (stages/changepoint.py cusum_bursts): per
+    type, the count of hours whose one-sided CUSUM exceeds 3k (k = ceil
+    dense-axis mean), first alarmed hour and max alarmed statistic.
+    The sequential recursion is closed by the drawdown identity
+    S = cumsum − running-min, so the engine side is one vectorized pass
+    per type and the oracle is two window functions — identical exact
+    int64 arithmetic, no recursive CTE."""
+    from osm_export_tool_python_ray.stages.changepoint import cusum_bursts
+
+    return cusum_bursts(_read(sf_dir, "events", ["event_type", "ts"]))
+
+
+SQL_CUSUM_BURSTS = """
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hr
+),
+bounds AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1, CAST(sum(n) AS BIGINT) AS total
+  FROM hc GROUP BY event_type
+),
+dense AS (
+  SELECT b.event_type,
+         unnest(generate_series(b.h0, b.h1)) AS hr,
+         (b.total + (b.h1 - b.h0 + 1) - 1) // (b.h1 - b.h0 + 1) AS k
+  FROM bounds b
+),
+x AS (
+  SELECT d.event_type, d.hr, d.k, coalesce(hc.n, 0) - d.k AS d_t
+  FROM dense d LEFT JOIN hc ON hc.event_type = d.event_type AND hc.hr = d.hr
+),
+p AS (
+  SELECT event_type, hr, k,
+         sum(d_t) OVER (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pt
+  FROM x
+),
+m AS (
+  SELECT event_type, hr, k, pt,
+         least(CAST(0 AS BIGINT),
+               min(pt) OVER (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING)) AS mt
+  FROM p
+),
+al AS (
+  SELECT event_type, hr, pt - mt AS s
+  FROM m WHERE pt - mt > 3 * k
+)
+SELECT b.event_type,
+       CAST(coalesce(count(al.hr), 0) AS BIGINT) AS n_alarms,
+       CAST(coalesce(min(al.hr), -1) AS BIGINT) AS first_hr,
+       CAST(coalesce(max(al.s), 0) AS BIGINT) AS s_max
+FROM bounds b LEFT JOIN al ON al.event_type = b.event_type
+GROUP BY b.event_type
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4698,6 +4754,7 @@ QUERIES = {
     "session_overlap": q_session_overlap,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
+    "cusum_bursts": q_cusum_bursts,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4855,6 +4912,7 @@ ORACLES = {
     "session_overlap": SQL_SESSION_OVERLAP,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
+    "cusum_bursts": SQL_CUSUM_BURSTS,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

@@ -344,3 +344,107 @@ class TestGeofenceDwell:
             num_partitions=1,
         ).take_all()
         assert out == []
+
+
+class TestCusumBursts:
+    """CUSUM burst detection (stages/changepoint.py)."""
+
+    @staticmethod
+    def _brute(rows, h_mult=3):
+        """Literal CUSUM recursion S_t = max(0, S_{t-1} + x_t - k) over the
+        dense hour axis — the sequential definition the closed form must
+        reproduce."""
+        from collections import Counter, defaultdict
+
+        HOUR = 3_600_000_000
+        per_type = defaultdict(Counter)
+        for _eid, _u, ts, et, _v in rows:
+            per_type[et][ts // HOUR] += 1
+        out = {}
+        for et, cnt in per_type.items():
+            h0, h1 = min(cnt), max(cnt)
+            span = h1 - h0 + 1
+            total = sum(cnt.values())
+            k = -(-total // span)
+            s = 0
+            alarms = []
+            for h in range(h0, h1 + 1):
+                s = max(0, s + cnt.get(h, 0) - k)
+                if s > h_mult * k:
+                    alarms.append((h, s))
+            out[et] = (
+                len(alarms),
+                alarms[0][0] if alarms else -1,
+                max(a[1] for a in alarms) if alarms else 0,
+            )
+        return out
+
+    @pytest.mark.parametrize("seed", [6, 44])
+    def test_matches_sequential_recursion(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.changepoint import cusum_bursts
+
+        rng = np.random.RandomState(seed)
+        HOUR = 3_600_000_000
+        rows = []
+        i = 0
+        for _ in range(600):
+            # bursty stream: occasional 20-event spikes in one hour
+            h = int(rng.randint(0, 200))
+            reps = 20 if rng.rand() < 0.05 else 1
+            for _r in range(reps):
+                rows.append(
+                    (i, 1, h * HOUR + int(rng.randint(0, HOUR)),
+                     "abc"[int(rng.randint(3))], 0.0)
+                )
+                i += 1
+        out = cusum_bursts(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {
+            r["event_type"]: (r["n_alarms"], r["first_hr"], r["s_max"])
+            for r in out
+        }
+        assert got == self._brute(rows)
+
+    def test_uniform_stream_never_alarms(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.changepoint import cusum_bursts
+
+        HOUR = 3_600_000_000
+        rows = [(i, 1, (i % 100) * HOUR, "x", 0.0) for i in range(400)]
+        out = cusum_bursts(
+            ray.data.from_arrow(_events_table(rows)), num_buckets=2, num_partitions=1
+        ).take_all()
+        assert len(out) == 1
+        assert out[0]["n_alarms"] == 0 and out[0]["first_hr"] == -1
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.changepoint import cusum_bursts
+
+        rng = np.random.RandomState(3)
+        HOUR = 3_600_000_000
+        rows = [
+            (i, 1, int(rng.randint(0, 100)) * HOUR, "pq"[i % 2], 0.0)
+            for i in range(500)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = cusum_bursts(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(
+                sorted(
+                    (r["event_type"], r["n_alarms"], r["first_hr"], r["s_max"])
+                    for r in res
+                )
+            )
+        assert outs[0] == outs[1]
