@@ -984,7 +984,7 @@ class TestAdversarialSkew:
         out = exact_dedup(ray.data.from_arrow(t), num_buckets=8).take_all()
         assert len(out) == 1 and out[0]["n_dups"] == n
 
-    def test_mega_document_stays_linear(self, ray_session):
+    def test_mega_document_stays_linear(self, ray_session, host_slowdown):
         """One 8 MB document among normal ones: the vectorized text
         stages must process it in O(doc bytes) wall — seconds, not the
         minutes a per-row Python loop or quadratic shingling would take."""
@@ -1009,7 +1009,7 @@ class TestAdversarialSkew:
         vp = vocab_partial(t)
         assert vp.num_rows > 0
         wall = time.perf_counter() - t0
-        assert wall < 60, "mega-doc path took %.1fs" % wall
+        assert wall < 60 * host_slowdown, "mega-doc path took %.1fs" % wall
 
     def test_single_hot_key_group_topk(self, ray_session):
         """All rows in ONE group: topk_per_group's combiner must reduce
