@@ -119,6 +119,35 @@ def main(sf_dir):
     )
     print("movement mix:", mix)
 
+    # stage 5: co-presence × physical interaction — users whose sessions
+    # overlap in time AND whose cleaned trajectories properly cross in
+    # space (the interval×interval and segment×segment joins). Both
+    # operate on tiny derived tables (session rows / crossing pairs);
+    # the intersection here is a pandas merge of two small results.
+    co = QUERIES["session_overlap"](sf_dir).to_pandas()
+    xs = QUERIES["segment_crossings"](sf_dir).to_pandas()
+    both = co.merge(xs, on=["user_a", "user_b"])
+    print(
+        "co-presence: %d user pairs overlap in time, %d cross in space,"
+        " %d do both" % (len(co), len(xs), len(both))
+    )
+
+    # stage 6: burst + dwell report — when was activity anomalous
+    # (per-type CUSUM) and who actually dwelt inside the AOI
+    bursts = QUERIES["cusum_bursts"](sf_dir).to_pandas()
+    alarmed = bursts[bursts["n_alarms"] > 0]
+    dwell = QUERIES["geofence_dwell"](sf_dir).to_pandas()
+    print(
+        "bursts: %d/%d event types alarmed; AOI dwell: %d users,"
+        " %.1f h total"
+        % (
+            len(alarmed),
+            len(bursts),
+            len(dwell),
+            dwell["dwell_us"].sum() / 3.6e9,
+        )
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
