@@ -222,6 +222,7 @@ def run_query_suite(sf_dir):
         ("compact_cover", Q.q_compact_cover),
         ("geofence_dwell", Q.q_geofence_dwell),
         ("cusum_bursts", Q.q_cusum_bursts),
+        ("reciprocal_partners", Q.q_reciprocal_partners),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3248,6 +3248,51 @@ GROUP BY b.event_type
 """
 
 
+def q_reciprocal_partners(sf_dir):
+    """Mutual top-partner matching (stages/journey.py
+    reciprocal_partners): the reciprocal-nearest-neighbor primitive over
+    the encounter graph — each user's strongest co-presence partner
+    (n_shared desc, partner asc), kept iff mutual. Two tiny keyed hops
+    after the encounters combiner exchange; O(users) rows move."""
+    from osm_export_tool_python_ray.stages.journey import reciprocal_partners
+
+    return reciprocal_partners(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=10,
+        bucket_us=3_600_000_000,
+    )
+
+
+SQL_RECIPROCAL_PARTNERS = """
+WITH p0 AS (
+  SELECT DISTINCT user_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+),
+e AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM p0 a JOIN p0 b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+),
+d AS (
+  SELECT user_a AS u, user_b AS p, n_shared AS w FROM e
+  UNION ALL
+  SELECT user_b AS u, user_a AS p, n_shared AS w FROM e
+),
+t AS (
+  SELECT u, p, w,
+         row_number() OVER (PARTITION BY u ORDER BY w DESC, p ASC) AS rn
+  FROM d
+)
+SELECT a.u AS user_a, a.p AS user_b, a.w AS n_shared
+FROM t a JOIN t b ON b.u = a.p AND b.p = a.u
+WHERE a.rn = 1 AND b.rn = 1 AND a.u < a.p
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4755,6 +4800,7 @@ QUERIES = {
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
+    "reciprocal_partners": q_reciprocal_partners,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4913,6 +4959,7 @@ ORACLES = {
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,
+    "reciprocal_partners": SQL_RECIPROCAL_PARTNERS,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

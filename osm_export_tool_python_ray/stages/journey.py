@@ -1245,3 +1245,129 @@ def geofence_dwell(events_ds, poly, num_buckets=32, num_partitions=8):
             ]
         ),
     )
+
+
+def reciprocal_partners(events_ds, cell_div=10, bucket_us=3_600_000_000,
+                        num_buckets=32, num_partitions=8):
+    """Mutual top-partner matching over the encounter graph — the
+    reciprocal-nearest-neighbor primitive (entity-resolution / matching
+    family): each user's TOP co-presence partner (max n_shared, ties to
+    the smallest partner id), kept only when the choice is MUTUAL.
+    → (user_a, user_b, n_shared) with user_a < user_b.
+
+    Scale shape: builds on ``encounters`` (whose exchange moves distinct
+    presence rows, never events); the pair table then makes two tiny
+    keyed hops — per-user top-1 via a user-keyed exchange (vectorized
+    lexsort + group-first, the topk combiner shape), then a mutuality
+    check via an unordered-pair-keyed exchange where a pair is emitted
+    iff BOTH directed top-1 rows arrive. Everything past the first
+    exchange moves O(users) rows."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    pairs = encounters(
+        events_ds,
+        cell_div=cell_div,
+        bucket_us=bucket_us,
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], type=pa.int64()),
+                    "p": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ua = t.column("user_a").to_numpy(zero_copy_only=False)
+        ub = t.column("user_b").to_numpy(zero_copy_only=False)
+        w = t.column("n_shared").to_numpy(zero_copy_only=False)
+        u = np.concatenate([ua, ub])
+        p = np.concatenate([ub, ua])
+        ww = np.concatenate([w, w]).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "p": pa.array(p),
+                "w": pa.array(ww),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def top1(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], type=pa.int64()),
+                    "p": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        # per u: max w, tie → smallest p
+        order = np.lexsort((p, -w, u))
+        u, p, w = u[order], p[order], w[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        u, p, w = u[first], p[first], w[first]
+        lo = np.minimum(u, p)
+        hi = np.maximum(u, p)
+        pk = lo * np.int64(1_000_003) + hi
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "p": pa.array(p),
+                "w": pa.array(w),
+                "bucket": pa.array((pk % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def mutual(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("user_a", pa.int64()),
+                ("user_b", pa.int64()),
+                ("n_shared", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, p)
+        hi = np.maximum(u, p)
+        order = np.lexsort((hi, lo))
+        lo, hi, w = lo[order], hi[order], w[order]
+        # a mutual pair contributes exactly TWO rows with the same (lo, hi)
+        same_prev = np.concatenate(
+            [[False], (lo[1:] == lo[:-1]) & (hi[1:] == hi[:-1])]
+        )
+        return pa.table(
+            {
+                "user_a": pa.array(lo[same_prev]),
+                "user_b": pa.array(hi[same_prev]),
+                "n_shared": pa.array(w[same_prev]),
+            }
+        )
+
+    SCHEMA = pa.schema([("u", pa.int64()), ("p", pa.int64()), ("w", pa.int64())])
+    tops = grouped_map(
+        pairs.map_batches(expand, batch_format="pyarrow"),
+        "bucket",
+        lambda g: top1(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=SCHEMA,
+    )
+    return grouped_map(
+        tops,
+        "bucket",
+        lambda g: mutual(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=SCHEMA,
+    )

@@ -448,3 +448,102 @@ class TestCusumBursts:
                 )
             )
         assert outs[0] == outs[1]
+
+
+class TestReciprocalPartners:
+    """Mutual top-partner matching (stages/journey.py reciprocal_partners)."""
+
+    @staticmethod
+    def _brute(rows, cell_div=10, bucket_us=2_000):
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for eid, u, ts, _et, _v in rows:
+            cx = (eid % 100) // cell_div
+            cy = ((eid // 7) % 100) // cell_div
+            groups[(cx, cy, ts // bucket_us)].add(u)
+        w = defaultdict(int)
+        for users in groups.values():
+            us = sorted(users)
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    w[(us[i], us[j])] += 1
+        best = {}
+        for (a, b), n in w.items():
+            for u, p in ((a, b), (b, a)):
+                cur = best.get(u)
+                if cur is None or (n, -p) > (cur[1], -cur[0]):
+                    best[u] = (p, n)
+        out = {}
+        for u, (p, n) in best.items():
+            if best.get(p, (None,))[0] == u and u < p:
+                out[(u, p)] = n
+        return out
+
+    @pytest.mark.parametrize("seed", [13, 77])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import reciprocal_partners
+
+        rng = np.random.RandomState(seed)
+        rows = [
+            (int(rng.randint(0, 400)), int(rng.randint(1, 12)),
+             int(rng.randint(0, 10_000)), "view", 0.0)
+            for _ in range(400)
+        ]
+        out = reciprocal_partners(
+            ray.data.from_arrow(_events_table(rows)),
+            bucket_us=2_000,
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {(r["user_a"], r["user_b"]): r["n_shared"] for r in out}
+        assert got == self._brute(rows)
+
+    def test_mutuality_required(self, ray_session):
+        """A one-sided top choice is dropped: u1's top is u2, but u2's
+        top is u3 (stronger tie), and u3 reciprocates u2."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import reciprocal_partners
+
+        # same cell for all (eid 0), distinct hour buckets
+        rows = []
+        # u1-u2 share 1 bucket; u2-u3 share 2 buckets
+        rows += [(0, 1, 0, "v", 0.0), (0, 2, 0, "v", 0.0)]
+        rows += [(0, 2, 2_000, "v", 0.0), (0, 3, 2_000, "v", 0.0)]
+        rows += [(0, 2, 4_000, "v", 0.0), (0, 3, 4_000, "v", 0.0)]
+        out = reciprocal_partners(
+            ray.data.from_arrow(_events_table(rows)),
+            bucket_us=2_000,
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        got = {(r["user_a"], r["user_b"]): r["n_shared"] for r in out}
+        # NOTE: u1 and u2 also co-occur in bucket 0 — w(1,2)=1, w(2,3)=2
+        assert got == {(2, 3): 2}
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import reciprocal_partners
+
+        rng = np.random.RandomState(23)
+        rows = [
+            (int(rng.randint(0, 300)), int(rng.randint(1, 10)),
+             int(rng.randint(0, 8_000)), "view", 0.0)
+            for _ in range(300)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = reciprocal_partners(
+                ray.data.from_arrow(_events_table(rows)),
+                bucket_us=2_000,
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(
+                sorted((r["user_a"], r["user_b"], r["n_shared"]) for r in res)
+            )
+        assert outs[0] == outs[1]
