@@ -223,6 +223,7 @@ def run_query_suite(sf_dir):
         ("geofence_dwell", Q.q_geofence_dwell),
         ("cusum_bursts", Q.q_cusum_bursts),
         ("reciprocal_partners", Q.q_reciprocal_partners),
+        ("cell_trends", Q.q_cell_trends),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3293,6 +3293,36 @@ WHERE a.rn = 1 AND b.rn = 1 AND a.u < a.p
 """
 
 
+def q_cell_trends(sf_dir):
+    """Grouped exact-integer least squares (stages/analytics.py
+    cell_trends): per grid cell, the linear trend of hourly activity as
+    the exact rational slope (num, den) from integer sufficient
+    statistics — no division on either side (numpy floors, DuckDB
+    truncates: emitting the fraction sidesteps the divergence class
+    entirely). Combiner partials, one cell-keyed exchange, reduceat
+    moment fold."""
+    from osm_export_tool_python_ray.stages.analytics import cell_trends
+
+    return cell_trends(_read(sf_dir, "events", ["event_id", "ts"]))
+
+
+SQL_CELL_TRENDS = """
+WITH hc AS (
+  SELECT ((event_id % 100) // 10) * 10
+         + ((CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10) AS ckey,
+         epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY ckey, hr
+),
+xb AS (
+  SELECT ckey, hr - min(hr) OVER (PARTITION BY ckey) AS x, n FROM hc
+)
+SELECT ckey, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(count(*) * sum(x * n) - sum(x) * sum(n) AS BIGINT) AS num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
+FROM xb GROUP BY ckey
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4801,6 +4831,7 @@ QUERIES = {
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
     "reciprocal_partners": q_reciprocal_partners,
+    "cell_trends": q_cell_trends,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4960,6 +4991,7 @@ ORACLES = {
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,
     "reciprocal_partners": SQL_RECIPROCAL_PARTNERS,
+    "cell_trends": SQL_CELL_TRENDS,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

@@ -459,3 +459,109 @@ def decayed_cells(
             Sum("n_p", alias_name="n"), Sum("decayed_p", alias_name="decayed")
         )
     )
+
+
+def cell_trends(events_ds, cell_div=10, bucket_us=3_600_000_000,
+                num_buckets=32, num_partitions=8):
+    """Per-cell linear activity trend — grouped least squares via EXACT
+    integer sufficient statistics: for each 10×10 grid cell, fit hourly
+    event count against the hour index and report the slope as the exact
+    rational (num, den) = (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) over the cell's
+    OCCUPIED hours, x rebased to the cell's first hour so the int64
+    moments never overflow (x < span ≈ 10³; Σx² < 10⁹·n). No division
+    anywhere — the output is the exact fraction both sides compute
+    identically (integer division would diverge: numpy floors, DuckDB
+    truncates toward zero).
+
+    Scale shape: raw events collapse to (cell, hour) partial counts per
+    batch (the aoi_cell_cover combiner), ONE exchange keyed by cell moves
+    hourly rows, and the moment fold per cell is lexsort + reduceat —
+    the sufficient-statistics pattern every grouped regression /
+    covariance op reduces to.
+
+    → (ckey, n_hours, num, den); den = 0 iff the cell has one occupied
+    hour (undefined slope — consumer decides)."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    OUT = pa.schema(
+        [
+            ("ckey", pa.int64()),
+            ("n_hours", pa.int64()),
+            ("num", pa.int64()),
+            ("den", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ckey": pa.array([], type=pa.int64()),
+                    "hr": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // bucket_us
+        )
+        cx = (eid % 100) // cell_div
+        cy = ((eid // 7) % 100) // cell_div
+        ckey = cx * 10 + cy
+        key = ckey * np.int64(1 << 40) + (hr + np.int64(1 << 39))
+        uk, pos = np.unique(key, return_inverse=True)
+        cnt = np.bincount(pos).astype(np.int64)
+        ck = (uk >> np.int64(40)).astype(np.int64)
+        return pa.table(
+            {
+                "ckey": pa.array(ck),
+                "hr": pa.array((uk & np.int64((1 << 40) - 1)) - np.int64(1 << 39)),
+                "n": pa.array(cnt),
+                "bucket": pa.array((ck % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def fit(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        ck = g.column("ckey").to_numpy(zero_copy_only=False)
+        hr = g.column("hr").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hr, ck))
+        ck, hr, n = ck[order], hr[order], n[order]
+        same = np.concatenate([[False], (ck[1:] == ck[:-1]) & (hr[1:] == hr[:-1])])
+        starts = np.nonzero(~same)[0]
+        n = np.add.reduceat(n, starts)
+        ck, hr = ck[starts], hr[starts]
+        cs = np.nonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))[0]
+        x = hr - np.repeat(hr[cs], np.diff(np.append(cs, len(ck))))  # rebased
+        nh = np.diff(np.append(cs, len(ck))).astype(np.int64)
+        sx = np.add.reduceat(x, cs)
+        sy = np.add.reduceat(n, cs)
+        sxy = np.add.reduceat(x * n, cs)
+        sxx = np.add.reduceat(x * x, cs)
+        num = nh * sxy - sx * sy
+        den = nh * sxx - sx * sx
+        return pa.table(
+            {
+                "ckey": pa.array(ck[cs]),
+                "n_hours": pa.array(nh),
+                "num": pa.array(num),
+                "den": pa.array(den),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        lambda g: fit(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [("ckey", pa.int64()), ("hr", pa.int64()), ("n", pa.int64())]
+        ),
+    )

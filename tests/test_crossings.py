@@ -547,3 +547,100 @@ class TestReciprocalPartners:
                 sorted((r["user_a"], r["user_b"], r["n_shared"]) for r in res)
             )
         assert outs[0] == outs[1]
+
+
+class TestCellTrends:
+    """Grouped exact least squares (stages/analytics.py cell_trends)."""
+
+    @staticmethod
+    def _brute(rows, cell_div=10, bucket_us=3_600_000_000):
+        from collections import Counter, defaultdict
+
+        hc = defaultdict(Counter)
+        for eid, _u, ts, _et, _v in rows:
+            cx = (eid % 100) // cell_div
+            cy = ((eid // 7) % 100) // cell_div
+            hc[cx * 10 + cy][ts // bucket_us] += 1
+        out = {}
+        for ck, cnt in hc.items():
+            h0 = min(cnt)
+            xs = sorted(cnt)
+            n = len(xs)
+            sx = sum(h - h0 for h in xs)
+            sy = sum(cnt.values())
+            sxy = sum((h - h0) * cnt[h] for h in xs)
+            sxx = sum((h - h0) ** 2 for h in xs)
+            out[ck] = (n, n * sxy - sx * sy, n * sxx - sx * sx)
+        return out
+
+    @pytest.mark.parametrize("seed", [19, 61])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.analytics import cell_trends
+
+        rng = np.random.RandomState(seed)
+        HOUR = 3_600_000_000
+        rows = [
+            (int(rng.randint(0, 700)), 1,
+             int(rng.randint(0, 50)) * HOUR + int(rng.randint(0, HOUR)),
+             "v", 0.0)
+            for _ in range(600)
+        ]
+        out = cell_trends(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {r["ckey"]: (r["n_hours"], r["num"], r["den"]) for r in out}
+        assert got == self._brute(rows)
+
+    def test_known_slopes(self, ray_session):
+        """A cell with counts 1,2,3 over consecutive hours → slope exactly
+        +1 (num/den = 6/6); a single-hour cell → den 0."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.analytics import cell_trends
+
+        HOUR = 3_600_000_000
+        rows = []
+        i = 0
+        # eid 0 → cell (0,0) = ckey 0; counts 1, 2, 3 in hours 0, 1, 2
+        for h, c in [(0, 1), (1, 2), (2, 3)]:
+            for _ in range(c):
+                rows.append((0, 1, h * HOUR + i, "v", 0.0))
+                i += 1
+        # eid 350 → (50//10)*10 + 50//10 = 55; one hour only
+        rows.append((350, 1, 0, "v", 0.0))
+        out = cell_trends(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        got = {r["ckey"]: (r["n_hours"], r["num"], r["den"]) for r in out}
+        assert got[0] == (3, 6, 6)      # slope 1: 3*8 - 3*6 = 6; 3*5 - 9 = 6
+        assert got[55] == (1, 0, 0)     # undefined slope marker
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.analytics import cell_trends
+
+        rng = np.random.RandomState(29)
+        HOUR = 3_600_000_000
+        rows = [
+            (int(rng.randint(0, 500)), 1,
+             int(rng.randint(0, 30)) * HOUR, "v", 0.0)
+            for _ in range(400)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = cell_trends(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(
+                sorted((r["ckey"], r["n_hours"], r["num"], r["den"]) for r in res)
+            )
+        assert outs[0] == outs[1]
