@@ -224,6 +224,7 @@ def run_query_suite(sf_dir):
         ("cusum_bursts", Q.q_cusum_bursts),
         ("reciprocal_partners", Q.q_reciprocal_partners),
         ("cell_trends", Q.q_cell_trends),
+        ("sliding_distinct", Q.q_sliding_distinct),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

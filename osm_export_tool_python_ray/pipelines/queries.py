@@ -3323,6 +3323,33 @@ FROM xb GROUP BY ckey
 """
 
 
+def q_sliding_distinct(sf_dir):
+    """Sliding-window COUNT DISTINCT (stages/temporal.py
+    sliding_distinct_users): distinct users per event_type in the
+    trailing 3-hour window, via the presence-run trick — each distinct
+    (type, hour, user) presence row represents the user for exactly the
+    window-ends up to the user's next presence, accumulated through a
+    difference array. One keyed exchange of presence rows; no per-window
+    set is ever built on either side."""
+    from osm_export_tool_python_ray.stages.temporal import sliding_distinct_users
+
+    return sliding_distinct_users(
+        _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+    )
+
+
+SQL_SLIDING_DISTINCT = """
+WITH pres AS (
+  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr, user_id
+  FROM events
+),
+off(o) AS (VALUES (0), (1), (2)),
+w AS (SELECT event_type, hr + o AS wh, user_id FROM pres CROSS JOIN off)
+SELECT event_type, wh AS hr, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY event_type, wh
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4832,6 +4859,7 @@ QUERIES = {
     "cusum_bursts": q_cusum_bursts,
     "reciprocal_partners": q_reciprocal_partners,
     "cell_trends": q_cell_trends,
+    "sliding_distinct": q_sliding_distinct,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4992,6 +5020,7 @@ ORACLES = {
     "cusum_bursts": SQL_CUSUM_BURSTS,
     "reciprocal_partners": SQL_RECIPROCAL_PARTNERS,
     "cell_trends": SQL_CELL_TRENDS,
+    "sliding_distinct": SQL_SLIDING_DISTINCT,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

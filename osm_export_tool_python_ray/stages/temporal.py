@@ -238,3 +238,123 @@ def range_join_time(
         return pa.table(out)
 
     return grouped_map(combined, "bucket", fold, num_partitions=num_partitions)
+
+
+def sliding_distinct_users(
+    events_ds,
+    window_hours=3,
+    bucket_us=3_600_000_000,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """Sliding-window COUNT DISTINCT: per event_type and hour h, the
+    number of DISTINCT users active in the trailing ``window_hours``
+    window [h−W+1, h] — the op naive plans shuffle once per window
+    (replicating every event W×, then a distinct per window).
+
+    The scale answer is the presence-run trick: collapse events to
+    distinct (type, hour, user) presence rows (a combiner — the exchange
+    moves presence, never events), then each presence row is the counted
+    REPRESENTATIVE for exactly the window-ends [t, min(t+W−1, next−1)]
+    where ``next`` is the same user's next presence hour: a user in a
+    window is counted via their LAST presence inside it, so nobody is
+    double-counted and no per-window set is ever built. Ranges accumulate
+    into a difference array per type (cumsum = the answer) — fully
+    vectorized, one keyed exchange, O(presence) work.
+
+    → (event_type, hr, n_users) for every window-end with ≥1 active user
+    (the same domain the oracle's presence × offsets expansion yields)."""
+    import pyarrow as pa
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, hash_bucket
+
+    W = int(window_hours)
+    OUT = pa.schema(
+        [("event_type", pa.string()), ("hr", pa.int64()), ("n_users", pa.int64())]
+    )
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "hr": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        hr = _ts_i64(t.column("ts")) // bucket_us
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        types, tinv = np.unique(et, return_inverse=True)
+        # batch-local distinct (type, hr, user) on the sorted triple —
+        # correct for any user_id magnitude (no packed-key tricks)
+        order = np.lexsort((u, hr, tinv))
+        ti, hs, us = tinv[order], hr[order], u[order]
+        first = np.concatenate(
+            [[True], (ti[1:] != ti[:-1]) | (hs[1:] != hs[:-1]) | (us[1:] != us[:-1])]
+        )
+        ti, hs, us = ti[first], hs[first], us[first]
+        tb = np.asarray(hash_bucket(pa.array(types, type=pa.string()), num_buckets))
+        return pa.table(
+            {
+                "event_type": pa.array(types[ti], type=pa.string()),
+                "hr": pa.array(hs),
+                "user_id": pa.array(us),
+                "bucket": pa.array(tb[ti].astype(np.int32)),
+            }
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        hr = g.column("hr").to_numpy(zero_copy_only=False)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hr, u, et))
+        et, hr, u = et[order], hr[order], u[order]
+        # global distinct presence (cross-batch dups)
+        first = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (u[1:] != u[:-1]) | (hr[1:] != hr[:-1])]
+        )
+        et, hr, u = et[first], hr[first], u[first]
+        # next presence hour of the same (type, user); ∞ at run ends
+        same_run = np.concatenate([(et[1:] == et[:-1]) & (u[1:] == u[:-1]), [False]])
+        nxt = np.where(same_run, np.roll(hr, -1), np.int64(1) << np.int64(60))
+        a = hr
+        b = np.minimum(hr + (W - 1), nxt - 1)  # nxt > hr ⇒ b ≥ a
+        # per type: difference-array accumulation over the window-end axis
+        tstarts = np.nonzero(np.concatenate([[True], et[1:] != et[:-1]]))[0]
+        tends = np.append(tstarts[1:], len(et))
+        out_t, out_h, out_n = [], [], []
+        for s, e in zip(tstarts, tends):  # per TYPE; inner work vectorized
+            h0 = int(a[s:e].min())
+            h1 = int(b[s:e].max())
+            diff = np.zeros(h1 - h0 + 2, dtype=np.int64)
+            np.add.at(diff, (a[s:e] - h0).astype(np.int64), 1)
+            np.add.at(diff, (b[s:e] - h0 + 1).astype(np.int64), -1)
+            cnt = np.cumsum(diff[:-1])
+            idx = np.nonzero(cnt > 0)[0]
+            out_t.append(np.full(len(idx), et[s]))
+            out_h.append(h0 + idx)
+            out_n.append(cnt[idx])
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_t), type=pa.string()),
+                "hr": pa.array(np.concatenate(out_h)),
+                "n_users": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        lambda g: scan(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("hr", pa.int64()),
+                ("user_id", pa.int64()),
+            ]
+        ),
+    )

@@ -644,3 +644,88 @@ class TestCellTrends:
                 sorted((r["ckey"], r["n_hours"], r["num"], r["den"]) for r in res)
             )
         assert outs[0] == outs[1]
+
+
+class TestSlidingDistinct:
+    """Sliding COUNT DISTINCT (stages/temporal.py sliding_distinct_users)."""
+
+    @staticmethod
+    def _brute(rows, W=3, bucket_us=3_600_000_000):
+        from collections import defaultdict
+
+        pres = defaultdict(set)  # (type, hour) -> users
+        for _eid, u, ts, et, _v in rows:
+            pres[(et, ts // bucket_us)].add(u)
+        hours = defaultdict(set)
+        for (et, h), users in pres.items():
+            for o in range(W):
+                hours[(et, h + o)].update(users)
+        return {(et, h): len(us) for (et, h), us in hours.items()}
+
+    @pytest.mark.parametrize("seed", [14, 53])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import sliding_distinct_users
+
+        rng = np.random.RandomState(seed)
+        HOUR = 3_600_000_000
+        rows = [
+            (i, int(rng.randint(1, 15)),
+             int(rng.randint(0, 40)) * HOUR + int(rng.randint(0, HOUR)),
+             "xyz"[int(rng.randint(3))], 0.0)
+            for i in range(700)
+        ]
+        out = sliding_distinct_users(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {(r["event_type"], r["hr"]): r["n_users"] for r in out}
+        assert got == self._brute(rows)
+
+    def test_revisiting_user_counted_once_per_window(self, ray_session):
+        """A user present in hours 0 AND 1 counts ONCE in the window
+        ending at hour 1/2 — the representative-presence invariant."""
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import sliding_distinct_users
+
+        HOUR = 3_600_000_000
+        rows = [
+            (1, 7, 0, "a", 0.0),
+            (2, 7, HOUR, "a", 0.0),        # same user, next hour
+            (3, 9, HOUR, "a", 0.0),        # second user in hour 1
+        ]
+        out = sliding_distinct_users(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        got = {r["hr"]: r["n_users"] for r in out}
+        # windows: h0 {7}=1; h1 {7,9}=2; h2 {7,9}=2 (trailing); h3 {7,9}=2
+        assert got == {0: 1, 1: 2, 2: 2, 3: 2}
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import sliding_distinct_users
+
+        rng = np.random.RandomState(41)
+        HOUR = 3_600_000_000
+        rows = [
+            (i, int(rng.randint(1, 10)), int(rng.randint(0, 25)) * HOUR,
+             "pq"[i % 2], 0.0)
+            for i in range(400)
+        ]
+        outs = []
+        for nb, npart in [(2, 1), (16, 8)]:
+            res = sliding_distinct_users(
+                ray.data.from_arrow(_events_table(rows)),
+                num_buckets=nb,
+                num_partitions=npart,
+            ).take_all()
+            outs.append(
+                sorted((r["event_type"], r["hr"], r["n_users"]) for r in res)
+            )
+        assert outs[0] == outs[1]
