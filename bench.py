@@ -225,6 +225,7 @@ def run_query_suite(sf_dir):
         ("reciprocal_partners", Q.q_reciprocal_partners),
         ("cell_trends", Q.q_cell_trends),
         ("sliding_distinct", Q.q_sliding_distinct),
+        ("tag_cooccurrence", Q.q_tag_cooccurrence),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

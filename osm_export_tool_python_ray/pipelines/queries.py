@@ -3350,6 +3350,108 @@ FROM w GROUP BY event_type, wh
 """
 
 
+def q_tag_cooccurrence(sf_dir):
+    """OSM tag-KEY co-occurrence over the deduped corpus elements
+    (export-surface analytics): the 20 most frequent unordered key pairs
+    appearing on the same element — (k1, k2, n) by (n desc, k1, k2). One
+    per-batch pair combiner over the tags map column (vectorized
+    repeat/cumsum expansion of within-element SORTED keys, so k1 < k2 by
+    construction), a tiny (k1, k2) groupby, and a distributed
+    sort+limit(20) — the key-pair table is bounded by the tag vocabulary
+    squared, never by element count."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.stages.explode import dedup_elements, explode_osm
+
+    ds = ray.data.read_parquet(corpus_path(n_shards=4)).map_batches(
+        explode_osm, batch_format="pyarrow"
+    )
+    deduped = dedup_elements(ds, num_buckets=8)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        EMPTY = pa.table(
+            {
+                "k1": pa.array([], type=pa.string()),
+                "k2": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return EMPTY
+        tags = t.column("tags")
+        if isinstance(tags, pa.ChunkedArray):
+            tags = tags.combine_chunks()
+        offs = tags.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.asarray(tags.keys.to_pylist(), dtype=object)
+        m = np.diff(offs)
+        if not len(keys):
+            return EMPTY
+        # sort keys WITHIN each element so expanded pairs are (k1 < k2)
+        elem = np.repeat(np.arange(len(m)), m)
+        order = np.lexsort((keys, elem))
+        keys = keys[order]
+        starts = offs[:-1][m > 0]
+        sizes = m[m > 0]
+        rank = np.arange(len(keys)) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return EMPTY
+        L = np.repeat(np.arange(len(keys)), left_counts)
+        poffs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(poffs, left_counts) + L + 1
+        pt = pa.table(
+            {
+                "k1": pa.array(list(keys[L]), type=pa.string()),
+                "k2": pa.array(list(keys[R]), type=pa.string()),
+            }
+        )
+        agg = pt.group_by(["k1", "k2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "k1": agg.column("k1"),
+                "k2": agg.column("k2"),
+                "n": agg.column("count_all"),
+            }
+        )
+
+    return (
+        deduped.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["k1", "k2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "k1", "k2"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+def _sql_tag_cooccurrence():
+    from osm_export_tool_python_ray.pipelines.export_oracle import _base_ctes
+
+    # only the raw/el prefix of the shared base CTEs is needed
+    base = _base_ctes(corpus_path(n_shards=4))
+    cut = base.index("nodes AS (")
+    prefix = base[:cut].rstrip().rstrip(",")
+    return (
+        "WITH "
+        + prefix.split("WITH", 1)[-1].lstrip()
+        + """,
+tk AS (
+  SELECT etype, id, UNNEST(json_keys(json_extract(txt, '$.tags'))) AS k
+  FROM el
+),
+p AS (
+  SELECT a.k AS k1, b.k AS k2
+  FROM tk a JOIN tk b ON a.etype = b.etype AND a.id = b.id AND a.k < b.k
+)
+SELECT k1, k2, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY k1, k2
+ORDER BY n DESC, k1, k2 LIMIT 20
+"""
+    )
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4860,6 +4962,7 @@ QUERIES = {
     "reciprocal_partners": q_reciprocal_partners,
     "cell_trends": q_cell_trends,
     "sliding_distinct": q_sliding_distinct,
+    "tag_cooccurrence": q_tag_cooccurrence,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
     "map_match": q_map_match,
@@ -4920,6 +5023,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "shp_layer_counts",
     "kml_layer_counts",
     "span_adjacency",
+    "tag_cooccurrence",
 )
 
 
@@ -4954,6 +5058,7 @@ def export_surface_oracles():
         "shp_layer_counts": sql_shp_layer_counts(path, mapping),
         "kml_layer_counts": sql_kml_layer_counts(path, mapping),
         "span_adjacency": sql_span_adjacency(path),
+        "tag_cooccurrence": _sql_tag_cooccurrence(),
     }
     assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
     return out

@@ -729,3 +729,46 @@ class TestSlidingDistinct:
                 sorted((r["event_type"], r["hr"], r["n_users"]) for r in res)
             )
         assert outs[0] == outs[1]
+
+
+class TestTagCooccurrence:
+    """Export-surface tag-key co-occurrence (q_tag_cooccurrence)."""
+
+    def test_matches_json_bruteforce(self, ray_session):
+        """Pure-python JSON parse of the corpus spans → per-element key
+        pairs → top-20; must equal the engine's combiner+groupby+sort."""
+        import json
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import (
+            QUERIES,
+            corpus_path,
+        )
+
+        tbl = pq.read_table(corpus_path(n_shards=4))
+        seen = {}
+        for spans in tbl.column("spans").to_pylist():
+            for s in spans:
+                if s["kind"] != "osm":
+                    continue
+                try:
+                    o = json.loads(s["text"])
+                except ValueError:
+                    continue
+                seen[(o["type"], o["id"])] = sorted((o.get("tags") or {}))
+        cnt = Counter()
+        for ks in seen.values():
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    cnt[(ks[i], ks[j])] += 1
+        want = sorted(
+            ((n, k1, k2) for (k1, k2), n in cnt.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:20]
+        got = [
+            (r["n"], r["k1"], r["k2"])
+            for r in QUERIES["tag_cooccurrence"](None).take_all()
+        ]
+        assert got == want
