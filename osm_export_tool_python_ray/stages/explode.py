@@ -113,7 +113,13 @@ def explode_osm(batch: pa.Table, include_tiles=False) -> pa.Table:
             refs_append(None)
             members_append(e.get("members") or [])
     if bad:
+        # reference-parity print AND the engine's counted-cap surface
+        # (state/metrics.py → BENCH "caps"): a 100 TB run must show how
+        # many spans it dropped, not bury them in task logs
+        from osm_export_tool_python_ray.state.metrics import report_cap
+
         print("explode_osm: dropped %d malformed osm spans" % bad)
+        report_cap("explode_malformed_spans", bad)
         keep = np.nonzero(valid)[0]
         element_id = element_id[keep]
         kind_code = kind_code[keep]

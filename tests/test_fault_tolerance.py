@@ -114,3 +114,52 @@ class TestTransientTaskFailure:
                 # relations are NaN placeholders; pa.Table.equals would
                 # report NaN != NaN as a difference)
                 assert fn(b).to_pandas().equals(fn(b).to_pandas()), fn.__name__
+
+
+class TestMalformedInput:
+    def test_malformed_spans_dropped_and_counted(self, ray_session):
+        """Broken JSON / missing fields in osm spans drop-and-continue
+        (reference parity) AND surface through the counted-cap channel —
+        a 100 TB run reports its drop count, it doesn't bury it."""
+        import pyarrow as pa
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.explode import explode_osm
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+
+        def doc(doc_id, texts):
+            return {
+                "doc_id": doc_id,
+                "spans": [
+                    {"kind": "osm", "text": t, "media_ref": "", "offset": i}
+                    for i, t in enumerate(texts)
+                ],
+            }
+
+        good = '{"type": "node", "id": 1, "lon": 1.0, "lat": 2.0, "tags": {}}'
+        rows = [
+            doc("d1", [good, "{not json", '{"type": "node"}']),
+            doc("d2", ['{"type": "spaceship", "id": 9}', good.replace('"id": 1', '"id": 2')]),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows]),
+                "spans": pa.array([r["spans"] for r in rows], type=pa.list_(span_t)),
+            }
+        )
+        snapshot_caps()
+        out = ray.data.from_arrow(tbl).map_batches(
+            explode_osm, batch_format="pyarrow"
+        ).take_all()
+        assert sorted(r["element_id"] for r in out) == [1, 2]
+        caps = snapshot_caps()
+        assert caps.get("explode_malformed_spans", 0) == 3
