@@ -226,6 +226,7 @@ def run_query_suite(sf_dir):
         ("cell_trends", Q.q_cell_trends),
         ("sliding_distinct", Q.q_sliding_distinct),
         ("tag_cooccurrence", Q.q_tag_cooccurrence),
+        ("session_bigrams", Q.q_session_bigrams),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3452,6 +3452,38 @@ ORDER BY n DESC, k1, k2 LIMIT 20
     )
 
 
+def q_session_bigrams(sf_dir):
+    """Order-1 sequential pattern mining (stages/journey.py
+    session_bigrams): top-15 consecutive event-type pairs within a
+    session (30-min gap rule), ties broken (n desc, a, b). One
+    user-keyed exchange; |types|²-bounded tail."""
+    from osm_export_tool_python_ray.stages.journey import session_bigrams
+
+    return session_bigrams(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
+SQL_SESSION_BIGRAMS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+),
+l AS (
+  SELECT user_id, t, event_type,
+         lag(event_type) OVER w AS prev_et,
+         lag(t) OVER w AS prev_t
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+bg AS (
+  SELECT prev_et AS a, event_type AS b
+  FROM l WHERE prev_et IS NOT NULL AND t - prev_t <= 1800000000
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY a, b
+ORDER BY n DESC, a, b LIMIT 15
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4962,6 +4994,7 @@ QUERIES = {
     "reciprocal_partners": q_reciprocal_partners,
     "cell_trends": q_cell_trends,
     "sliding_distinct": q_sliding_distinct,
+    "session_bigrams": q_session_bigrams,
     "tag_cooccurrence": q_tag_cooccurrence,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
@@ -5126,6 +5159,7 @@ ORACLES = {
     "reciprocal_partners": SQL_RECIPROCAL_PARTNERS,
     "cell_trends": SQL_CELL_TRENDS,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
+    "session_bigrams": SQL_SESSION_BIGRAMS,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

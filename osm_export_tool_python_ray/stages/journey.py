@@ -1371,3 +1371,101 @@ def reciprocal_partners(events_ds, cell_div=10, bucket_us=3_600_000_000,
         num_partitions=num_partitions,
         payload_schema=SCHEMA,
     )
+
+
+def session_bigrams(events_ds, gap_us=1_800_000_000, k=15,
+                    num_buckets=32, num_partitions=8):
+    """Sequential pattern mining, order-1: the top-k event-type BIGRAMS
+    (consecutive events of one user within a session — gap ≤ ``gap_us``)
+    across the corpus, by (count desc, a, b). The "what do users do
+    next" primitive funnels/Markov models are built from.
+
+    Scale shape: ONE user-keyed exchange of (user, ts, type) rows; the
+    bigram extraction is a shifted-comparison per partition (no per-user
+    loop); per-partition (a, b) partial counts fold through a tiny
+    groupby; the distinct-bigram table is |types|² rows, so the final
+    distributed sort+limit moves nothing."""
+    from ray.data.aggregate import Sum
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.int64()),
+                    "eid": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "ts": pa.array(_ts_i64(t.column("ts"))),
+                "eid": pa.array(
+                    t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "event_type": t.column("event_type"),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def partial(g: pa.Table) -> pa.Table:
+        EMPTY = pa.table(
+            {
+                "a": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return EMPTY
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        keep = (u[1:] == u[:-1]) & (ts[1:] - ts[:-1] <= gap_us)
+        if not keep.any():
+            return EMPTY
+        a = et[:-1][keep]
+        b = et[1:][keep]
+        pt = pa.table(
+            {
+                "a": pa.array(list(a), type=pa.string()),
+                "b": pa.array(list(b), type=pa.string()),
+            }
+        )
+        agg = pt.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "a": agg.column("a"),
+                "b": agg.column("b"),
+                "n": agg.column("count_all"),
+            }
+        )
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    partials = grouped_map(
+        events_ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        lambda g: partial(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("eid", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+    )
+    return (
+        partials.groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -772,3 +772,65 @@ class TestTagCooccurrence:
             for r in QUERIES["tag_cooccurrence"](None).take_all()
         ]
         assert got == want
+
+
+class TestSessionBigrams:
+    """Order-1 sequence mining (stages/journey.py session_bigrams)."""
+
+    @staticmethod
+    def _brute(rows, gap_us=1_800_000_000, k=15):
+        from collections import Counter, defaultdict
+
+        by_user = defaultdict(list)
+        for eid, u, ts, et, _v in rows:
+            by_user[u].append((ts, eid, et))
+        cnt = Counter()
+        for u, evs in by_user.items():
+            evs.sort()
+            for (t1, _e1, a), (t2, _e2, b) in zip(evs, evs[1:]):
+                if t2 - t1 <= gap_us:
+                    cnt[(a, b)] += 1
+        return sorted(
+            ((n, a, b) for (a, b), n in cnt.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:k]
+
+    @pytest.mark.parametrize("seed", [16, 58])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import session_bigrams
+
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, int(rng.randint(1, 10)), int(rng.randint(0, 10_000)),
+             "abcd"[int(rng.randint(4))], 0.0)
+            for i in range(600)
+        ]
+        out = session_bigrams(
+            ray.data.from_arrow(_events_table(rows)),
+            gap_us=3_000,
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = [(r["n"], r["a"], r["b"]) for r in out]
+        assert got == self._brute(rows, gap_us=3_000)
+
+    def test_gap_breaks_sequence(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.journey import session_bigrams
+
+        rows = [
+            (1, 1, 0, "a", 0.0),
+            (2, 1, 100, "b", 0.0),           # a→b (within gap)
+            (3, 1, 10_000_000_000, "c", 0.0),  # new session: b→c NOT counted
+            (4, 1, 10_000_000_100, "d", 0.0),  # c→d counted
+        ]
+        out = session_bigrams(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        got = sorted((r["a"], r["b"], r["n"]) for r in out)
+        assert got == [("a", "b", 1), ("c", "d", 1)]
