@@ -227,6 +227,8 @@ def run_query_suite(sf_dir):
         ("sliding_distinct", Q.q_sliding_distinct),
         ("tag_cooccurrence", Q.q_tag_cooccurrence),
         ("session_bigrams", Q.q_session_bigrams),
+        ("attribution", Q.q_attribution),
+        ("activity_histogram", Q.q_activity_histogram),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

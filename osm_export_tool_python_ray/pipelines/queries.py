@@ -3484,6 +3484,92 @@ ORDER BY n DESC, a, b LIMIT 15
 """
 
 
+def q_attribution(sf_dir):
+    """Forward attribution window (stages/temporal.py
+    attribution_window): per click hour, how many clicks converted to a
+    purchase by the SAME user strictly later but within 1 h — the
+    forward mirror of the AS-OF join, closed with the same vectorized
+    index-accumulate (next-target per row in one pass, no self-join).
+    Same-microsecond purchases do not convert on either side."""
+    from osm_export_tool_python_ray.stages.temporal import attribution_window
+
+    return attribution_window(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+)
+SELECT c.t // 3600000000 AS hr,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN EXISTS (
+             SELECT 1 FROM p
+             WHERE p.user_id = c.user_id
+               AND p.t > c.t AND p.t <= c.t + 3600000000)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM c GROUP BY hr
+"""
+
+
+def q_activity_histogram(sf_dir):
+    """Power-law activity histogram: per-user event totals bucketed into
+    exact log2 bins (bin = floor(log2 n) via integer bit-length — no
+    float log on either side; DuckDB mirrors with length(bin(n))-1) →
+    (bin, n_users, total_events). The concentration profile a corpus
+    audit reads before choosing sampling rates. Per-batch user-count
+    combiner, one user groupby, then the ≤64-row bin fold."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uu.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def binned(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor(log2 n) = frexp exponent − 1: exact for counts < 2^53
+        # (float64 conversion is lossless there; a per-user event count
+        # beyond 9e15 is not a real workload)
+        _m, e = np.frexp(n.astype(np.float64))
+        b = e.astype(np.int64) - 1
+        return pa.table({"bin": pa.array(b), "n": pa.array(n)})
+
+    return (
+        per_user.map_batches(binned, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n_users"), Sum("n", alias_name="total_events"))
+    )
+
+
+SQL_ACTIVITY_HISTOGRAM = """
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS total_events
+FROM pu GROUP BY 1
+"""
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -4995,6 +5081,8 @@ QUERIES = {
     "cell_trends": q_cell_trends,
     "sliding_distinct": q_sliding_distinct,
     "session_bigrams": q_session_bigrams,
+    "attribution": q_attribution,
+    "activity_histogram": q_activity_histogram,
     "tag_cooccurrence": q_tag_cooccurrence,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
@@ -5160,6 +5248,8 @@ ORACLES = {
     "cell_trends": SQL_CELL_TRENDS,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
     "session_bigrams": SQL_SESSION_BIGRAMS,
+    "attribution": SQL_ATTRIBUTION,
+    "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

@@ -358,3 +358,115 @@ def sliding_distinct_users(
             ]
         ),
     )
+
+
+def attribution_window(
+    events_ds,
+    source_type="click",
+    target_type="purchase",
+    window_us=3_600_000_000,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """Forward attribution join — the conversion-window op marketing /
+    funnel analytics runs: per hour of SOURCE event, how many sources
+    were followed by a TARGET of the same user STRICTLY later but within
+    ``window_us``. The forward-looking mirror of this module's AS-OF
+    join, closed the same way: one user-keyed exchange, then a SEGMENTED
+    SUFFIX-MIN (the asof segmented-cummax trick, reversed) gives every
+    source its next-target timestamp in one vectorized pass — no
+    per-user loop, no self-join. Same-microsecond targets do NOT convert
+    (targets order before sources at equal ts, so the suffix scan never
+    sees them).
+
+    → (hr, n_clicks, n_converted), hr = source epoch-hour (int64)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    def keyed(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        mask = pc.or_(pc.equal(et, source_type), pc.equal(et, target_type))
+        t = t.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.int64()),
+                    "is_target": pa.array([], type=pa.bool_()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "ts": pa.array(_ts_i64(t.column("ts"))),
+                "is_target": pc.equal(t.column("event_type"), target_type),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [("hr", pa.int64()), ("n_clicks", pa.int64()), ("n_converted", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        tgt = g.column("is_target").to_numpy(zero_copy_only=False)
+        # targets BEFORE sources at equal (user, ts): a source's forward
+        # scan then only ever sees strictly-later targets
+        krank = np.where(tgt, 0, 1)
+        order = np.lexsort((krank, ts, u))
+        u, ts, tgt = u[order], ts[order], tgt[order]
+        n = len(u)
+        # next-target index per row: the asof module's index-accumulate
+        # trick run in REVERSED space (max-accumulate of target indices,
+        # segment-start guard per user) — one vectorized pass, no loop
+        ridx = np.arange(n, dtype=np.int64)
+        rtgt = tgt[::-1]
+        ru = u[::-1]
+        last_t = np.maximum.accumulate(np.where(rtgt, ridx, -1))
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = ru[1:] != ru[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, ridx, 0))
+        rmatch = np.where(last_t >= seg_start, last_t, -1)
+        fwd_match = np.where(rmatch[::-1] >= 0, n - 1 - rmatch[::-1], -1)
+        is_src = ~tgt
+        st = ts[is_src]
+        m = fwd_match[is_src]
+        nx = np.where(m >= 0, ts[np.maximum(m, 0)], np.int64(1) << np.int64(62))
+        conv = nx <= st + window_us
+        hr = st // np.int64(3_600_000_000)
+        uh, inv = np.unique(hr, return_inverse=True)
+        n_clicks = np.bincount(inv).astype(np.int64)
+        n_conv = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(n_conv, inv, conv.astype(np.int64))
+        return pa.table(
+            {
+                "hr": pa.array(uh),
+                "n_clicks": pa.array(n_clicks),
+                "n_converted": pa.array(n_conv),
+            }
+        )
+
+    partials = grouped_map(
+        events_ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        lambda g: scan(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("is_target", pa.bool_()),
+            ]
+        ),
+    )
+    return partials.groupby("hr").aggregate(
+        Sum("n_clicks", alias_name="n_clicks"),
+        Sum("n_converted", alias_name="n_converted"),
+    )

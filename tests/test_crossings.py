@@ -834,3 +834,103 @@ class TestSessionBigrams:
         ).take_all()
         got = sorted((r["a"], r["b"], r["n"]) for r in out)
         assert got == [("a", "b", 1), ("c", "d", 1)]
+
+
+class TestAttributionWindow:
+    """Forward attribution join (stages/temporal.py attribution_window)."""
+
+    @staticmethod
+    def _brute(rows, W=3_600_000_000):
+        from collections import defaultdict
+
+        by_user = defaultdict(lambda: {"c": [], "p": []})
+        for _eid, u, ts, et, _v in rows:
+            if et == "click":
+                by_user[u]["c"].append(ts)
+            elif et == "purchase":
+                by_user[u]["p"].append(ts)
+        out = defaultdict(lambda: [0, 0])
+        for u, d in by_user.items():
+            for t in d["c"]:
+                hr = t // 3_600_000_000
+                out[hr][0] += 1
+                if any(t < p <= t + W for p in d["p"]):
+                    out[hr][1] += 1
+        return {h: tuple(v) for h, v in out.items()}
+
+    @pytest.mark.parametrize("seed", [9, 33])
+    def test_matches_bruteforce(self, ray_session, seed):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import attribution_window
+
+        rng = np.random.RandomState(seed)
+        HOUR = 3_600_000_000
+        rows = [
+            (i, int(rng.randint(1, 10)), int(rng.randint(0, 10 * HOUR)),
+             ["click", "purchase", "view"][int(rng.randint(3))], 0.0)
+            for i in range(600)
+        ]
+        out = attribution_window(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=4,
+            num_partitions=2,
+        ).take_all()
+        got = {r["hr"]: (r["n_clicks"], r["n_converted"]) for r in out}
+        assert got == self._brute(rows)
+
+    def test_same_microsecond_and_window_edge(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import attribution_window
+
+        W = 3_600_000_000
+        rows = [
+            (1, 1, 1000, "click", 0.0),
+            (2, 1, 1000, "purchase", 0.0),        # same µs → NOT a conversion
+            (3, 2, 0, "click", 0.0),
+            (4, 2, W, "purchase", 0.0),           # exactly t+W → converts
+            (5, 3, 0, "click", 0.0),
+            (6, 3, W + 1, "purchase", 0.0),       # t+W+1 → does not convert
+            (7, 4, 0, "click", 0.0),
+            (8, 4, 50, "purchase", 0.0),          # later purchase in window
+            (9, 4, 20, "purchase", 0.0),
+        ]
+        out = attribution_window(
+            ray.data.from_arrow(_events_table(rows)),
+            num_buckets=2,
+            num_partitions=1,
+        ).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["hr"], r["n_clicks"], r["n_converted"]) == (0, 4, 2)
+
+
+class TestActivityHistogram:
+    def test_log2_bins_exact(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        out = {
+            r["bin"]: (r["n_users"], r["total_events"])
+            for r in QUERIES["activity_histogram"]("/root/testdata/sf0.001").take_all()
+        }
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM"
+            " read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        from collections import Counter
+
+        users = Counter(
+            con.execute("SELECT user_id FROM events").df()["user_id"]
+        )
+        want = {}
+        for _u, n in users.items():
+            b = n.bit_length() - 1
+            nu, te = want.get(b, (0, 0))
+            want[b] = (nu + 1, te + n)
+        assert out == want
