@@ -3570,6 +3570,43 @@ FROM pu GROUP BY 1
 """
 
 
+def q_neardup_degree(sf_dir):
+    """Near-dup graph degree distribution (dedup-threshold calibration
+    surface): hyperplane-LSH cosine pairs at threshold 0.2 → per-vector
+    degree → (degree, n_vecs). The profile a dedup run reads to pick its
+    similarity cutoff: a long high-degree tail means the threshold is
+    merging clusters. Pairs expand both directions; two tiny groupbys on
+    O(pairs) rows."""
+    from ray.data.aggregate import Count
+
+    from osm_export_tool_python_ray.stages.ann import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        _read(sf_dir, "embeddings"), threshold=0.2, num_planes=4, num_buckets=16
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([a, b]).astype(np.int64))})
+
+    return (
+        pairs.map_batches(both, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Count(alias_name="degree"))
+        .groupby("degree")
+        .aggregate(Count(alias_name="n_vecs"))
+    )
+
+
+SQL_NEARDUP_DEGREE = """
+WITH pr AS (%s),
+d AS (SELECT doc_a AS v FROM pr UNION ALL SELECT doc_b AS v FROM pr),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM d GROUP BY v)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_vecs FROM deg GROUP BY degree
+""" % _build_embedding_near_dup_sql(threshold=0.2)
+
+
 def q_spatial_autocorr(sf_dir):
     """Spatial-autocorrelation partials (stages/hotspots.py
     moran_partials): ONE row of the six int64 sums Moran's I needs over
@@ -5083,6 +5120,7 @@ QUERIES = {
     "session_bigrams": q_session_bigrams,
     "attribution": q_attribution,
     "activity_histogram": q_activity_histogram,
+    "neardup_degree": q_neardup_degree,
     "tag_cooccurrence": q_tag_cooccurrence,
     "spatial_autocorr": q_spatial_autocorr,
     "zorder_range": q_zorder_range,
@@ -5250,6 +5288,7 @@ ORACLES = {
     "session_bigrams": SQL_SESSION_BIGRAMS,
     "attribution": SQL_ATTRIBUTION,
     "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
+    "neardup_degree": SQL_NEARDUP_DEGREE,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
     "map_match": SQL_MAP_MATCH,

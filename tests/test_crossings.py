@@ -934,3 +934,34 @@ class TestActivityHistogram:
             nu, te = want.get(b, (0, 0))
             want[b] = (nu + 1, te + n)
         assert out == want
+
+
+class TestNeardupDegree:
+    def test_degree_distribution_matches_pairs(self, ray_session):
+        """Engine degree histogram == histogram computed from the engine's
+        own near-dup pair list (internal consistency), and total degree
+        mass == 2 × pair count."""
+        from collections import Counter
+
+        from osm_export_tool_python_ray.pipelines.queries import (
+            QUERIES,
+            q_embedding_near_dup,
+        )
+        from osm_export_tool_python_ray.stages.ann import embedding_near_dup
+        from osm_export_tool_python_ray.pipelines.queries import _read
+
+        sf = "/root/testdata/sf0.001"
+        pairs = embedding_near_dup(
+            _read(sf, "embeddings"), threshold=0.2, num_planes=4, num_buckets=16
+        ).take_all()
+        deg = Counter()
+        for r in pairs:
+            deg[r["doc_a"]] += 1
+            deg[r["doc_b"]] += 1
+        want = Counter(deg.values())
+        got = {
+            r["degree"]: r["n_vecs"]
+            for r in QUERIES["neardup_degree"](sf).take_all()
+        }
+        assert got == dict(want)
+        assert sum(d * n for d, n in got.items()) == 2 * len(pairs)
