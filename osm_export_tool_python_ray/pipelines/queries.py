@@ -3153,6 +3153,51 @@ GROUP BY user_a, user_b
 """
 
 
+def q_interval_coverage(sf_dir):
+    """Interval-union coverage (stages/intervals.py interval_coverage):
+    per user, the UNION length of the half-open intervals
+    [ts, ts + floor(value·1e4+0.5)·1000 µs) — total active time counting
+    overlaps once, plus merged-block and interval counts. ONE user-keyed
+    exchange; the in-partition sweep is a vectorized 2n-endpoint
+    segmented cumsum (depth 0→1 opens a block, →0 closes it), exact
+    int64 µs on both sides. Touching intervals do NOT merge (half-open:
+    a block splits when start ≥ running max of prior ends)."""
+    from osm_export_tool_python_ray.stages.intervals import interval_coverage
+
+    return interval_coverage(_read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1e4 + 0.5) AS BIGINT) * 1000 AS e
+  FROM events
+  WHERE CAST(floor(value * 1e4 + 0.5) AS BIGINT) > 0
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s >= max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nb
+  FROM iv
+), blocks AS (
+  SELECT user_id, s, e,
+         sum(nb) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS bid
+  FROM marked
+), blen AS (
+  SELECT user_id, bid, max(e) - min(s) AS len, count(*) AS cnt
+  FROM blocks GROUP BY user_id, bid
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(cnt) AS BIGINT) AS n_intervals
+FROM blen GROUP BY user_id
+"""
+
+
 def q_compact_cover(sf_dir):
     """Quadtree compact cell cover (stages/journey.py compact_cover — the
     H3 ``compact`` analog): minimal multi-resolution cover of occupied
@@ -5111,6 +5156,7 @@ QUERIES = {
     "encounters": q_encounters,
     "segment_crossings": q_segment_crossings,
     "session_overlap": q_session_overlap,
+    "interval_coverage": q_interval_coverage,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5279,6 +5325,7 @@ ORACLES = {
     "encounters": SQL_ENCOUNTERS,
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "session_overlap": SQL_SESSION_OVERLAP,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,

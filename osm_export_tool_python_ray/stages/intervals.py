@@ -206,3 +206,115 @@ def session_overlap_join(
         Sum("n_partial", alias_name="n_overlaps"),
         Sum("ov_partial", alias_name="overlap_us"),
     )
+
+
+def interval_coverage(
+    events_ds,
+    dur_scale_us=1_000,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """→ (user_id, covered_us, n_blocks, n_intervals): the UNION length of
+    each user's event intervals — the classic sweep-line interval-union
+    aggregate (utilization / uptime / "how long was the user actually
+    active counting overlaps once").
+
+    Each event spawns the half-open interval [ts, ts + dur) with
+    ``dur = floor(value·1e4 + 0.5) · dur_scale_us`` µs — integer-exact on
+    both the engine and SQL side. Touching intervals ([a,b) + [b,c)) do
+    NOT merge (half-open semantics: a new block starts when s ≥ running
+    max of prior ends); zero-length intervals are dropped.
+
+    Scale shape: ONE user-keyed exchange; inside a partition the sweep is
+    fully vectorized over 2n endpoint records (+1 at start, −1 at end,
+    ends sorting before starts at equal position) — a segmented cumsum
+    gives the nesting depth, and ``covered = Σ(pos at depth→0) −
+    Σ(pos at depth 0→1)`` per user needs no block pairing at all. Depth
+    is bounded by the per-user interval count, so there is no overflow
+    hazard (unlike a segmented-cummax-with-offsets trick).
+
+    Reference analog: none (engine mandate — temporal aggregate family).
+    """
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        vq = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        e = s + vq * dur_scale_us
+        keep = e > s
+        u, s, e = u[keep], s[keep], e[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "s": pa.array(s),
+                "e": pa.array(e),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("covered_us", pa.int64()),
+            ("n_blocks", pa.int64()),
+            ("n_intervals", pa.int64()),
+        ]
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return _empty(out_schema)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        e = g.column("e").to_numpy(zero_copy_only=False)
+        pos = np.concatenate([s, e])
+        delta = np.concatenate(
+            [np.ones(n, dtype=np.int64), -np.ones(n, dtype=np.int64)]
+        )
+        uu = np.concatenate([u, u])
+        # ends (-1) sort BEFORE starts (+1) at equal pos → touching
+        # intervals close then reopen (half-open, no merge)
+        order = np.lexsort((delta, pos, uu))
+        uu, pos, delta = uu[order], pos[order], delta[order]
+        m = 2 * n
+        newu = np.ones(m, dtype=bool)
+        newu[1:] = uu[1:] != uu[:-1]
+        seg_starts = np.nonzero(newu)[0]
+        cs = np.cumsum(delta)
+        base = np.repeat(
+            cs[seg_starts] - delta[seg_starts],
+            np.diff(np.append(seg_starts, m)),
+        )
+        depth = cs - base
+        opens = (delta == 1) & (depth == 1)
+        closes = (delta == -1) & (depth == 0)
+        contrib = np.where(closes, pos, 0) - np.where(opens, pos, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[seg_starts]),
+                "covered_us": pa.array(np.add.reduceat(contrib, seg_starts)),
+                "n_blocks": pa.array(
+                    np.add.reduceat(closes.astype(np.int64), seg_starts)
+                ),
+                "n_intervals": pa.array(
+                    np.add.reduceat((delta == 1).astype(np.int64), seg_starts)
+                ),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        lambda g: sweep(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [("user_id", pa.int64()), ("s", pa.int64()), ("e", pa.int64())]
+        ),
+    )

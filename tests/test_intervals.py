@@ -162,3 +162,109 @@ class TestSessionOverlap:
         snapshot_caps()
         QUERIES["session_overlap"]("/root/testdata/sf0.001").materialize()
         assert snapshot_caps().get("interval_epoch_truncated", 0) == 0
+
+
+class TestIntervalCoverage:
+    """Per-user interval-union sweep (stages/intervals.py
+    interval_coverage): brute-force differential, half-open touching
+    semantics, zero-length drop, parallelism invariance."""
+
+    @staticmethod
+    def _brute(rows, dur_scale_us=1_000):
+        from collections import defaultdict
+
+        iv = defaultdict(list)
+        for _eid, u, ts, _et, v in rows:
+            dur = int(np.floor(v * 1e4 + 0.5)) * dur_scale_us
+            if dur > 0:
+                iv[u].append((ts, ts + dur))
+        out = {}
+        for u, lst in iv.items():
+            lst.sort()
+            covered = 0
+            blocks = 0
+            cur_s = cur_e = None
+            for s, e in lst:
+                if cur_e is None or s >= cur_e:
+                    if cur_e is not None:
+                        covered += cur_e - cur_s
+                    blocks += 1
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            out[u] = (covered, blocks, len(lst))
+        return out
+
+    @staticmethod
+    def _run(rows, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import interval_coverage
+
+        res = interval_coverage(
+            ray.data.from_arrow(_events_table(rows)), **kw
+        ).take_all()
+        return {
+            r["user_id"]: (r["covered_us"], r["n_blocks"], r["n_intervals"])
+            for r in res
+        }
+
+    @pytest.mark.parametrize("seed", [5, 23, 77])
+    def test_matches_bruteforce(self, ray_session, seed):
+        rng = np.random.RandomState(seed)
+        rows = [
+            (
+                i,
+                int(rng.randint(1, 9)),
+                int(rng.randint(0, 4_000_000_000)),
+                "v",
+                float(np.round(rng.uniform(0, 200), 2)),
+            )
+            for i in range(500)
+        ]
+        assert self._run(rows, num_buckets=4, num_partitions=2) == self._brute(rows)
+
+    def test_touching_intervals_do_not_merge(self, ray_session):
+        # value 1.0 → dur floor(1e4+0.5)·1000 = 10_000_000 µs;
+        # [0, 10M) + [10M, 20M) = two blocks (half-open, no merge);
+        # a genuine overlap merges into one block
+        D = 10_000_000
+        rows = [
+            (0, 1, 0, "v", 1.0),
+            (1, 1, D, "v", 1.0),
+            (2, 2, 0, "v", 1.0),
+            (3, 2, D // 2, "v", 1.0),
+            (4, 3, 0, "v", 0.0),  # zero-length: dropped entirely
+        ]
+        got = self._run(rows, num_buckets=2, num_partitions=1)
+        assert got[1] == (2 * D, 2, 2)
+        assert got[2] == (D + D // 2, 1, 2)
+        assert 3 not in got
+
+    def test_nested_and_identical_intervals(self, ray_session):
+        # identical intervals and one fully nested → one block, outer len
+        rows = [
+            (0, 1, 0, "v", 10.0),      # [0, 100_000_000)
+            (1, 1, 0, "v", 10.0),      # duplicate
+            (2, 1, 2_000, "v", 1.0),   # [2000, 10_002_000) nested
+        ]
+        got = self._run(rows, num_buckets=2, num_partitions=1)
+        assert got[1] == (100_000_000, 1, 3)
+
+    def test_parallelism_invariant(self, ray_session):
+        rng = np.random.RandomState(91)
+        rows = [
+            (
+                i,
+                int(rng.randint(1, 13)),
+                int(rng.randint(0, 2_000_000_000)),
+                "v",
+                float(np.round(rng.uniform(0, 150), 2)),
+            )
+            for i in range(400)
+        ]
+        a = self._run(rows, num_buckets=2, num_partitions=1)
+        b = self._run(rows, num_buckets=16, num_partitions=8)
+        assert a == b
