@@ -3072,6 +3072,52 @@ GROUP BY a.user_id, b.user_id
 """
 
 
+def q_convoys(sf_dir):
+    """Convoy / flock detection (stages/journey.py convoys): per
+    unordered user pair, the maximal runs of >= 2 CONSECUTIVE hour
+    buckets with a shared coarse grid cell — (user_a, user_b, n_convoys,
+    longest_run). The temporal-consecutiveness upgrade of q_encounters:
+    presence combiner + capped pair expansion, then a pair-keyed
+    gaps-and-islands kernel; two keyed exchanges, pure int64."""
+    from osm_export_tool_python_ray.stages.journey import convoys
+
+    return convoys(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=10,
+        bucket_us=3_600_000_000,
+        min_len=2,
+    )
+
+
+# gaps-and-islands in SQL: within a pair, hr minus the bucket's dense
+# rank is constant exactly on maximal consecutive runs (same rule the
+# engine's run_start boundary detects as hb[1:] != hb[:-1] + 1)
+SQL_CONVOYS = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+), pb AS (
+  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, a.hr
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+), runs AS (
+  SELECT ua, ub, hr,
+         hr - row_number() OVER (PARTITION BY ua, ub ORDER BY hr) AS isl
+  FROM pb
+), rl AS (
+  SELECT ua, ub, isl, count(*) AS len
+  FROM runs GROUP BY ua, ub, isl
+)
+SELECT ua AS user_a, ub AS user_b,
+       count(*) AS n_convoys, max(len) AS longest_run
+FROM rl WHERE len >= 2
+GROUP BY ua, ub
+"""
+
+
 def q_segment_crossings(sf_dir):
     """Cross-user segment-crossing join (stages/crossings.py): per
     unordered user pair, how many trajectory segment pairs PROPERLY cross
@@ -5154,6 +5200,7 @@ QUERIES = {
     "grid_distance": q_grid_distance,
     "stay_points": q_stay_points,
     "encounters": q_encounters,
+    "convoys": q_convoys,
     "segment_crossings": q_segment_crossings,
     "session_overlap": q_session_overlap,
     "interval_coverage": q_interval_coverage,
@@ -5323,6 +5370,7 @@ ORACLES = {
     "grid_distance": SQL_GRID_DISTANCE,
     "stay_points": SQL_STAY_POINTS,
     "encounters": SQL_ENCOUNTERS,
+    "convoys": SQL_CONVOYS,
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "session_overlap": SQL_SESSION_OVERLAP,
     "interval_coverage": SQL_INTERVAL_COVERAGE,

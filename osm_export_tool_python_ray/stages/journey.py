@@ -1469,3 +1469,198 @@ def session_bigrams(events_ds, gap_us=1_800_000_000, k=15,
         .sort(["n", "a", "b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def convoys(
+    events_ds,
+    cell_div=10,
+    bucket_us=3_600_000_000,
+    min_len=2,
+    group_cap=ENCOUNTER_GROUP_CAP,
+    num_buckets=32,
+    num_partitions=8,
+):
+    """Convoy / flock detection (the grid-relaxed convoy pattern of
+    Jeung et al., VLDB 2008): a convoy is a MAXIMAL run of >= ``min_len``
+    CONSECUTIVE time buckets in each of which two users share at least
+    one coarse grid cell. Returns one row per unordered user pair
+    (user_a < user_b) that has at least one qualifying run:
+    (user_a, user_b, n_convoys, longest_run) where n_convoys counts the
+    maximal runs of length >= min_len and longest_run is the longest of
+    them. Extends encounters() — which ignores WHEN the shared bins
+    happen — with the temporal-consecutiveness constraint trajectory
+    mining actually needs (a pair meeting 5 scattered hours apart is
+    noise; 5 hours in a row is a convoy).
+
+    Scale shape: the encounters presence combiner (DISTINCT (cell,
+    bucket, user) rows move, never events) and the same vectorized
+    combination expansion under the counted ``encounter_group_truncated``
+    cap, except pair rows KEEP their time bucket; a second pair-keyed
+    exchange then runs gaps-and-islands per pair (sorted distinct bins ->
+    run boundaries where the bin step != 1 -> lengths via reduceat) and
+    emits final rows with no further groupby. Two keyed exchanges total,
+    both moving aggregate-sized rows; all arithmetic int64.
+
+    No reference analog — engine mandate (trajectory-mining family).
+    """
+    from osm_export_tool_python_ray.state.metrics import report_cap
+
+    ncy = np.int64(100 // cell_div + 1)
+
+    def presence(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table(
+                {
+                    "gkey": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = _ts_i64(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cx = ((eid % 100) // cell_div).astype(np.int64)
+        cy = (((eid // 7) % 100) // cell_div).astype(np.int64)
+        hb = ts // np.int64(bucket_us)
+        gkey = (hb * ncy + cx) * ncy + cy
+        order = np.lexsort((u, gkey))
+        gs, us = gkey[order], u[order]
+        first = np.concatenate([[True], (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])])
+        gs, us = gs[first], us[first]
+        return pa.table(
+            {
+                "gkey": pa.array(gs),
+                "user_id": pa.array(us),
+                "bucket": pa.array((gs % num_buckets).astype(np.int32)),
+            }
+        )
+
+    PAIRBIN_EMPTY = pa.table(
+        {
+            "user_a": pa.array([], type=pa.int64()),
+            "user_b": pa.array([], type=pa.int64()),
+            "hb": pa.array([], type=pa.int64()),
+            "pbucket": pa.array([], type=pa.int32()),
+        }
+    )
+
+    def pair_bins(g: pa.Table) -> pa.Table:
+        """Per (cell, bucket) group: expand user combinations, emit
+        partition-local DISTINCT (user_a, user_b, bucket) rows."""
+        gk = g.column("gkey").to_numpy(zero_copy_only=False)
+        if not len(gk):
+            return PAIRBIN_EMPTY
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, gk))
+        gk, u = gk[order], u[order]
+        first = np.concatenate([[True], (gk[1:] != gk[:-1]) | (u[1:] != u[:-1])])
+        gk, u = gk[first], u[first]
+        starts = np.nonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))[0]
+        sizes = np.diff(np.append(starts, len(gk)))
+        over = sizes > group_cap
+        if over.any():
+            rank = np.arange(len(gk)) - np.repeat(starts, sizes)
+            keep = rank < group_cap
+            report_cap("encounter_group_truncated", int((~keep).sum()))
+            gk, u = gk[keep], u[keep]
+            starts = np.nonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))[0]
+            sizes = np.diff(np.append(starts, len(gk)))
+        rank = np.arange(len(gk)) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return PAIRBIN_EMPTY
+        L = np.repeat(np.arange(len(gk)), left_counts)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(offs, left_counts) + L + 1
+        ua, ub = u[L], u[R]  # user-sorted within group => ua < ub
+        hb = gk[L] // (ncy * ncy)  # floor div recovers the bucket for hb < 0 too
+        # partition-local distinct (ua, ub, hb) — same pair+bucket via two
+        # different shared cells must count once
+        order = np.lexsort((hb, ub, ua))
+        ua, ub, hb = ua[order], ub[order], hb[order]
+        first = np.concatenate(
+            [
+                [True],
+                (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1]) | (hb[1:] != hb[:-1]),
+            ]
+        )
+        ua, ub, hb = ua[first], ub[first], hb[first]
+        return pa.table(
+            {
+                "user_a": pa.array(ua),
+                "user_b": pa.array(ub),
+                "hb": pa.array(hb),
+                "pbucket": pa.array(
+                    ((ua * np.int64(1000003) + ub) % num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    RESULT_EMPTY = pa.table(
+        {
+            "user_a": pa.array([], type=pa.int64()),
+            "user_b": pa.array([], type=pa.int64()),
+            "n_convoys": pa.array([], type=pa.int64()),
+            "longest_run": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def islands(g: pa.Table) -> pa.Table:
+        """All rows of a pair are in this partition: dedup (cross-
+        partition duplicates of the same (pair, bucket) from different
+        cells), then gaps-and-islands over the sorted bucket axis."""
+        ua = g.column("user_a").to_numpy(zero_copy_only=False)
+        if not len(ua):
+            return RESULT_EMPTY
+        ub = g.column("user_b").to_numpy(zero_copy_only=False)
+        hb = g.column("hb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hb, ub, ua))
+        ua, ub, hb = ua[order], ub[order], hb[order]
+        first = np.concatenate(
+            [
+                [True],
+                (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1]) | (hb[1:] != hb[:-1]),
+            ]
+        )
+        ua, ub, hb = ua[first], ub[first], hb[first]
+        new_pair = np.concatenate(
+            [[True], (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])]
+        )
+        run_start = new_pair.copy()
+        run_start[1:] |= hb[1:] != hb[:-1] + 1
+        starts = np.nonzero(run_start)[0]
+        run_len = np.diff(np.append(starts, len(ua))).astype(np.int64)
+        rua, rub = ua[starts], ub[starts]
+        keep = run_len >= min_len
+        if not keep.any():
+            return RESULT_EMPTY
+        kua, kub, klen = rua[keep], rub[keep], run_len[keep]
+        ps = np.nonzero(
+            np.concatenate([[True], (kua[1:] != kua[:-1]) | (kub[1:] != kub[:-1])])
+        )[0]
+        return pa.table(
+            {
+                "user_a": pa.array(kua[ps]),
+                "user_b": pa.array(kub[ps]),
+                "n_convoys": pa.array(np.diff(np.append(ps, len(kua))).astype(np.int64)),
+                "longest_run": pa.array(np.maximum.reduceat(klen, ps)),
+            }
+        )
+
+    pair_rows = grouped_map(
+        events_ds.map_batches(presence, batch_format="pyarrow"),
+        "bucket",
+        lambda g: pair_bins(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema([("gkey", pa.int64()), ("user_id", pa.int64())]),
+    )
+    return grouped_map(
+        pair_rows,
+        "pbucket",
+        lambda g: islands(g.drop_columns(["pbucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [("user_a", pa.int64()), ("user_b", pa.int64()), ("hb", pa.int64())]
+        ),
+    )

@@ -3,6 +3,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def _points_table(lon, lat):
@@ -789,3 +790,85 @@ class TestGridWeightedDistance:
         seed = np.array([True, False, False, False, False])
         d = dijkstra_distances(cells, counts, seed, 8, 2)
         assert d.tolist() == [0, 1, 4, 5, 6]
+
+
+class TestConvoys:
+    """Convoy detection (stages/journey.py convoys): brute-force
+    differential on random inputs, planted consecutive-run semantics,
+    parallelism invariance."""
+
+    @staticmethod
+    def _brute(rows, cell_div=10, bucket_us=3_600_000_000, min_len=2):
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for eid, u, ts, _et, _v in rows:
+            cx = (eid % 100) // cell_div
+            cy = ((eid // 7) % 100) // cell_div
+            groups[(cx, cy, ts // bucket_us)].add(u)
+        pair_bins = defaultdict(set)
+        for (cx, cy, hb), users in groups.items():
+            us = sorted(users)
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    pair_bins[(us[i], us[j])].add(hb)
+        out = {}
+        for pair, bins in pair_bins.items():
+            bs = sorted(bins)
+            runs, cur = [], 1
+            for k in range(1, len(bs)):
+                if bs[k] == bs[k - 1] + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            q = [r for r in runs if r >= min_len]
+            if q:
+                out[pair] = (len(q), max(q))
+        return out
+
+    @staticmethod
+    def _run(rows, **kw):
+        import ray.data
+        from osm_export_tool_python_ray.stages.journey import convoys
+        from tests.test_temporal import _events_table
+
+        res = convoys(ray.data.from_arrow(_events_table(rows)), **kw).take_all()
+        return {
+            (r["user_a"], r["user_b"]): (r["n_convoys"], r["longest_run"])
+            for r in res
+        }
+
+    def test_planted_runs(self, ray_session):
+        # user 1 and 2 share cell (0,0) in buckets 0,1,2 and 5,6; bucket 8
+        # alone is not a convoy. event_id=0 -> cell (0,0).
+        rows = []
+        eid = 0
+        for hb in (0, 1, 2, 5, 6, 8):
+            for u in (1, 2):
+                rows.append((0, u, hb * 1000 + u, "v", 0.0))
+        out = self._run(rows, bucket_us=1_000, num_buckets=2, num_partitions=1)
+        assert out == {(1, 2): (2, 3)}
+
+    @pytest.mark.parametrize("seed", [7, 41, 99])
+    def test_matches_bruteforce(self, ray_session, seed):
+        rng = np.random.RandomState(seed)
+        rows = [
+            (int(rng.randint(0, 400)), int(rng.randint(1, 10)),
+             int(rng.randint(0, 12_000)), "view", 0.0)
+            for _ in range(600)
+        ]
+        got = self._run(rows, bucket_us=2_000, num_buckets=4, num_partitions=2)
+        assert got == self._brute(rows, bucket_us=2_000)
+
+    def test_parallelism_determinism(self, ray_session):
+        rng = np.random.RandomState(13)
+        rows = [
+            (int(rng.randint(0, 300)), int(rng.randint(1, 9)),
+             int(rng.randint(0, 8_000)), "view", 0.0)
+            for _ in range(400)
+        ]
+        a = self._run(rows, bucket_us=2_000, num_buckets=2, num_partitions=1)
+        b = self._run(rows, bucket_us=2_000, num_buckets=8, num_partitions=4)
+        assert a == b
