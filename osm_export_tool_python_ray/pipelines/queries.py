@@ -3661,6 +3661,85 @@ FROM pu GROUP BY 1
 """
 
 
+def q_cube_rollup(sf_dir):
+    """GROUP BY CUBE(event_type, hour-of-day, cell) in one pass
+    (stages/olap.py cube_rollup): all 8 grouping sets with '*'/-1
+    sentinels on rolled-up axes; value sums in int64 cents (quantize-
+    then-sum). The raw stream is touched once; both exchanges move only
+    aggregate-cardinality rows."""
+    from osm_export_tool_python_ray.stages.olap import cube_rollup
+
+    return cube_rollup(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT coalesce(event_type, '*') AS et,
+       coalesce(hod, -1) AS hod,
+       coalesce(cell, -1) AS cell,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sumv
+FROM (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         (event_id % 100) // 10 AS cell,
+         value
+  FROM events
+)
+GROUP BY CUBE(event_type, hod, cell)
+"""
+
+
+def q_skyline(sf_dir):
+    """Group-wise Pareto frontier (stages/olap.py skyline): per
+    day-of-week, the users not dominated on (event count, int64-cent
+    value sum) — two-phase distributed skyline: partition-local
+    sort-sweep frontier, then a tiny dow-keyed merge sweep."""
+    from osm_export_tool_python_ray.stages.olap import skyline
+
+    return skyline(_read(sf_dir, "events", ["ts", "user_id", "value"]))
+
+
+SQL_SKYLINE = """
+WITH agg AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sumv
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, user_id, n_events, sumv FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.dow = a.dow
+    AND b.n_events >= a.n_events AND b.sumv >= a.sumv
+    AND (b.n_events > a.n_events OR b.sumv > a.sumv)
+)
+"""
+
+
+def q_editdist_pairs(sf_dir):
+    """Edit-distance-1 similarity join over distinct part names
+    (stages/editdist.py editdist_pairs, FastSS deletion-neighborhood
+    blocking + vectorized byte-matrix verify): (name_a, name_b, n_a,
+    n_b) for every unordered distinct-name pair at Levenshtein distance
+    exactly 1."""
+    from osm_export_tool_python_ray.stages.editdist import editdist_pairs
+
+    return editdist_pairs(_read(sf_dir, "part", ["p_name"]))
+
+
+SQL_EDITDIST_PAIRS = """
+WITH d AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b, a.n AS n_a, b.n AS n_b
+FROM d a JOIN d b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+"""
+
+
 def q_neardup_degree(sf_dir):
     """Near-dup graph degree distribution (dedup-threshold calibration
     surface): hyperplane-LSH cosine pairs at threshold 0.2 → per-vector
@@ -5213,6 +5292,9 @@ QUERIES = {
     "session_bigrams": q_session_bigrams,
     "attribution": q_attribution,
     "activity_histogram": q_activity_histogram,
+    "cube_rollup": q_cube_rollup,
+    "skyline": q_skyline,
+    "editdist_pairs": q_editdist_pairs,
     "neardup_degree": q_neardup_degree,
     "tag_cooccurrence": q_tag_cooccurrence,
     "spatial_autocorr": q_spatial_autocorr,
@@ -5383,6 +5465,9 @@ ORACLES = {
     "session_bigrams": SQL_SESSION_BIGRAMS,
     "attribution": SQL_ATTRIBUTION,
     "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
+    "cube_rollup": SQL_CUBE_ROLLUP,
+    "skyline": SQL_SKYLINE,
+    "editdist_pairs": SQL_EDITDIST_PAIRS,
     "neardup_degree": SQL_NEARDUP_DEGREE,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,
