@@ -229,6 +229,11 @@ def run_query_suite(sf_dir):
         ("session_bigrams", Q.q_session_bigrams),
         ("attribution", Q.q_attribution),
         ("activity_histogram", Q.q_activity_histogram),
+        ("convoys", Q.q_convoys),
+        ("cube_rollup", Q.q_cube_rollup),
+        ("skyline", Q.q_skyline),
+        ("editdist_pairs", Q.q_editdist_pairs),
+        ("group_ntile", Q.q_group_ntile),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -3740,6 +3740,26 @@ FROM d a JOIN d b
 """
 
 
+def q_group_ntile(sf_dir):
+    """Exact distributed NTILE(10) per event_type (stages/scan.py
+    group_ntile): per-row decile assignment by (int64-cent value,
+    event_id) — two-phase rank scan with O(|types| x num_buckets)
+    driver state, one keyed exchange."""
+    from osm_export_tool_python_ray.stages.scan import group_ntile
+
+    return group_ntile(_read(sf_dir, "events", ["event_id", "event_type", "value"]))
+
+
+SQL_GROUP_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(10) OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id
+       ) AS BIGINT) AS tile
+FROM events
+"""
+
+
 def q_neardup_degree(sf_dir):
     """Near-dup graph degree distribution (dedup-threshold calibration
     surface): hyperplane-LSH cosine pairs at threshold 0.2 → per-vector
@@ -5295,6 +5315,7 @@ QUERIES = {
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
+    "group_ntile": q_group_ntile,
     "neardup_degree": q_neardup_degree,
     "tag_cooccurrence": q_tag_cooccurrence,
     "spatial_autocorr": q_spatial_autocorr,
@@ -5468,6 +5489,7 @@ ORACLES = {
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,
+    "group_ntile": SQL_GROUP_NTILE,
     "neardup_degree": SQL_NEARDUP_DEGREE,
     "spatial_autocorr": SQL_SPATIAL_AUTOCORR,
     "zorder_range": SQL_ZORDER_RANGE,

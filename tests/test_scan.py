@@ -122,3 +122,88 @@ class TestPackAssignment:
             .reset_index(drop=True)
         )
         assert list(out["cum_excl"]) == [0, 5, 12, 23, 36, 53]
+
+
+class TestGroupNtile:
+    """Exact distributed NTILE (stages/scan.py group_ntile): brute-force
+    differential against the SQL-standard tile formula, small-group edge
+    cases, parallelism invariance."""
+
+    @staticmethod
+    def _brute(rows, ntiles=10):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for eid, et, v in rows:
+            groups[et].append((int(np.floor(v * 100 + 0.5)), eid))
+        out = {}
+        for et, items in groups.items():
+            items.sort()
+            tot = len(items)
+            size_small, n_big = tot // ntiles, tot % ntiles
+            for rank0, (_vm, eid) in enumerate(items):
+                big_span = n_big * (size_small + 1)
+                if rank0 < big_span:
+                    tile = rank0 // (size_small + 1)
+                else:
+                    tile = n_big + (rank0 - big_span) // size_small
+                out[(eid, et)] = tile + 1
+        return out
+
+    @staticmethod
+    def _run(rows, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.scan import group_ntile
+
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+                "value": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+        out = group_ntile(ray.data.from_arrow(t).repartition(4), **kw).take_all()
+        return {(r["event_id"], r["event_type"]): r["tile"] for r in out}
+
+    def test_brute_formula_matches_duckdb(self):
+        # pin the tile formula itself against DuckDB's NTILE
+        import duckdb
+
+        rows = [(i, "t", float(i % 7)) for i in range(23)]
+        want = dict(
+            duckdb.sql(
+                "SELECT event_id, ntile(10) OVER (ORDER BY "
+                "CAST(floor(value*100+0.5) AS BIGINT), event_id) "
+                "FROM (SELECT UNNEST(range(23)) AS event_id, "
+                "CAST(UNNEST(range(23)) % 7 AS DOUBLE) AS value)"
+            ).fetchall()
+        )
+        got = self._brute([(r[0], "t", r[2]) for r in rows])
+        assert {k[0]: v for k, v in got.items()} == want
+
+    @pytest.mark.parametrize("seed", [3, 19])
+    def test_matches_bruteforce(self, ray_session, seed):
+        rng = np.random.RandomState(seed)
+        types = ["a", "b", "c"]
+        rows = [
+            (i, types[rng.randint(3)], float(rng.randint(0, 500)) / 100.0)
+            for i in range(800)
+        ]
+        assert self._run(rows, num_buckets=16, num_partitions=4) == self._brute(rows)
+
+    def test_small_groups(self, ray_session):
+        # groups smaller than ntiles: tiles 1..count, one row each
+        rows = [(1, "x", 3.0), (2, "x", 1.0), (3, "x", 2.0), (4, "y", 9.9)]
+        got = self._run(rows, num_buckets=4, num_partitions=2)
+        assert got == {(2, "x"): 1, (3, "x"): 2, (1, "x"): 3, (4, "y"): 1}
+
+    def test_parallelism_determinism(self, ray_session):
+        rng = np.random.RandomState(7)
+        rows = [
+            (i, "ab"[rng.randint(2)], float(rng.randint(0, 50)) / 100.0)
+            for i in range(300)
+        ]
+        a = self._run(rows, num_buckets=2, num_partitions=1)
+        b = self._run(rows, num_buckets=32, num_partitions=8)
+        assert a == b
