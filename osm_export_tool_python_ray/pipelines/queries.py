@@ -1451,6 +1451,46 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_source_overlap(sf_dir):
+    """Pairwise source-vocabulary overlap matrix (corpus-curation
+    diagnostic before mixing corpora): for every unordered source pair,
+    the Jaccard similarity of their distinct token vocabularies.
+    ``jaccard_micro`` is integer floor division on both sides — no
+    float in the compare surface."""
+    from osm_export_tool_python_ray.stages.dedup import source_overlap
+
+    return source_overlap(
+        _read(sf_dir, "documents", ["source", "text"])
+    ).sort(["src_a", "src_b"])
+
+
+# Tokens = text split on single spaces (string_split keeps empty tokens
+# for runs of spaces — the engine's pc.split_pattern(" ") does the same,
+# so the two sides agree on degenerate whitespace). Pair expansion in the
+# engine happens per token group after a global (token, source) dedup;
+# the oracle's self-join on token equality is the same set.
+SQL_SOURCE_OVERLAP = """
+WITH st AS (
+  SELECT DISTINCT source, s AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) t(s)
+),
+cnt AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, CAST(p.inter AS BIGINT) AS inter,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(p.inter * 1000000 // (ca.n + cb.n - p.inter) AS BIGINT)
+         AS jaccard_micro
+FROM pairs p
+JOIN cnt ca ON ca.source = p.src_a
+JOIN cnt cb ON cb.source = p.src_b
+ORDER BY src_a, src_b
+"""
+
+
 # ------------------------------------------------------ sketches & retrieval
 
 def q_hll_distinct(sf_dir):
@@ -5281,6 +5321,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
+    "source_overlap": q_source_overlap,
     "hll_distinct": q_hll_distinct,
     "cms_counts": q_cms_counts,
     "bm25_topk": q_bm25_topk,
@@ -5455,6 +5496,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
     "dup_spans": SQL_DUP_SPANS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "hll_distinct": SQL_HLL_DISTINCT,
     "cms_counts": SQL_CMS_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

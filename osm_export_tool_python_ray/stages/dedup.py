@@ -701,3 +701,259 @@ def duplicate_spans(docs_ds, n=5, num_buckets=64, min_count=2):
         num_partitions=min(num_buckets, 32),
         payload_schema=OCC_SCHEMA,
     )
+
+
+SOURCE_OVERLAP_TOKEN_CAP = 4096
+
+
+def source_overlap(docs_ds, num_buckets=64, num_partitions=8,
+                   token_cap=SOURCE_OVERLAP_TOKEN_CAP):
+    """Pairwise source-vocabulary overlap matrix — for every unordered
+    pair of ``source`` values, the Jaccard similarity of their DISTINCT
+    token vocabularies (tokens = the text split on single spaces, the
+    same rule as SQL string_split): (src_a, src_b, inter, n_a, n_b,
+    jaccard_micro) with jaccard_micro = inter * 10^6 // (n_a + n_b -
+    inter), integer floor division on both engine and SQL sides. The
+    dataset-curation diagnostic run before mixing corpora: which sources
+    are lexically near-identical (scrape overlap) vs complementary.
+
+    Scale shape: per-batch DISTINCT (source, token) rows via Arrow
+    group_by (exact string equality, no hash-collision risk), ONE
+    token-keyed exchange that globally dedups each (token, source) pair
+    and emits two aggregate row kinds — per-token source-pair partials
+    (sources-per-token expansion capped + counted,
+    ``source_overlap_token_truncated``; common tokens touch every
+    source, so size the cap to the source cardinality) and per-source
+    distinct-token count partials; the pair partials fold under a
+    pair-keyed exchange, the count partials under a tiny
+    groupby(source), and two ``bucket_join``s on the 64-bit source hash
+    attach (n_a, n_b) — aggregate-sized rows move everywhere after the
+    first exchange.
+
+    No reference analog — engine mandate (corpus-curation family).
+    """
+    import pyarrow.compute as pc
+
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "tok": pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        toks = pc.split_pattern(t.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        reps = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_rep = src.take(pa.array(np.repeat(np.arange(len(src)), reps)))
+        d = (
+            pa.table({"source": src_rep, "tok": flat})
+            .group_by(["source", "tok"])
+            .aggregate([])
+        )
+        h1, _ = hash_strings_128(d.column("tok"))
+        return d.append_column(
+            "bucket", pa.array((h1 % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    KIND_PAIR, KIND_COUNT = np.int32(0), np.int32(1)
+
+    def token_groups(g: pa.Table) -> pa.Table:
+        """All rows of this token bucket: global (token, source) dedup,
+        then per-token source-pair partials + per-source count partials,
+        tagged by ``kind``."""
+        empty = pa.table(
+            {
+                "kind": pa.array([], type=pa.int32()),
+                "src_a": pa.array([], type=pa.string()),
+                "src_b": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        d = g.group_by(["tok", "source"]).aggregate([])
+        d = d.sort_by([("tok", "ascending"), ("source", "ascending")])
+        tok = d.column("tok").combine_chunks()
+        ne = pc.not_equal(tok[1:], tok[:-1]).to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.concatenate([[True], ne]))[0]
+        sizes = np.diff(np.append(starts, d.num_rows))
+        if (sizes > token_cap).any():
+            rank = np.arange(d.num_rows) - np.repeat(starts, sizes)
+            keep = rank < token_cap
+            report_cap("source_overlap_token_truncated", int((~keep).sum()))
+            d = d.filter(pa.array(keep))
+            tok = d.column("tok").combine_chunks()
+            ne = pc.not_equal(tok[1:], tok[:-1]).to_numpy(zero_copy_only=False)
+            starts = np.nonzero(np.concatenate([[True], ne]))[0]
+            sizes = np.diff(np.append(starts, d.num_rows))
+        src = d.column("source")
+        # per-source distinct-token count partials (each (tok, source) is
+        # globally unique after the dedup above — tokens never span buckets)
+        cagg = d.group_by(["source"]).aggregate([("tok", "count")])
+        counts = pa.table(
+            {
+                "kind": pa.array(
+                    np.full(cagg.num_rows, KIND_COUNT), type=pa.int32()
+                ),
+                "src_a": cagg.column("source"),
+                "src_b": pa.array(np.full(cagg.num_rows, ""), type=pa.string()),
+                "cnt": pc.cast(cagg.column("tok_count"), pa.int64()),
+            }
+        )
+        # source-pair partials: combinations within each token group
+        # (sources sorted within token => src_a < src_b)
+        rank = np.arange(d.num_rows) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return counts
+        L = np.repeat(np.arange(d.num_rows), left_counts)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(offs, left_counts) + L + 1
+        pairs_raw = pa.table(
+            {"src_a": src.take(pa.array(L)), "src_b": src.take(pa.array(R))}
+        )
+        pagg = pairs_raw.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+        pairs = pa.table(
+            {
+                "kind": pa.array(np.full(pagg.num_rows, KIND_PAIR), type=pa.int32()),
+                "src_a": pagg.column("src_a"),
+                "src_b": pagg.column("src_b"),
+                "cnt": pc.cast(pagg.column("count_all"), pa.int64()),
+            }
+        )
+        return pa.concat_tables([pairs, counts])
+
+    tagged = grouped_map(
+        docs_ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        "bucket",
+        lambda g: token_groups(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema([("source", pa.string()), ("tok", pa.string())]),
+    ).materialize()  # aggregate-sized rows; consumed by both row kinds below
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int32())))
+        ha, _ = hash_strings_128(t.column("src_a"))
+        hb, _ = hash_strings_128(t.column("src_b"))
+        with np.errstate(over="ignore"):
+            pb = ((ha * np.uint64(0x9E3779B97F4A7C15)) ^ hb) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "src_a": t.column("src_a"),
+                "src_b": t.column("src_b"),
+                "cnt": t.column("cnt"),
+                "ha": pa.array(ha.astype(np.int64)),
+                "hb": pa.array(hb.astype(np.int64)),
+                "bucket": pa.array(pb.astype(np.int32)),
+            }
+        )
+
+    def fold_pairs(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["src_a", "src_b", "ha", "hb"]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {
+                "src_a": agg.column("src_a"),
+                "src_b": agg.column("src_b"),
+                "ha": agg.column("ha"),
+                "hb": agg.column("hb"),
+                "inter": agg.column("cnt_sum"),
+            }
+        )
+
+    pairs_ds = grouped_map(
+        tagged.map_batches(pair_bucket, batch_format="pyarrow"),
+        "bucket",
+        lambda g: fold_pairs(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [
+                ("src_a", pa.string()),
+                ("src_b", pa.string()),
+                ("cnt", pa.int64()),
+                ("ha", pa.int64()),
+                ("hb", pa.int64()),
+            ]
+        ),
+    )
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), pa.scalar(1, pa.int32())))
+        h, _ = hash_strings_128(t.column("src_a"))
+        return pa.table(
+            {"skey": pa.array(h.astype(np.int64)), "cnt": t.column("cnt")}
+        )
+
+    counts_ds = (
+        tagged.map_batches(count_rows, batch_format="pyarrow")
+        .groupby("skey")
+        .sum("cnt")
+    )
+
+    na_ds = counts_ds.map_batches(
+        lambda t: pa.table({"ha": t.column("skey"), "n_a": t.column("sum(cnt)")}),
+        batch_format="pyarrow",
+    )
+    nb_ds = counts_ds.map_batches(
+        lambda t: pa.table({"hb": t.column("skey"), "n_b": t.column("sum(cnt)")}),
+        batch_format="pyarrow",
+    )
+    j1 = bucket_join(
+        pairs_ds,
+        na_ds,
+        "ha",
+        num_buckets=min(num_buckets, 32),
+        left_schema=pa.schema(
+            [
+                ("src_a", pa.string()),
+                ("src_b", pa.string()),
+                ("ha", pa.int64()),
+                ("hb", pa.int64()),
+                ("inter", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("ha", pa.int64()), ("n_a", pa.int64())]),
+    )
+    j2 = bucket_join(
+        j1.map_batches(lambda t: t.drop_columns(["ha"]), batch_format="pyarrow"),
+        nb_ds,
+        "hb",
+        num_buckets=min(num_buckets, 32),
+        left_schema=pa.schema(
+            [
+                ("src_a", pa.string()),
+                ("src_b", pa.string()),
+                ("hb", pa.int64()),
+                ("inter", pa.int64()),
+                ("n_a", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("hb", pa.int64()), ("n_b", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        n_a = t.column("n_a").to_numpy(zero_copy_only=False)
+        n_b = t.column("n_b").to_numpy(zero_copy_only=False)
+        jac = inter * np.int64(1_000_000) // (n_a + n_b - inter)
+        return pa.table(
+            {
+                "src_a": t.column("src_a"),
+                "src_b": t.column("src_b"),
+                "inter": pa.array(inter),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "jaccard_micro": pa.array(jac),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")

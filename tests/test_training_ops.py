@@ -498,6 +498,117 @@ class TestDuplicateSpans:
         assert got == expect
 
 
+class TestSourceOverlap:
+    """Pairwise source-vocabulary Jaccard (stages/dedup.py
+    source_overlap): brute-force parity on synthetic vocabularies, the
+    string_split empty-token rule, and the sources-per-token cap."""
+
+    @staticmethod
+    def src_table(rows):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "source": pa.array([s for s, _ in rows]),
+                "text": pa.array([t for _, t in rows]),
+            }
+        )
+
+    @staticmethod
+    def brute_force(rows):
+        vocab = {}
+        for s, t in rows:
+            vocab.setdefault(s, set()).update(t.split(" "))
+        out = {}
+        names = sorted(vocab)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                inter = len(vocab[a] & vocab[b])
+                if not inter:
+                    continue
+                na, nb = len(vocab[a]), len(vocab[b])
+                out[(a, b)] = (inter, na, nb, inter * 1_000_000 // (na + nb - inter))
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import source_overlap
+
+        rng = np.random.RandomState(5)
+        vocab = ["w%03d" % i for i in range(120)]
+        rows = [
+            (
+                "s%d" % (i % 7),
+                " ".join(vocab[j] for j in rng.randint(0, len(vocab), 30)),
+            )
+            for i in range(40)
+        ]
+        # degenerate whitespace: split(' ') keeps empty tokens — both sides
+        rows.append(("s0", "a  b "))  # vocab of s0 gains {'', 'a', 'b'}
+        rows.append(("s_only_empty", " "))  # vocab {''} — overlaps via ''
+        expect = self.brute_force(rows)
+        got = {
+            (r["src_a"], r["src_b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard_micro"])
+            for r in source_overlap(
+                ray.data.from_arrow(self.src_table(rows)), num_buckets=8, num_partitions=4
+            ).take_all()
+        }
+        assert got == expect
+
+    def test_disjoint_sources_emit_no_pair(self, ray_session):
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import source_overlap
+
+        rows = [("a", "x y z"), ("b", "p q r"), ("c", "x q")]
+        got = {
+            (r["src_a"], r["src_b"]): r["inter"]
+            for r in source_overlap(
+                ray.data.from_arrow(self.src_table(rows)), num_buckets=4, num_partitions=2
+            ).take_all()
+        }
+        assert got == {("a", "c"): 1, ("b", "c"): 1}  # no (a, b) row
+
+    def test_token_cap_counted_and_bounded(self, ray_session):
+        """A token shared by every source expands to C(n_sources, 2) pair
+        partials; with token_cap below the source count the expansion is
+        truncated, the drop is counted, and intersections only shrink."""
+        import ray.data
+        from osm_export_tool_python_ray.stages.dedup import source_overlap
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        rows = [("s%02d" % i, "common uniq%d" % i) for i in range(12)]
+        snapshot_caps()
+        full = {
+            (r["src_a"], r["src_b"]): r["inter"]
+            for r in source_overlap(
+                ray.data.from_arrow(self.src_table(rows)), num_buckets=4, num_partitions=2
+            ).take_all()
+        }
+        assert len(full) == 66 and set(full.values()) == {1}
+        assert snapshot_caps().get("source_overlap_token_truncated", 0) == 0
+
+        capped = {
+            (r["src_a"], r["src_b"]): r["inter"]
+            for r in source_overlap(
+                ray.data.from_arrow(self.src_table(rows)),
+                num_buckets=4,
+                num_partitions=2,
+                token_cap=3,
+            ).take_all()
+        }
+        import time
+
+        total = 0  # cap reports are fire-and-forget — poll-accumulate
+        for _ in range(50):
+            total += snapshot_caps().get("source_overlap_token_truncated", 0)
+            if total >= 9:
+                break
+            time.sleep(0.1)
+        assert total == 9
+        assert len(capped) == 3  # C(3,2) survivors of the capped token
+        assert all(full[k] >= v for k, v in capped.items())
+
+
 class TestSketches:
     @pytest.fixture(scope="class")
     def corpus(self):
