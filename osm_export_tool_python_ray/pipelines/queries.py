@@ -2571,6 +2571,120 @@ GROUP BY o.o_orderkey
 """
 
 
+def _cdc_change_stream(t: pa.Table) -> pa.Table:
+    """Deterministic CDC log derived from orders (shared by the engine
+    query and, row-for-row, by the oracle's UNION ALL CTE): v1 updates on
+    keys %7==3 (v2 override on %21==3), v1 deletes on %7==5 (v2 RESTORE
+    on %21==5 — delete-then-upsert, the winner-ordering edge), and
+    inserts on %13==0 under fresh keys (+10^9)."""
+    k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+    parts = []
+
+    def rows(mask, key_off, version, op, status):
+        idx = np.nonzero(mask)[0]
+        if not len(idx):
+            return
+        sub = t.take(pa.array(idx))
+        n = len(idx)
+        parts.append(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(k[idx] + key_off),
+                    "version": pa.array(np.full(n, version, dtype=np.int64)),
+                    "op": pa.array(np.full(n, op), type=pa.string()),
+                    "o_custkey": (
+                        sub.column("o_custkey")
+                        if status is not None
+                        else pa.nulls(n, type=pa.int64())
+                    ),
+                    "o_orderstatus": (
+                        pa.array(np.full(n, status), type=pa.string())
+                        if status is not None
+                        else pa.nulls(n, type=pa.string())
+                    ),
+                    "o_totalprice": (
+                        sub.column("o_totalprice")
+                        if status is not None
+                        else pa.nulls(n, type=pa.float64())
+                    ),
+                }
+            )
+        )
+
+    rows(k % 7 == 3, 0, 1, "U", "U1")
+    rows(k % 21 == 3, 0, 2, "U", "U2")
+    rows(k % 7 == 5, 0, 1, "D", None)
+    rows(k % 21 == 5, 0, 2, "U", "RESTORED")
+    rows(k % 13 == 0, 1_000_000_000, 1, "U", "NEW")
+    if not parts:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "version": pa.array([], type=pa.int64()),
+                "op": pa.array([], type=pa.string()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_orderstatus": pa.array([], type=pa.string()),
+                "o_totalprice": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def q_cdc_merge(sf_dir):
+    """CDC MERGE / upsert (stages/merge.py): apply a derived change
+    stream (updates, version overrides, deletes, delete-then-restore,
+    inserts) to the orders snapshot; highest version per key wins. The
+    float o_totalprice is a pass-through of the SAME parquet bytes on
+    both sides — no arithmetic, no rounding surface."""
+    from osm_export_tool_python_ray.stages.merge import cdc_merge
+
+    base = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    changes = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_cdc_change_stream, batch_format="pyarrow")
+    return cdc_merge(base, changes, "o_orderkey").sort("o_orderkey")
+
+
+SQL_CDC_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+changes AS (
+  SELECT o_orderkey AS k, 1 AS version, 'U' AS op,
+         o_custkey, 'U1' AS o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice
+  FROM base WHERE o_orderkey % 21 = 3
+  UNION ALL
+  SELECT o_orderkey, 1, 'D', NULL, NULL, NULL
+  FROM base WHERE o_orderkey % 7 = 5
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_custkey, 'RESTORED', o_totalprice
+  FROM base WHERE o_orderkey % 21 = 5
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 1, 'U', o_custkey, 'NEW', o_totalprice
+  FROM base WHERE o_orderkey % 13 = 0
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM changes
+),
+win AS (SELECT * FROM w WHERE rn = 1)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN win ON win.k = b.o_orderkey
+WHERE win.k IS NULL
+UNION ALL
+SELECT k AS o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM win WHERE op = 'U'
+ORDER BY o_orderkey
+"""
+
+
 # ----------------------------------------------------------------- spatial
 
 def _customer_points(t: pa.Table) -> pa.Table:
@@ -5391,6 +5505,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "cdc_merge": q_cdc_merge,
     "cell_counts": q_cell_counts,
     "cell_pyramid": q_cell_pyramid,
     "tile_counts": q_tile_counts,
@@ -5561,6 +5676,7 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "cdc_merge": SQL_CDC_MERGE,
     "cell_counts": SQL_CELL_COUNTS,
     "cell_pyramid": SQL_CELL_PYRAMID,
     "tile_counts": SQL_TILE_COUNTS,

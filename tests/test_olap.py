@@ -283,3 +283,130 @@ class TestEditdistPairs:
         a = self._run(names, num_buckets=2, num_partitions=1)
         b = self._run(names, num_buckets=16, num_partitions=8)
         assert a == b
+
+
+class TestCdcMerge:
+    """CDC MERGE (stages/merge.py): brute-force differential on random
+    change logs, the delete-then-restore winner edge, inserts, empty
+    sides, and parallelism invariance."""
+
+    COLS = ("k", "payload", "price")
+
+    @staticmethod
+    def _base_table(rows):
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "payload": pa.array([r[1] for r in rows], type=pa.string()),
+                "price": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+
+    @staticmethod
+    def _changes_table(rows):
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "version": pa.array([r[1] for r in rows], type=pa.int64()),
+                "op": pa.array([r[2] for r in rows], type=pa.string()),
+                "payload": pa.array([r[3] for r in rows], type=pa.string()),
+                "price": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+
+    @staticmethod
+    def _brute(base, changes):
+        win = {}
+        for k, v, op, payload, price in changes:
+            if k not in win or v > win[k][0]:
+                win[k] = (v, op, payload, price)
+        out = {}
+        for k, payload, price in base:
+            if k not in win:
+                out[k] = (payload, price)
+        for k, (_v, op, payload, price) in win.items():
+            if op == "U":
+                out[k] = (payload, price)
+        return out
+
+    def _run(self, base, changes, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.merge import cdc_merge
+
+        got = cdc_merge(
+            ray.data.from_arrow(self._base_table(base)),
+            ray.data.from_arrow(self._changes_table(changes)),
+            "k",
+            base_schema=self._base_table([]).schema,
+            changes_schema=self._changes_table([]).schema,
+            **kw,
+        ).take_all()
+        as_map = {r["k"]: (r["payload"], r["price"]) for r in got}
+        assert len(as_map) == len(got), "duplicate keys in merge output"
+        return as_map
+
+    def test_planted_semantics(self, ray_session):
+        base = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)]
+        changes = [
+            (2, 1, "U", "b2", 2.5),          # plain update
+            (3, 1, "D", None, None),          # delete
+            (4, 1, "D", None, None),          # delete...
+            (4, 2, "U", "d-restored", 4.5),   # ...then restore (v2 wins)
+            (9, 1, "U", "new", 9.0),          # insert
+            (9, 2, "D", None, None),          # ...retracted (v2 wins)
+        ]
+        got = self._run(base, changes, num_buckets=4, num_partitions=2)
+        assert got == {
+            1: ("a", 1.0),
+            2: ("b2", 2.5),
+            4: ("d-restored", 4.5),
+        }
+
+    def test_randomized_matches_brute_force(self, ray_session):
+        rng = np.random.RandomState(23)
+        base = [(int(k), "p%d" % k, float(k) / 8) for k in range(0, 300, 2)]
+        changes = []
+        seen = set()
+        for _ in range(400):
+            k = int(rng.randint(0, 320))  # hits existing + absent keys
+            v = int(rng.randint(1, 6))
+            if (k, v) in seen:  # (key, version) unique — the CDC contract
+                continue
+            seen.add((k, v))
+            if rng.rand() < 0.3:
+                changes.append((k, v, "D", None, None))
+            else:
+                changes.append((k, v, "U", "c%d_%d" % (k, v), float(v)))
+        expect = self._brute(base, changes)
+        got = self._run(base, changes, num_buckets=8, num_partitions=4)
+        assert got == expect
+        # parallelism invariance: one partition == many
+        assert self._run(base, changes, num_buckets=2, num_partitions=1) == expect
+
+    def test_empty_sides(self, ray_session):
+        base = [(1, "a", 1.0), (2, "b", 2.0)]
+        changes = [(5, 1, "U", "e", 5.0), (1, 1, "D", None, None)]
+        # empty change stream → base passes through
+        assert self._run(base, [], num_buckets=4, num_partitions=2) == {
+            1: ("a", 1.0),
+            2: ("b", 2.0),
+        }
+        # empty base → inserts only
+        assert self._run([], changes, num_buckets=4, num_partitions=2) == {
+            5: ("e", 5.0)
+        }
+
+    def test_missing_change_columns_rejected(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.merge import cdc_merge
+
+        with pytest.raises(ValueError, match="missing columns"):
+            cdc_merge(
+                ray.data.from_arrow(self._base_table([(1, "a", 1.0)])),
+                ray.data.from_arrow(
+                    pa.table({"k": pa.array([1], type=pa.int64())})
+                ),
+                "k",
+            )
