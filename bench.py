@@ -234,6 +234,10 @@ def run_query_suite(sf_dir):
         ("skyline", Q.q_skyline),
         ("editdist_pairs", Q.q_editdist_pairs),
         ("group_ntile", Q.q_group_ntile),
+        ("neardup_degree", Q.q_neardup_degree),
+        ("interval_coverage", Q.q_interval_coverage),
+        ("source_overlap", Q.q_source_overlap),
+        ("cdc_merge", Q.q_cdc_merge),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()
