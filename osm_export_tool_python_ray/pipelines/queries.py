@@ -2062,6 +2062,39 @@ FROM ranked WHERE rank < 5
 """
 
 
+def q_gram_matrix(sf_dir):
+    """Distributed PCA sufficient statistics (stages/ann.py gram_stats):
+    exact integer Gram matrix + per-dim sums + count over the embedding
+    column, quantized to 1e-4 sub-units before any product so every
+    statistic is integer-exact and summation-order independent. Each
+    task emits constant d^2-sized partials; the driver-side eigen finish
+    (pca_from_gram) is pytest-covered."""
+    from osm_export_tool_python_ray.stages.ann import gram_stats
+
+    return gram_stats(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ).sort(["dj", "dk"])
+
+
+SQL_GRAM_MATRIX = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dj,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT a.dj AS dj, b.dj AS dk, CAST(sum(a.qv * b.qv) AS BIGINT) AS v
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dj <= b.dj
+GROUP BY 1, 2
+UNION ALL
+SELECT dj, CAST(-1 AS BIGINT), CAST(sum(qv) AS BIGINT) FROM q GROUP BY dj
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), count(*) FROM embeddings
+ORDER BY dj, dk
+"""
+
+
 # ------------------------------------------------------------- relational
 
 def q_q1_lineitem(sf_dir):
@@ -5495,6 +5528,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
     "embedding_kmeans": q_embedding_kmeans,
+    "gram_matrix": q_gram_matrix,
     "q1_lineitem": q_q1_lineitem,
     "top_orders": q_top_orders,
     "customer_orders_join": q_customer_orders_join,
@@ -5666,6 +5700,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "gram_matrix": SQL_GRAM_MATRIX,
     "q1_lineitem": SQL_Q1_LINEITEM,
     "top_orders": SQL_TOP_ORDERS,
     "customer_orders_join": SQL_CUSTOMER_ORDERS_JOIN,

@@ -409,3 +409,106 @@ def ivf_topk(embeddings_ds, query_matrix, query_ids, k=10, num_centroids=64, npr
         lambda g: final(g.drop_columns(["bucket"])),
         num_partitions=16,
     )
+
+
+GRAM_SCALE = 10_000
+GRAM_KEY_BASE = 100_000  # supports d < 99_999
+
+
+def gram_stats(embeddings_ds, scale=GRAM_SCALE):
+    """Distributed PCA sufficient statistics: exact integer Gram matrix,
+    per-dimension sums, and row count over the embedding column — the
+    classic map-reduce covariance pattern (each task emits a CONSTANT
+    d(d+1)/2 + d + 1 partial rows regardless of input size; one tiny
+    keyed aggregation; the driver never sees a vector).
+
+    Values are quantized to int ``scale`` sub-units BEFORE any product
+    (floor(x*scale + 0.5) on the float64-widened float32, the same rule
+    DuckDB applies), so every emitted statistic is integer-exact and
+    summation-order independent. The per-batch Gram product runs through
+    a float64 BLAS matmul on the integer-valued matrix — exact while
+    batch_rows * (scale*|x|_max)^2 < 2^53 (~5·10^8 rows/batch at unit
+    embeddings, far above any batch size); cross-batch accumulation is
+    int64, exact to ~10^12 rows at these magnitudes — the bound scales
+    as 1/scale^2, so shrink ``scale`` for larger corpora.
+
+    Output (tidy, one row per statistic): (dj, dk, v) with dj<=dk the
+    upper-triangle Gram entries sum(q_j*q_k); (dj, -1) the per-dim sums;
+    (-1, -1) the row count. Covariance/PCA finishes on the driver from
+    these d^2-sized stats (see ``pca_from_gram``).
+
+    No reference analog — engine mandate (embedding-analytics family).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kk": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        m = _to_matrix(t.column("embedding"), np.float64)
+        if m.shape[1] == 0:
+            return empty
+        q = np.floor(m * float(scale) + 0.5)  # integer-valued float64
+        d = q.shape[1]
+        gram = (q.T @ q).astype(np.int64)  # exact: see docstring bound
+        sums = q.sum(axis=0).astype(np.int64)
+        ju, ku = np.triu_indices(d)
+        # composite key (dj+1)*GRAM_KEY_BASE + (dk+1) — dj,dk in
+        # [-1, d-1]; the CONSTANT base keeps decoding independent of d
+        # (the aggregate may split across batches downstream)
+        kk = np.concatenate(
+            [
+                (ju.astype(np.int64) + 1) * GRAM_KEY_BASE + ku + 1,
+                (np.arange(d, dtype=np.int64) + 1) * GRAM_KEY_BASE,  # dk=-1
+                np.zeros(1, dtype=np.int64),  # (-1, -1)
+            ]
+        )
+        v = np.concatenate(
+            [gram[ju, ku], sums, np.array([t.num_rows], dtype=np.int64)]
+        )
+        return pa.table({"kk": pa.array(kk), "v": pa.array(v)})
+
+    # constant-size partials -> one tiny keyed aggregation (d^2 keys)
+    agg = embeddings_ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "kk"
+    ).sum("v")
+
+    def finish(t: pa.Table) -> pa.Table:
+        kk = t.column("kk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dj": pa.array(kk // GRAM_KEY_BASE - 1),
+                "dk": pa.array(kk % GRAM_KEY_BASE - 1),
+                "v": t.column("sum(v)"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pca_from_gram(rows, d):
+    """Driver-side PCA finish from ``gram_stats`` output rows: rebuild
+    the integer Gram/sums/count, form the (float) covariance, and return
+    (eigvals desc, eigvecs columns). O(d^2) memory — never touches data."""
+    G = np.zeros((d, d), dtype=np.float64)
+    s = np.zeros(d, dtype=np.float64)
+    n = 0
+    for r in rows:
+        dj, dk, v = int(r["dj"]), int(r["dk"]), float(r["v"])
+        if dj == -1:
+            n = int(v)
+        elif dk == -1:
+            s[dj] = v
+        else:
+            G[dj, dk] = v
+            G[dk, dj] = v
+    if n == 0:
+        return np.zeros(0), np.zeros((d, 0))
+    cov = (G - np.outer(s, s) / n) / n
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return w[order], vecs[:, order]

@@ -1320,3 +1320,81 @@ class TestPerceptualHash:
         got = {r["sig"]: (r["n_docs"], r["min_doc"], r["id_sum"]) for r in out}
         assert got == want
         assert sum(v[0] for v in got.values()) == len(ids)
+
+
+class TestGramStats:
+    """Distributed PCA sufficient statistics (stages/ann.py gram_stats):
+    brute-force parity, block-split invariance, and the driver eigen
+    finish vs a direct numpy covariance eigendecomposition."""
+
+    @staticmethod
+    def _emb_table(m):
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+                "embedding": pa.array(
+                    [row for row in m.astype(np.float32).tolist()],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    @staticmethod
+    def _brute(m, scale=10_000):
+        q = np.floor(m.astype(np.float32).astype(np.float64) * scale + 0.5).astype(
+            np.int64
+        )
+        d = q.shape[1]
+        out = {(-1, -1): len(q)}
+        for j in range(d):
+            out[(j, -1)] = int(q[:, j].sum())
+            for k in range(j, d):
+                out[(j, k)] = int((q[:, j] * q[:, k]).sum())
+        return out
+
+    def test_matches_brute_force_and_split_invariant(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.ann import gram_stats
+
+        rng = np.random.RandomState(3)
+        m = rng.randn(257, 7)  # odd row count -> uneven block splits
+        expect = self._brute(m)
+        for nb in (1, 5):
+            ds = ray.data.from_arrow(self._emb_table(m)).repartition(nb)
+            got = {
+                (r["dj"], r["dk"]): r["v"] for r in gram_stats(ds).take_all()
+            }
+            assert got == expect, "num_blocks=%d" % nb
+
+    def test_pca_finish_matches_numpy(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.ann import (
+            gram_stats,
+            pca_from_gram,
+        )
+
+        rng = np.random.RandomState(9)
+        # anisotropic cloud: one dominant direction the PCA must find
+        base = rng.randn(400, 5) * np.array([10.0, 3.0, 1.0, 0.3, 0.1])
+        rot, _ = np.linalg.qr(rng.randn(5, 5))
+        m = (base @ rot).astype(np.float32)
+        rows = gram_stats(ray.data.from_arrow(self._emb_table(m))).take_all()
+        w, vecs = pca_from_gram(rows, 5)
+        q = np.floor(m.astype(np.float64) * 1e4 + 0.5)
+        cov = np.cov(q, rowvar=False, bias=True)
+        wref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        assert np.allclose(w, wref, rtol=1e-9)
+        # eigvec of the top component matches up to sign
+        vref = np.linalg.eigh(cov)[1][:, -1]
+        dot = abs(float(vecs[:, 0] @ vref))
+        assert dot > 0.999999
+
+    def test_empty_dataset(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.ann import gram_stats
+
+        ds = ray.data.from_arrow(self._emb_table(np.zeros((0, 4))))
+        assert gram_stats(ds).take_all() == []
