@@ -2471,6 +2471,47 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+def q_scd2(sf_dir):
+    """SCD-type-2 state history (stages/temporal.py scd2_intervals):
+    per user, collapse the ordered event stream into event_type validity
+    intervals — valid_from = run start ts, valid_to = next run's start
+    (null for the open run). Explicit (ts, event_id) ordering makes
+    equal-timestamp events deterministic on both sides."""
+    from osm_export_tool_python_ray.stages.temporal import scd2_intervals
+
+    return scd2_intervals(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ).sort(["user_id", "valid_from"])
+
+
+SQL_SCD2 = """
+WITH ord AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS rid
+  FROM ord
+),
+agg AS (
+  SELECT user_id, rid, any_value(event_type) AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, rid
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+         AS valid_to,
+       n_events
+FROM agg
+ORDER BY user_id, valid_from
+"""
+
+
 def q_asof_join(sf_dir):
     """AS-OF join (stages/temporal.py): every event matched to the most
     recent 'purchase' event of the same user at-or-before its timestamp
@@ -5537,6 +5578,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
+    "scd2": q_scd2,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "cdc_merge": q_cdc_merge,
@@ -5709,6 +5751,7 @@ ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "scd2": SQL_SCD2,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "cdc_merge": SQL_CDC_MERGE,

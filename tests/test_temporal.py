@@ -581,3 +581,103 @@ class TestCellPeakHour:
                 want[(cx, cy)] = (hod, n, tot)
         # peak compared on (n desc, hod asc); totals identical either way
         assert got == want
+
+
+class TestScd2:
+    """SCD2 validity intervals (stages/temporal.py scd2_intervals):
+    brute-force differential, equal-timestamp tiebreak, parallelism
+    invariance."""
+
+    @staticmethod
+    def _brute(rows):
+        """rows: (event_id, user_id, ts_us, event_type); returns
+        {(user, valid_from): (state, valid_to|None, n_events)}."""
+        by_user = {}
+        for eid, u, ts, et in rows:
+            by_user.setdefault(u, []).append((ts, eid, et))
+        out = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for ts, _eid, et in evs:
+                if runs and runs[-1][0] == et:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([et, ts, 1])
+            for i, (et, vf, n) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else None
+                out[(u, vf)] = (et, vt, n)
+        return out
+
+    def _run(self, rows, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import scd2_intervals
+
+        tbl = _events_table([(e, u, t, s, 0.0) for e, u, t, s in rows])
+        got = scd2_intervals(
+            ray.data.from_arrow(tbl.select(["event_id", "user_id", "ts", "event_type"])),
+            **kw,
+        ).take_all()
+        as_us = lambda v: None if v is None else int(np.datetime64(v, "us").astype(np.int64))
+        return {
+            (r["user_id"], as_us(r["valid_from"])): (
+                r["state"],
+                as_us(r["valid_to"]),
+                r["n_events"],
+            )
+            for r in got
+        }
+
+    def test_planted_runs(self, ray_session):
+        rows = [
+            (0, 1, 100, "a"),
+            (1, 1, 200, "a"),   # same run
+            (2, 1, 300, "b"),   # change
+            (3, 1, 400, "a"),   # back to a -> NEW run (SCD2, not dedup)
+            (4, 2, 150, "x"),   # other user, single open run
+        ]
+        got = self._run(rows, num_buckets=4, num_partitions=2)
+        assert got == {
+            (1, 100): ("a", 300, 2),
+            (1, 300): ("b", 400, 1),
+            (1, 400): ("a", None, 1),
+            (2, 150): ("x", None, 1),
+        }
+
+    def test_equal_ts_tiebreak_by_event_id(self, ray_session):
+        # two events at the SAME ts: event_id order decides run structure
+        rows = [(5, 1, 100, "b"), (4, 1, 100, "a"), (6, 1, 200, "b")]
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import scd2_intervals
+
+        tbl = _events_table([(e, u, t, s, 0.0) for e, u, t, s in rows])
+        out = sorted(
+            (r["state"], r["n_events"], r["valid_to"] is None)
+            for r in scd2_intervals(
+                ray.data.from_arrow(
+                    tbl.select(["event_id", "user_id", "ts", "event_type"])
+                ),
+                num_buckets=2,
+                num_partitions=1,
+            ).take_all()
+        )
+        # order: (100,4,'a'), (100,5,'b'), (200,6,'b') -> runs a(1), b(2);
+        # both runs share valid_from=100, so compare run tuples directly
+        assert out == [("a", 1, False), ("b", 2, True)]
+
+    def test_randomized_matches_brute_force(self, ray_session):
+        rng = np.random.RandomState(31)
+        rows = [
+            (i, int(rng.randint(0, 12)), int(rng.randint(0, 5000)) * 1000,
+             "s%d" % rng.randint(0, 3))
+            for i in range(600)
+        ]
+        # ts collisions are likely (5000 slots, 600 events, 12 users) —
+        # the brute force sorts by (ts, event_id), same as the engine
+        expect = self._brute(rows)
+        a = self._run(rows, num_buckets=8, num_partitions=4)
+        assert a == expect
+        b = self._run(rows, num_buckets=2, num_partitions=1)
+        assert b == expect
