@@ -2759,6 +2759,72 @@ ORDER BY o_orderkey
 """
 
 
+def q_rect_union(sf_dir):
+    """Measure-of-union (Klee's problem) over axis-aligned integer
+    rectangles derived from event ids (stages/intervals.py
+    rect_union_area): exact union area per 100-column x-band via
+    rasterize-to-columns + the endpoint-cumsum interval sweep. All-int64
+    compare surface."""
+    from osm_export_tool_python_ray.stages.intervals import rect_union_area
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def rects(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        x0 = (e * 13) % 1000
+        y0 = (e * 31) % 1000
+        return pa.table(
+            {
+                "x0": pa.array(x0),
+                "x1": pa.array(x0 + 1 + (e * 7) % 50),
+                "y0": pa.array(y0),
+                "y1": pa.array(y0 + 1 + (e * 11) % 40),
+            }
+        )
+
+    return rect_union_area(
+        ds.map_batches(rects, batch_format="pyarrow"), band=100
+    ).sort("band")
+
+
+SQL_RECT_UNION = """
+WITH rects AS (
+  SELECT (event_id * 13) % 1000 AS x0,
+         1 + (event_id * 7) % 50 AS w,
+         (event_id * 31) % 1000 AS y0,
+         1 + (event_id * 11) % 40 AS h
+  FROM events
+),
+cols AS (
+  -- DISTINCT: union is idempotent, and deduping removes (y0, y1) ties
+  -- inside each x partition — with ties, DuckDB's parallel window sort
+  -- is nondeterministic and the gaps-and-islands running max can split
+  -- islands differently run to run (observed at sf0.01).
+  SELECT DISTINCT x0 + i AS x, y0, y0 + h AS y1
+  FROM rects, UNNEST(range(0, w)) t(i)
+),
+marked AS (
+  SELECT x, y0, y1,
+         CASE WHEN y0 > coalesce(max(y1) OVER (
+                PARTITION BY x ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS flag
+  FROM cols
+),
+islands AS (
+  SELECT x, y0, y1,
+         sum(flag) OVER (PARTITION BY x ORDER BY y0, y1
+                         ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+lens AS (
+  SELECT x, g, max(y1) - min(y0) AS len FROM islands GROUP BY x, g
+)
+SELECT x // 100 AS band, CAST(sum(len) AS BIGINT) AS union_area
+FROM lens GROUP BY 1 ORDER BY band
+"""
+
+
 # ----------------------------------------------------------------- spatial
 
 def _customer_points(t: pa.Table) -> pa.Table:
@@ -5532,6 +5598,7 @@ QUERIES = {
     "segment_crossings": q_segment_crossings,
     "session_overlap": q_session_overlap,
     "interval_coverage": q_interval_coverage,
+    "rect_union": q_rect_union,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5710,6 +5777,7 @@ ORACLES = {
     "segment_crossings": SQL_SEGMENT_CROSSINGS,
     "session_overlap": SQL_SESSION_OVERLAP,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "rect_union": SQL_RECT_UNION,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,

@@ -268,3 +268,91 @@ class TestIntervalCoverage:
         a = self._run(rows, num_buckets=2, num_partitions=1)
         b = self._run(rows, num_buckets=16, num_partitions=8)
         assert a == b
+
+
+class TestRectUnionArea:
+    """Measure-of-union over axis-aligned rectangles (stages/intervals.py
+    rect_union_area): rasterized brute-force differential, degenerate
+    drop, width cap accounting, parallelism invariance."""
+
+    @staticmethod
+    def _rects_table(recs):
+        import pyarrow as pa
+
+        x0, x1, y0, y1 = (list(c) for c in zip(*recs)) if recs else ([], [], [], [])
+        return pa.table(
+            {
+                "x0": pa.array(x0, type=pa.int64()),
+                "x1": pa.array(x1, type=pa.int64()),
+                "y0": pa.array(y0, type=pa.int64()),
+                "y1": pa.array(y1, type=pa.int64()),
+            }
+        )
+
+    @staticmethod
+    def _brute(recs, band):
+        grid_w = max((r[1] for r in recs), default=1)
+        grid_h = max((r[3] for r in recs), default=1)
+        cov = np.zeros((grid_w, grid_h), dtype=bool)
+        for a, b, c, d in recs:
+            if b > a and d > c:
+                cov[a:b, c:d] = True
+        col = cov.sum(axis=1)
+        out = {}
+        for x in range(grid_w):
+            if col[x]:
+                out[x // band] = out.get(x // band, 0) + int(col[x])
+        return out
+
+    def _run(self, recs, band, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.intervals import rect_union_area
+
+        res = rect_union_area(
+            ray.data.from_arrow(self._rects_table(recs)), band=band, **kw
+        ).take_all()
+        return {r["band"]: r["union_area"] for r in res}
+
+    @pytest.mark.parametrize("seed", [2, 11, 59])
+    def test_matches_bruteforce(self, ray_session, seed):
+        rng = np.random.RandomState(seed)
+        recs = []
+        for _ in range(250):
+            a = int(rng.randint(0, 180))
+            c = int(rng.randint(0, 120))
+            recs.append(
+                (a, a + int(rng.randint(0, 25)), c, c + int(rng.randint(0, 20)))
+            )
+        assert self._run(recs, band=32, num_buckets=4, num_partitions=2) == \
+            self._brute(recs, band=32)
+
+    def test_degenerate_rects_dropped(self, ray_session):
+        # zero-width / zero-height boxes contribute nothing
+        recs = [(5, 5, 0, 10), (0, 10, 7, 7), (0, 2, 0, 3)]
+        assert self._run(recs, band=100, num_buckets=2, num_partitions=1) == {0: 6}
+
+    def test_width_cap_truncates_and_counts(self, ray_session):
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        recs = [(0, 100, 0, 1)]
+        snapshot_caps()
+        got = self._run(
+            recs, band=100, num_buckets=2, num_partitions=1, max_width=10
+        )
+        caps = snapshot_caps()
+        assert caps.get("rect_width_truncated", 0) == 90
+        assert got == {0: 10}
+
+    def test_parallelism_invariant(self, ray_session):
+        rng = np.random.RandomState(7)
+        recs = []
+        for _ in range(300):
+            a = int(rng.randint(0, 400))
+            c = int(rng.randint(0, 200))
+            recs.append(
+                (a, a + int(rng.randint(1, 40)), c, c + int(rng.randint(1, 30)))
+            )
+        one = self._run(recs, band=64, num_buckets=2, num_partitions=1)
+        many = self._run(recs, band=64, num_buckets=16, num_partitions=8)
+        assert one == many
