@@ -2512,6 +2512,48 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_gap_fill(sf_dir):
+    """Time-series resample + LOCF gap fill (stages/temporal.py
+    gap_fill_locf): per user, hourly int-micro-unit value sums expanded
+    to a dense hour grid between the user's first and last observation,
+    missing hours carrying the last observed sum forward. Combiner
+    collapses events to (user, hour) partials before the one keyed
+    exchange; all compare-surface arithmetic is int64."""
+    from osm_export_tool_python_ray.stages.temporal import gap_fill_locf
+
+    return gap_fill_locf(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ).sort(["user_id", "hr"])
+
+
+SQL_GAP_FILL = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT s.user_id, s.h0 + i AS hr
+  FROM spans s, UNNEST(range(0, s.h1 - s.h0 + 1)) t(i)
+),
+joined AS (
+  SELECT g.user_id, g.hr, o.v,
+         CASE WHEN o.hr IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+)
+SELECT user_id, hr,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS UNBOUNDED PRECEDING) AS v_q,
+       CAST(observed AS BIGINT) AS observed
+FROM joined
+ORDER BY user_id, hr
+"""
+
+
 def q_asof_join(sf_dir):
     """AS-OF join (stages/temporal.py): every event matched to the most
     recent 'purchase' event of the same user at-or-before its timestamp
@@ -5599,6 +5641,7 @@ QUERIES = {
     "session_overlap": q_session_overlap,
     "interval_coverage": q_interval_coverage,
     "rect_union": q_rect_union,
+    "gap_fill": q_gap_fill,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5778,6 +5821,7 @@ ORACLES = {
     "session_overlap": SQL_SESSION_OVERLAP,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "rect_union": SQL_RECT_UNION,
+    "gap_fill": SQL_GAP_FILL,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,

@@ -573,3 +573,128 @@ def scd2_intervals(events_ds, key="user_id", state_col="event_type",
         runs,
         num_partitions=num_partitions,
     )
+
+
+def gap_fill_locf(events_ds, key="user_id", ts_col="ts", value_col="value",
+                  hour_us=3_600_000_000, max_span=100_000,
+                  num_buckets=32, num_partitions=32):
+    """Time-series resample + gap fill: per ``key``, aggregate the event
+    stream to an HOURLY series (int micro-unit sums — the engine's
+    summation-order-independent quantization), then emit one row for
+    EVERY hour between the key's first and last observation, filling
+    missing hours with the last observed value (LOCF — the standard
+    sensor/telemetry upsampling rule). Output columns:
+    ``(key, hr, v_q, observed)`` where ``hr`` is epoch-hours, ``v_q`` the
+    filled int64 micro-unit sum, ``observed`` 1 for real hours / 0 for
+    filled ones.
+
+    Scale shape: a per-batch COMBINER collapses raw events to
+    ``(key, hour) → int-sum`` partials before the shuffle (the exchange
+    moves at most |keys|·|hours| rows per batch, not events), then ONE
+    exchange keyed on ``key % num_buckets``; the grid expansion is
+    per-key bounded (span hours, capped at ``max_span`` — excess counted
+    via ``gap_fill_span_truncated``), so output size is
+    sum(min(span_k, max_span)) independent of event count. Per
+    partition everything is vectorized: reduceat per-(key,hour) folds,
+    repeat/arange grid build, ONE composite-key searchsorted for the
+    fill (no per-key loop). A key's series must fit a partition — the
+    same retention-bounded assumption as ``scd2_intervals``.
+
+    No reference analog — engine mandate (time-series resampling
+    family); pairs with ``asof_match`` (point lookups) the way SCD2
+    pairs with CDC merge (state over time vs latest state).
+    """
+    from osm_export_tool_python_ray.state.metrics import report_cap
+
+    HBIAS = np.int64(1) << np.int64(39)  # pre-1970 → still nonnegative
+    KSHIFT = np.int64(40)
+
+    def _fold(ck, v):
+        """(composite-key, value) → per-distinct-key int sums, sorted."""
+        order = np.argsort(ck, kind="stable")
+        ck, v = ck[order], v[order]
+        starts = np.concatenate([[True], ck[1:] != ck[:-1]])
+        sidx = np.nonzero(starts)[0]
+        return ck[sidx], np.add.reduceat(v, sidx)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        """Raw events → per-batch (key, hour) int-micro-unit partials."""
+        if not t.num_rows:
+            return pa.table(
+                {
+                    key: pa.array([], type=pa.int64()),
+                    "hr": pa.array([], type=pa.int64()),
+                    "v_q": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        u = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _ts_i64(t.column(ts_col)) // hour_us
+        # int micro-units BEFORE any sum (order independence — see
+        # q_events_sliding)
+        v = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 1e4 + 0.5
+        ).astype(np.int64)
+        ck, vv = _fold((u << KSHIFT) | (h + HBIAS), v)
+        uu = ck >> KSHIFT
+        return pa.table(
+            {
+                key: pa.array(uu),
+                "hr": pa.array((ck & ((np.int64(1) << KSHIFT) - 1)) - HBIAS),
+                "v_q": pa.array(vv),
+                "bucket": pa.array(
+                    (uu.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    OUT = pa.schema(
+        [(key, pa.int64()), ("hr", pa.int64()),
+         ("v_q", pa.int64()), ("observed", pa.int64())]
+    )
+
+    def fill(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({f.name: pa.array([], type=f.type) for f in OUT})
+        u = g.column(key).to_numpy(zero_copy_only=False)
+        h = g.column("hr").to_numpy(zero_copy_only=False)
+        v = g.column("v_q").to_numpy(zero_copy_only=False)
+        # complete the cross-batch fold of the combiner partials
+        ck, vv = _fold((u << KSHIFT) | (h + HBIAS), v)
+        uu = ck >> KSHIFT
+        hh = (ck & ((np.int64(1) << KSHIFT) - 1)) - HBIAS
+        # per-key span grid
+        kstart = np.nonzero(np.concatenate([[True], uu[1:] != uu[:-1]]))[0]
+        kend = np.append(kstart[1:], len(uu)) - 1
+        h0, h1 = hh[kstart], hh[kend]
+        span = h1 - h0 + 1
+        over = span > max_span
+        if over.any():
+            report_cap("gap_fill_span_truncated", int((span[over] - max_span).sum()))
+            span = np.minimum(span, max_span)
+        total = int(span.sum())
+        krow = np.repeat(np.arange(len(span)), span)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(span)])[:-1]
+        hr = h0[krow] + (np.arange(total) - np.repeat(offs, span))
+        out_ck = (uu[kstart][krow] << KSHIFT) | (hr + HBIAS)
+        # LOCF: last observed (key,hour) ≤ each grid point — hr ≥ h0 of
+        # the SAME key guarantees idx stays inside the key's block
+        idx = np.searchsorted(ck, out_ck, side="right") - 1
+        return pa.table(
+            {
+                key: pa.array(uu[kstart][krow]),
+                "hr": pa.array(hr),
+                "v_q": pa.array(vv[idx]),
+                "observed": pa.array((ck[idx] == out_ck).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(
+        events_ds.map_batches(combiner, batch_format="pyarrow"),
+        "bucket",
+        lambda g: fill(g.drop_columns(["bucket"])),
+        num_partitions=num_partitions,
+        payload_schema=pa.schema(
+            [(key, pa.int64()), ("hr", pa.int64()), ("v_q", pa.int64())]
+        ),
+    )

@@ -681,3 +681,89 @@ class TestScd2:
         assert a == expect
         b = self._run(rows, num_buckets=2, num_partitions=1)
         assert b == expect
+
+
+class TestGapFill:
+    """Hourly resample + LOCF gap fill (stages/temporal.py
+    gap_fill_locf): planted-series semantics, brute-force differential,
+    span-cap accounting, parallelism invariance."""
+
+    @staticmethod
+    def _run(rows, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.temporal import gap_fill_locf
+
+        res = gap_fill_locf(
+            ray.data.from_arrow(_events_table(rows)), **kw
+        ).take_all()
+        return sorted((r["user_id"], r["hr"], r["v_q"], r["observed"])
+                      for r in res)
+
+    @staticmethod
+    def _brute(rows, max_span=100_000):
+        HOUR = 3_600_000_000
+        obs = {}
+        for _eid, u, ts, _et, v in rows:
+            k = (u, ts // HOUR)
+            obs[k] = obs.get(k, 0) + int(np.floor(v * 1e4 + 0.5))
+        out = []
+        for u in sorted({k[0] for k in obs}):
+            hrs = sorted(h for (uu, h) in obs if uu == u)
+            last = None
+            for h in range(hrs[0], min(hrs[-1], hrs[0] + max_span - 1) + 1):
+                if (u, h) in obs:
+                    last = obs[(u, h)]
+                    out.append((u, h, last, 1))
+                else:
+                    out.append((u, h, last, 0))
+        return out
+
+    def test_planted_locf(self, ray_session):
+        H = 3_600_000_000
+        rows = [
+            (1, 7, 0 * H + 5, "a", 1.0),       # hr 0: 10000
+            (2, 7, 0 * H + 9, "a", 2.0),       # hr 0: +20000
+            (3, 7, 3 * H + 1, "a", 0.5),       # hr 3: 5000 (hrs 1,2 filled)
+            (4, 9, 10 * H, "b", -1.25),        # single-hour user
+        ]
+        got = self._run(rows, num_buckets=4, num_partitions=2)
+        assert got == [
+            (7, 0, 30000, 1), (7, 1, 30000, 0), (7, 2, 30000, 0),
+            (7, 3, 5000, 1), (9, 10, -12500, 1),
+        ]
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_matches_bruteforce(self, ray_session, seed):
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, int(rng.randint(1, 12)),
+             int(rng.randint(0, 200)) * 3_600_000_000
+             + int(rng.randint(0, 3_600_000_000)),
+             "x", float(rng.randn()))
+            for i in range(400)
+        ]
+        assert self._run(rows, num_buckets=8, num_partitions=4) == \
+            self._brute(rows)
+
+    def test_span_cap_truncates_and_counts(self, ray_session):
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        H = 3_600_000_000
+        rows = [(1, 5, 0, "a", 1.0), (2, 5, 99 * H, "a", 2.0)]
+        snapshot_caps()
+        got = self._run(rows, max_span=10, num_buckets=2, num_partitions=1)
+        caps = snapshot_caps()
+        assert caps.get("gap_fill_span_truncated", 0) == 90
+        assert len(got) == 10 and got[0] == (5, 0, 10000, 1)
+
+    def test_parallelism_invariant(self, ray_session):
+        rng = np.random.RandomState(29)
+        rows = [
+            (i, int(rng.randint(1, 30)),
+             int(rng.randint(0, 3_600_000_000 * 500)), "x",
+             float(rng.randn() * 10))
+            for i in range(600)
+        ]
+        assert self._run(rows, num_buckets=2, num_partitions=1) == \
+            self._run(rows, num_buckets=32, num_partitions=8)
