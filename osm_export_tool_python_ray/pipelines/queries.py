@@ -2554,6 +2554,59 @@ ORDER BY user_id, hr
 """
 
 
+PROFILE_SPEC = [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "cents"),
+    ("l_extendedprice", "cents"), ("l_discount", "cents"),
+    ("l_tax", "cents"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts_us"),
+]
+
+
+def q_table_profile(sf_dir):
+    """Column profiling / catalog stats (stages/profile.py
+    profile_table): exact null count, exact NDV, min and max for every
+    lineitem column in ONE scan — per-batch-deduped (col, repr) pairs
+    through one hash-bucketed exchange, so global NDV is a sum of
+    per-partition distinct counts. Reprs are canonical strings
+    (zero-padded ints / cents / epoch-us) so lexicographic min/max is
+    numeric-order correct on both sides."""
+    from osm_export_tool_python_ray.stages.profile import profile_table
+
+    return profile_table(
+        _read(sf_dir, "lineitem", [c for c, _ in PROFILE_SPEC]),
+        PROFILE_SPEC,
+    ).sort("col")
+
+
+def _build_table_profile_sql():
+    parts = []
+    for name, kind in PROFILE_SPEC:
+        if kind == "int":
+            expr = name
+        elif kind == "cents":
+            expr = "CAST(floor(%s * 100 + 0.5) AS BIGINT)" % name
+        elif kind == "ts_us":
+            expr = "epoch_us(%s)" % name
+        else:
+            expr = None
+        if expr is None:  # raw string column
+            mn, mx = "min(%s)" % name, "max(%s)" % name
+        else:
+            mn = "lpad(CAST(min(%s) AS VARCHAR), 20, '0')" % expr
+            mx = "lpad(CAST(max(%s) AS VARCHAR), 20, '0')" % expr
+        parts.append(
+            "SELECT '%s' AS col, count(*) - count(%s) AS n_nulls,\n"
+            "       count(DISTINCT %s) AS n_distinct,\n"
+            "       %s AS min_v, %s AS max_v\nFROM lineitem"
+            % (name, name, name, mn, mx)
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
+SQL_TABLE_PROFILE = _build_table_profile_sql()
+
+
 def q_asof_join(sf_dir):
     """AS-OF join (stages/temporal.py): every event matched to the most
     recent 'purchase' event of the same user at-or-before its timestamp
@@ -5642,6 +5695,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "rect_union": q_rect_union,
     "gap_fill": q_gap_fill,
+    "table_profile": q_table_profile,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5822,6 +5876,7 @@ ORACLES = {
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "rect_union": SQL_RECT_UNION,
     "gap_fill": SQL_GAP_FILL,
+    "table_profile": SQL_TABLE_PROFILE,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,
