@@ -2607,6 +2607,45 @@ def _build_table_profile_sql():
 SQL_TABLE_PROFILE = _build_table_profile_sql()
 
 
+CHECKSUM_TABLES = [
+    ("documents", ["doc_id", "lang", "source"]),
+    ("lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"]),
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus"]),
+]
+
+
+def q_table_checksum(sf_dir):
+    """Order-independent table digests (stages/integrity.py
+    table_checksums): per table, sum(le64(md5(row))) mod 2^61-1 plus the
+    row count — the anti-entropy / replica-reconciliation primitive.
+    Commutative fold → invariant to block order and parallelism."""
+    from osm_export_tool_python_ray.stages.integrity import table_checksums
+
+    return table_checksums(
+        [(name, _read(sf_dir, name, cols), cols)
+         for name, cols in CHECKSUM_TABLES]
+    ).sort("tbl")
+
+
+def _build_table_checksum_sql():
+    parts = []
+    for name, cols in CHECKSUM_TABLES:
+        rowstr = "concat_ws('|', %s)" % ", ".join(
+            "CAST(%s AS VARCHAR)" % c for c in cols
+        )
+        parts.append(
+            "SELECT '%s' AS tbl, count(*) AS n_rows,\n"
+            "  CAST(sum(CAST(%s AS HUGEINT)) %%\n"
+            "       CAST(2305843009213693951 AS HUGEINT) AS BIGINT) AS checksum\n"
+            "FROM (SELECT md5(%s) AS hh FROM %s)"
+            % (name, _le64_expr("hh"), rowstr, name)
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tbl"
+
+
+SQL_TABLE_CHECKSUM = _build_table_checksum_sql()
+
+
 def q_asof_join(sf_dir):
     """AS-OF join (stages/temporal.py): every event matched to the most
     recent 'purchase' event of the same user at-or-before its timestamp
@@ -5696,6 +5735,7 @@ QUERIES = {
     "rect_union": q_rect_union,
     "gap_fill": q_gap_fill,
     "table_profile": q_table_profile,
+    "table_checksum": q_table_checksum,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5877,6 +5917,7 @@ ORACLES = {
     "rect_union": SQL_RECT_UNION,
     "gap_fill": SQL_GAP_FILL,
     "table_profile": SQL_TABLE_PROFILE,
+    "table_checksum": SQL_TABLE_CHECKSUM,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,
