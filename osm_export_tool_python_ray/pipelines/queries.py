@@ -316,6 +316,37 @@ FROM agg ORDER BY df DESC, term LIMIT 100
 """
 
 
+def q_postings(sf_dir):
+    """Inverted-index build (stages/invindex.py build_postings): per
+    (term, doc) tf and 1-based first occurrence position from a map-side
+    fold, document frequency attached in the ONE term-keyed exchange
+    that term-sorts the posting lists."""
+    from osm_export_tool_python_ray.stages.invindex import build_postings
+
+    return build_postings(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).sort(["term", "doc_id"])
+
+
+SQL_POSTINGS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+pd AS (
+  SELECT term, doc_id, count(*) AS tf, min(i) AS first_pos
+  FROM w GROUP BY term, doc_id
+)
+SELECT term, doc_id, tf, first_pos,
+       count(*) OVER (PARTITION BY term) AS df
+FROM pd ORDER BY term, doc_id
+"""
+
+
 def q_unigram_logprob(sf_dir):
     """Perplexity-style quality scoring (CCNet/C4 family): per-doc mean
     unigram log-probability in integer MICRO-NATS under the corpus's own
@@ -5736,6 +5767,7 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "table_profile": q_table_profile,
     "table_checksum": q_table_checksum,
+    "postings": q_postings,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5918,6 +5950,7 @@ ORACLES = {
     "gap_fill": SQL_GAP_FILL,
     "table_profile": SQL_TABLE_PROFILE,
     "table_checksum": SQL_TABLE_CHECKSUM,
+    "postings": SQL_POSTINGS,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,
