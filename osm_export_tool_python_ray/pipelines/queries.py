@@ -2543,6 +2543,80 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_time_travel(sf_dir):
+    """Point-in-time snapshot read (time travel): per-user state AS OF
+    2024-01-15T12:00:00Z reconstructed from the SCD2 validity-interval
+    history — the interval containing T (valid_from ≤ T < valid_to, open
+    intervals unbounded). The read-side complement of q_scd2: history
+    build streams once, any number of AS-OF cuts are then a vectorized
+    filter, no re-scan of the raw events."""
+    import pyarrow.compute as pc
+
+    from osm_export_tool_python_ray.stages.temporal import scd2_intervals
+
+    T = 1705320000000000  # 2024-01-15 12:00:00 UTC in epoch-us
+
+    hist = scd2_intervals(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+    def asof_cut(t: pa.Table) -> pa.Table:
+        vf = t.column("valid_from").cast(pa.int64())
+        vt = t.column("valid_to").cast(pa.int64())
+        # open intervals: valid_to null → matches any later T
+        # (fill_null(True), since plain or_ is not Kleene and would
+        # propagate the null through the filter, dropping the row)
+        keep = pc.and_(
+            pc.less_equal(vf, T),
+            pc.fill_null(pc.greater(vt, T), True),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "state": t.column("state"),
+                "valid_from": t.column("valid_from"),
+                "n_events": t.column("n_events"),
+            }
+        )
+
+    return hist.map_batches(asof_cut, batch_format="pyarrow").sort("user_id")
+
+
+SQL_TIME_TRAVEL = """
+WITH ord AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS rid
+  FROM ord
+),
+agg AS (
+  SELECT user_id, rid, any_value(event_type) AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, rid
+),
+hist AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+           AS valid_to,
+         n_events
+  FROM agg
+)
+SELECT user_id, state, valid_from, n_events
+FROM hist
+WHERE epoch_us(valid_from) <= 1705320000000000
+  AND (valid_to IS NULL OR epoch_us(valid_to) > 1705320000000000)
+ORDER BY user_id
+"""
+
+
 def q_gap_fill(sf_dir):
     """Time-series resample + LOCF gap fill (stages/temporal.py
     gap_fill_locf): per user, hourly int-micro-unit value sums expanded
@@ -5768,6 +5842,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "table_checksum": q_table_checksum,
     "postings": q_postings,
+    "time_travel": q_time_travel,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -5951,6 +6026,7 @@ ORACLES = {
     "table_profile": SQL_TABLE_PROFILE,
     "table_checksum": SQL_TABLE_CHECKSUM,
     "postings": SQL_POSTINGS,
+    "time_travel": SQL_TIME_TRAVEL,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,

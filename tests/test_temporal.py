@@ -767,3 +767,33 @@ class TestGapFill:
         ]
         assert self._run(rows, num_buckets=2, num_partitions=1) == \
             self._run(rows, num_buckets=32, num_partitions=8)
+
+
+class TestTimeTravel:
+    """AS-OF snapshot cut over SCD2 history (queries.q_time_travel):
+    boundary semantics — valid_from inclusive, valid_to exclusive, open
+    intervals match any later T."""
+
+    def test_boundaries(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        T = 1705320000000000  # the query's fixed cut point (epoch-us)
+        H = 3_600_000_000
+        rows = [
+            # user 1: state a [T-2h, T), state b [T, open) → b at T
+            (1, 1, T - 2 * H, "a", 0.0),
+            (2, 1, T, "b", 0.0),
+            # user 2: single run starting after T → no row at T
+            (3, 2, T + H, "c", 0.0),
+            # user 3: run ends exactly at T (next run starts at T) → new run
+            (4, 3, T - H, "d", 0.0),
+            (5, 3, T, "d", 0.0),  # same state → same run, spans T
+        ]
+        pq.write_table(_events_table(rows), str(tmp_path / "events.parquet"))
+        got = {
+            r["user_id"]: (r["state"], r["n_events"])
+            for r in QUERIES["time_travel"](str(tmp_path)).take_all()
+        }
+        assert got == {1: ("b", 1), 3: ("d", 2)}
