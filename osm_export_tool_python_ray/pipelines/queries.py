@@ -3605,6 +3605,47 @@ GROUP BY a.user_id, b.user_id
 """
 
 
+def q_butterflies(sf_dir):
+    """Bipartite butterfly (4-cycle) counts per user (stages/graph.py
+    butterfly_counts) over the user × (cell, hour) presence graph: each
+    encounter pair with c shared groups contributes C(c, 2) butterflies
+    to both endpoints. Motif family: the bipartite counterpart of
+    q_triangles."""
+    from osm_export_tool_python_ray.stages.graph import butterfly_counts
+    from osm_export_tool_python_ray.stages.journey import encounters
+
+    pairs = encounters(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=10,
+    )
+    return butterfly_counts(pairs).sort("user_id")
+
+
+SQL_BUTTERFLIES = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS c
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+),
+contrib AS (
+  SELECT user_a AS user_id, c * (c - 1) // 2 AS bf FROM pairs
+  UNION ALL
+  SELECT user_b, c * (c - 1) // 2 FROM pairs
+)
+SELECT user_id, sum(bf) AS butterflies
+FROM contrib WHERE bf > 0
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_convoys(sf_dir):
     """Convoy / flock detection (stages/journey.py convoys): per
     unordered user pair, the maximal runs of >= 2 CONSECUTIVE hour
@@ -5843,6 +5884,7 @@ QUERIES = {
     "table_checksum": q_table_checksum,
     "postings": q_postings,
     "time_travel": q_time_travel,
+    "butterflies": q_butterflies,
     "compact_cover": q_compact_cover,
     "geofence_dwell": q_geofence_dwell,
     "cusum_bursts": q_cusum_bursts,
@@ -6027,6 +6069,7 @@ ORACLES = {
     "table_checksum": SQL_TABLE_CHECKSUM,
     "postings": SQL_POSTINGS,
     "time_travel": SQL_TIME_TRAVEL,
+    "butterflies": SQL_BUTTERFLIES,
     "compact_cover": SQL_COMPACT_COVER,
     "geofence_dwell": SQL_GEOFENCE_DWELL,
     "cusum_bursts": SQL_CUSUM_BURSTS,

@@ -394,3 +394,54 @@ def colocation_triangles(
         payload_schema=_PAIR,
     )
     return partials.groupby("user_id").aggregate(Sum("n_partial", alias_name="n_tri"))
+
+
+def butterfly_counts(pairs_ds, count_col="n_shared", num_partitions=8):
+    """Bipartite butterfly (4-cycle) participation per left-side vertex.
+
+    A butterfly is two users sharing two distinct right-side groups —
+    the bipartite analogue of the triangle, the base motif of bipartite
+    clustering coefficients and spam/bot detection. Given the pair
+    co-occurrence table (user_a, user_b, c) with c = number of shared
+    groups (stages/journey.py encounters — per-batch presence combiner,
+    capped group expansion), each pair contributes C(c, 2) butterflies,
+    attributed to BOTH endpoints:
+
+        b(u) = Σ_v C(c_{u,v}, 2)
+
+    Scale shape: the expensive part (pair derivation) is the encounters
+    stage's one keyed exchange; this stage adds a vectorized two-row
+    explode and one tiny user-keyed groupby-sum. Exact integer
+    arithmetic (c·(c−1)/2 with even product — no float).
+
+    No reference analog — engine mandate (graph-motif family,
+    bipartite counterpart of colocation_triangles above).
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "bf": pa.array([], type=pa.int64()),
+                }
+            )
+        a = t.column("user_a").to_numpy(zero_copy_only=False)
+        b = t.column("user_b").to_numpy(zero_copy_only=False)
+        c = t.column(count_col).to_numpy(zero_copy_only=False)
+        bf = c * (c - 1) // 2
+        keep = bf > 0
+        a, b, bf = a[keep], b[keep], bf[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([a, b])),
+                "bf": pa.array(np.concatenate([bf, bf])),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("bf", alias_name="butterflies"))
+    )

@@ -137,3 +137,52 @@ class TestTriangles:
         brute_total = sum(_brute_triangles(rows).values())
         if brute_total and caps.get("triangle_wedge_truncated"):
             assert sum(r["n_tri"] for r in capped) <= sum(r["n_tri"] for r in full)
+
+
+class TestButterflies:
+    """Bipartite butterfly participation (stages/graph.py
+    butterfly_counts): planted motif, exact C(c,2) arithmetic,
+    brute-force differential over a random bipartite graph."""
+
+    @staticmethod
+    def _run(pair_rows):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.graph import butterfly_counts
+
+        tbl = pa.table(
+            {
+                "user_a": pa.array([r[0] for r in pair_rows], type=pa.int64()),
+                "user_b": pa.array([r[1] for r in pair_rows], type=pa.int64()),
+                "n_shared": pa.array([r[2] for r in pair_rows], type=pa.int64()),
+            }
+        )
+        res = butterfly_counts(ray.data.from_arrow(tbl)).take_all()
+        return {r["user_id"]: r["butterflies"] for r in res}
+
+    def test_planted(self, ray_session):
+        # pair (1,2) shares 3 groups -> C(3,2)=3 butterflies each side;
+        # pair (1,5) shares 1 group -> 0; pair (2,5) shares 2 -> 1 each
+        got = self._run([(1, 2, 3), (1, 5, 1), (2, 5, 2)])
+        assert got == {1: 3, 2: 4, 5: 1}
+
+    def test_matches_bipartite_bruteforce(self, ray_session):
+        # brute-force butterflies from a random user x group incidence
+        rng = np.random.RandomState(13)
+        inc = {(int(u), int(g)) for u, g in
+               zip(rng.randint(0, 12, 300), rng.randint(0, 8, 300))}
+        users = sorted({u for u, _ in inc})
+        c = {}
+        for i, u in enumerate(users):
+            for v in users[i + 1:]:
+                shared = sum(1 for (uu, g) in inc if uu == u and (v, g) in inc)
+                if shared:
+                    c[(u, v)] = shared
+        expect = {}
+        for (u, v), s in c.items():
+            bf = s * (s - 1) // 2
+            if bf:
+                expect[u] = expect.get(u, 0) + bf
+                expect[v] = expect.get(v, 0) + bf
+        got = self._run([(u, v, s) for (u, v), s in sorted(c.items())])
+        assert got == expect
