@@ -1,7 +1,7 @@
 """CLI mirroring ``bin/osm-export-tool`` (reference cmd.py:11-66):
 
     python -m osm_export_tool_python_ray.cli CORPUS.parquet OUTPUT_NAME \
-        [-m MAPPING.yml] [-f gpkg shp kml mgpkg] [--clip AOI] [-v] \
+        [-m MAPPING.yml] [-f gpkg shp kml geojsonl mgpkg] [--clip AOI] [-v] \
         [--omit-osm-ids] [--centroid] [--workdir DIR] [--num-cpus N]
 
 CORPUS is a parquet file/dir of interleaved documents (input_hint shape).
@@ -51,7 +51,7 @@ def main(argv=None):
     # reference CLI takes a comma-separated string (cmd.py:14: -f gpkg,shp);
     # accept that alongside the space-separated form
     args.formats = [p for f in args.formats for p in f.split(",") if p]
-    bad = [f for f in args.formats if f not in ("gpkg", "shp", "kml", "mgpkg")]
+    bad = [f for f in args.formats if f not in ("gpkg", "shp", "kml", "geojsonl", "mgpkg")]
     if bad:
         parser.error("unknown format(s): %s" % ",".join(bad))
 
@@ -77,7 +77,7 @@ def main(argv=None):
     from osm_export_tool_python_ray.geometry import load_geometry
     from osm_export_tool_python_ray.mapping import Mapping
     from osm_export_tool_python_ray.pipelines.export import run_export
-    from osm_export_tool_python_ray.sinks import Geopackage, Kml, MultiGeopackage, Shapefile
+    from osm_export_tool_python_ray.sinks import GeoJsonSeq, Geopackage, Kml, MultiGeopackage, Shapefile
 
     if args.mapping:
         with open(args.mapping) as f:
@@ -100,7 +100,7 @@ def main(argv=None):
 
     start = time.time()
     workdir = args.workdir or (args.output_name + ".work")
-    sink_cls = {"gpkg": Geopackage, "shp": Shapefile, "kml": Kml, "mgpkg": MultiGeopackage}
+    sink_cls = {"gpkg": Geopackage, "shp": Shapefile, "kml": Kml, "geojsonl": GeoJsonSeq, "mgpkg": MultiGeopackage}
     files = []
     if args.partitions > 0:
         from osm_export_tool_python_ray.pipelines.partitioned import run_export_partitioned

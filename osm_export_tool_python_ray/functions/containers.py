@@ -428,3 +428,71 @@ class KmlFile:
     def close(self):
         self.f.write("</Folder>\n</Document></kml>\n")
         self.f.close()
+
+
+# --------------------------------------------------------------------------
+# GeoJSONSeq (RFC 7946 features, newline-delimited — RFC 8142 without the
+# RS framing byte, the form GDAL calls GeoJSONSeq and tippecanoe et al.
+# consume). The streaming-friendly text container: one self-contained
+# Feature per line, so files concatenate and split at line boundaries —
+# the property that makes it the natural distributed-sink text format.
+# --------------------------------------------------------------------------
+
+
+def _geojson_geometry(code, geom):
+    """Decoded WKB (functions/wkb.decode) → GeoJSON geometry dict."""
+
+    def ring(r):
+        return [[float(x), float(y)] for x, y in np.asarray(r, dtype=np.float64)]
+
+    if code == wkbmod.POINT:
+        return {"type": "Point", "coordinates": [float(geom[0]), float(geom[1])]}
+    if code == wkbmod.LINESTRING:
+        return {"type": "LineString", "coordinates": ring(geom)}
+    if code == wkbmod.POLYGON:
+        return {"type": "Polygon", "coordinates": [ring(r) for r in geom]}
+    if code == wkbmod.MULTILINESTRING:
+        return {
+            "type": "MultiLineString",
+            "coordinates": [ring(p) for p in geom],
+        }
+    return {
+        "type": "MultiPolygon",
+        "coordinates": [[ring(r) for r in p] for p in geom],
+    }
+
+
+class GeoJsonSeqFile:
+    """One .geojsonl per layer: newline-delimited RFC 7946 Features.
+    Only-present attributes are emitted (the KmlFile rule); osm_id rides
+    as a Feature-level "id" member per RFC 7946 §3.2."""
+
+    def __init__(self, path, layer_name, fields, osm_id=True):
+        self.f = open(path, "w", encoding="utf-8")
+        self.layer = layer_name
+        self.fields = list(fields)
+        self.osm_id = osm_id
+
+    def write_batch(self, wkb_vals, osm_ids, field_cols):
+        import json as _json
+
+        lines = []
+        for i, buf in enumerate(wkb_vals):
+            code, geom = wkbmod.decode(buf)
+            feat = {"type": "Feature"}
+            if self.osm_id and osm_ids[i] is not None:
+                feat["id"] = int(osm_ids[i])
+            feat["properties"] = {
+                f: field_cols[k][i]
+                for k, f in enumerate(self.fields)
+                if field_cols[k][i] is not None
+            }
+            feat["geometry"] = _geojson_geometry(code, geom)
+            lines.append(
+                _json.dumps(feat, ensure_ascii=False, separators=(",", ":"))
+            )
+        if lines:
+            self.f.write("\n".join(lines) + "\n")
+
+    def close(self):
+        self.f.close()

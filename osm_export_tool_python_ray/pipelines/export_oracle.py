@@ -269,6 +269,11 @@ def sql_kml_layer_counts(corpus_path, mapping):
     return sql_gpkg_layer_counts(corpus_path, mapping)
 
 
+def sql_geojson_layer_counts(corpus_path, mapping):
+    """Same re-derivation, engine side reads the .geojsonl lines back."""
+    return sql_gpkg_layer_counts(corpus_path, mapping)
+
+
 def sql_tile_assignment(corpus_path, mapping, zoom=12):
     """One row per deduped tile payload with the count of themed-feature
     bbox overlaps (stages/tiling.py assign_features_to_tiles, zooms=[{z}]).

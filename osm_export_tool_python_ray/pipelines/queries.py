@@ -5525,6 +5525,31 @@ def _read_kml(path):
     return out
 
 
+def _read_geojsonl(path):
+    """Parse a .geojsonl layer back to [(geom_class, osm_id|None)] via
+    stdlib json — independent of the dict-building GeoJsonSeqFile
+    encoder."""
+    import json as _json
+
+    cls = {
+        "Point": 1,
+        "LineString": 2, "MultiLineString": 2,
+        "Polygon": 3, "MultiPolygon": 3,
+    }
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            feat = _json.loads(line)
+            if feat.get("type") != "Feature" or "geometry" not in feat:
+                raise ValueError("non-Feature line in %s" % path)
+            out.append(
+                (cls[feat["geometry"]["type"]], feat.get("id"))
+            )
+    return out
+
+
 def _layer_counts_table(rows):
     """rows: [(layer, geom_class, osm_id|None)] → aggregated Arrow table
     (layer, geom_type, n, id_sum) sorted by key."""
@@ -5590,6 +5615,36 @@ def q_kml_layer_counts(sf_dir):
         for theme_name, _gt, base in _split_layer_specs(mapping, out):
             if os.path.exists(base + ".kml"):
                 rows.extend((theme_name, gc, oid) for gc, oid in _read_kml(base + ".kml"))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return _layer_counts_table(rows)
+
+
+def q_geojson_layer_counts(sf_dir):
+    """Container round-trip proof (GeoJSONSeq — the engine's added text
+    container): flagship export → REAL newline-delimited RFC 7946
+    features (functions/containers.GeoJsonSeqFile) → parsed BACK with
+    stdlib json and aggregated per theme × geometry class. Same oracle
+    shape as the gpkg/shp/kml rows; proves the JSON encode (id member,
+    only-present properties, nested coordinate arrays) preserved every
+    row, id and geometry class."""
+    import shutil
+    import tempfile
+
+    from osm_export_tool_python_ray.sinks import GeoJsonSeq
+
+    mapping, themed = _run_default_export()
+    tmpdir = tempfile.mkdtemp(prefix="geojsonl_oracle_", dir="/tmp")
+    try:
+        out = os.path.join(tmpdir, "out")
+        GeoJsonSeq(out, mapping).write_from(themed)
+        rows = []
+        for theme_name, _gt, base in _split_layer_specs(mapping, out):
+            if os.path.exists(base + ".geojsonl"):
+                rows.extend(
+                    (theme_name, gc, oid)
+                    for gc, oid in _read_geojsonl(base + ".geojsonl")
+                )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
     return _layer_counts_table(rows)
@@ -5948,6 +6003,7 @@ QUERIES = {
     "gpkg_layer_counts": q_gpkg_layer_counts,
     "shp_layer_counts": q_shp_layer_counts,
     "kml_layer_counts": q_kml_layer_counts,
+    "geojson_layer_counts": q_geojson_layer_counts,
 }
 
 # queries whose oracle SQL is GENERATED over the cached corpus (not a
@@ -5962,6 +6018,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "gpkg_layer_counts",
     "shp_layer_counts",
     "kml_layer_counts",
+    "geojson_layer_counts",
     "span_adjacency",
     "tag_cooccurrence",
 )
@@ -5977,6 +6034,7 @@ def export_surface_oracles():
     from osm_export_tool_python_ray.pipelines.export_oracle import (
         sql_aoi_extract,
         sql_export_theme_counts,
+        sql_geojson_layer_counts,
         sql_gpkg_layer_counts,
         sql_kml_layer_counts,
         sql_shp_layer_counts,
@@ -5997,6 +6055,7 @@ def export_surface_oracles():
         "gpkg_layer_counts": sql_gpkg_layer_counts(path, mapping),
         "shp_layer_counts": sql_shp_layer_counts(path, mapping),
         "kml_layer_counts": sql_kml_layer_counts(path, mapping),
+        "geojson_layer_counts": sql_geojson_layer_counts(path, mapping),
         "span_adjacency": sql_span_adjacency(path),
         "tag_cooccurrence": _sql_tag_cooccurrence(),
     }

@@ -134,6 +134,9 @@ def _encode_one_layer(kind, target, layer_name, gt, fields, has_id, staged_path)
     elif kind == "kml":
         w = C.KmlFile(target + ".kml", layer_name, fields, has_id)
         write, close = w.write_batch, w.close
+    elif kind == "geojsonl":
+        w = C.GeoJsonSeqFile(target + ".geojsonl", layer_name, fields, has_id)
+        write, close = w.write_batch, w.close
     else:  # one-theme gpkg (MultiGeopackage)
         tmp = target + ".part"
         g = C.GeoPackageFile(tmp)
@@ -355,6 +358,22 @@ class Kml(_SplitContainerMixin, Geopackage):
 
     def _layer_file(self, base, theme):
         return File("kml", [base + ".kml"], {"theme": theme.name})
+
+
+class GeoJsonSeq(_SplitContainerMixin, Geopackage):
+    """Real newline-delimited GeoJSON (.geojsonl, RFC 7946 features) per
+    theme×geomtype, full field names. No reference analog (the reference
+    stops at gpkg/shp/kml, tabular.py) — added because line-delimited
+    features are the one text container that concatenates and splits at
+    line boundaries, i.e. the natural distributed-sink format."""
+
+    suffix = ".geojsonl.d"
+    launder = False
+    split_geom = True
+    format_name = "geojsonl"
+
+    def _layer_file(self, base, theme):
+        return File("geojsonl", [base + ".geojsonl"], {"theme": theme.name})
 
 
 def write_to_plugin(features, plugin, batch_size=1024):

@@ -82,6 +82,28 @@ class TestSinks:
         t = pq.read_table(out + ".gpkg.d/buildings")
         assert "osm_id" not in t.schema.names
 
+    def test_geojsonl_layout(self, export_workdir, tmp_path):
+        from osm_export_tool_python_ray.sinks import GeoJsonSeq
+
+        wd, mapping = export_workdir
+        out = str(tmp_path / "demo")
+        files = GeoJsonSeq(out, mapping).write_from(os.path.join(wd, "features"))
+        # one .geojsonl per theme×geomtype, RFC 7946 Feature per line
+        path = out + "_buildings_polygons.geojsonl"
+        assert os.path.isfile(path)
+        n = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                feat = json.loads(line)
+                assert feat["type"] == "Feature"
+                assert feat["geometry"]["type"] in ("Polygon", "MultiPolygon")
+                assert isinstance(feat["id"], int)
+                # only-present attributes: no null-valued properties
+                assert all(v is not None for v in feat["properties"].values())
+                n += 1
+        assert n > 0
+        assert {f.output_name for f in files} == {"geojsonl"}
+
     def test_packaging(self, export_workdir, tmp_path):
         wd, mapping = export_workdir
         out = str(tmp_path / "pkg")
