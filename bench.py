@@ -238,6 +238,11 @@ def run_query_suite(sf_dir):
         ("interval_coverage", Q.q_interval_coverage),
         ("source_overlap", Q.q_source_overlap),
         ("cdc_merge", Q.q_cdc_merge),
+        # round-4 final adds: graph centrality + holistic aggregates
+        ("user_pagerank", Q.q_user_pagerank),
+        ("group_mode", Q.q_group_mode),
+        ("type_entropy", Q.q_type_entropy),
+        ("weighted_sample", Q.q_weighted_sample),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -886,6 +886,81 @@ QUALIFY rank <= 20
 """.format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
 
 
+def q_weighted_sample(sf_dir):
+    """Deterministic WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006 A-ES): keep the k=100 docs with the largest
+    u^(1/w) ⟺ largest ln(u)/w, weight w = n_chars — long documents
+    proportionally more likely, same row set on every run and cluster
+    size (u is the md5-hash uniform, no RNG state).
+
+    The float key is made EXACTLY reproducible on both sides by the
+    rational-order trick: quantize ln(u) to int64 micro-nats first,
+    then compare via akey = floor(lnq·10⁹ / w) — pure int64 (|lnq| ≤
+    22·10⁶ so lnq·10⁹ ≈ 2.2·10¹⁶ fits), floor-division-corrected in
+    SQL (DuckDB // truncates toward zero, numpy floors; lnq ≤ 0 here).
+    Rides topk_per_group with a constant stratum: per-batch top-k
+    combiner, ONE exchange of ≤k·num_blocks candidate rows."""
+    import hashlib
+
+    from osm_export_tool_python_ray.stages.topk import topk_per_group
+
+    M = 1 << 31
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little")
+                for d in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        u = ((h % M).astype(np.float64) + 1.0) / float(M + 1)
+        lnq = np.round(np.log(u) * 1e6).astype(np.int64)
+        w = np.maximum(
+            t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        akey = (lnq * 1_000_000_000) // w  # numpy floors; lnq ≤ 0
+        out = t.select(["doc_id", "lang"])
+        out = out.append_column("akey", pa.array(akey))
+        return out.append_column(
+            "grp", pa.array(np.zeros(len(akey), dtype=np.int64))
+        )
+
+    out = topk_per_group(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+            add_key, batch_format="pyarrow"
+        ),
+        group_col="grp",
+        sort_col="akey",
+        tie_col="doc_id",
+        k=100,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["grp"]), batch_format="pyarrow"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+         CAST(round(ln((({le}) % 2147483648 + 1) / 2147483649.0) * 1e6)
+              AS BIGINT) AS lnq
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         lnq * 1000000000 // w
+           - CASE WHEN (lnq * 1000000000) % w <> 0 AND lnq < 0
+                  THEN 1 ELSE 0 END AS akey
+  FROM k
+)
+SELECT doc_id, lang, akey,
+       row_number() OVER (ORDER BY akey DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 100
+""".format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
+
+
 # full SimHash re-derivation in SQL (oracle for q_simhash_pairs): per-doc
 # 64-bit signature from distinct-token md5 bit votes, 4×16-bit LSH bands
 # with the engine's max_group=512 cap, exact Hamming verify via
@@ -3646,6 +3721,240 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_user_pagerank(sf_dir):
+    """Weighted PageRank on the co-location graph (stages/graph.py
+    pagerank_scores): the q_encounters pair table as an undirected
+    weighted graph, three integer-exact power iterations (micro-unit
+    int64, floor division — summation-order independent), node state
+    held ONLY in datasets. The generic-graph sibling of
+    q_textrank_keywords: same per-iteration shape (one keyed join +
+    one groupby-sum over the materialized edge aggregate), arbitrary
+    node ids instead of a driver vocabulary."""
+    from osm_export_tool_python_ray.stages.graph import pagerank_scores
+    from osm_export_tool_python_ray.stages.journey import encounters
+
+    pairs = encounters(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=10,
+    )
+    return pagerank_scores(pairs, iters=3).sort("node")
+
+
+def _build_user_pagerank_sql(iters=3):
+    it_tpl = """
+s{n} AS (
+  SELECT nd.node,
+         CAST(150000 + coalesce(sum((85 * s.s * d.w) // (100 * wdeg.wd)), 0)
+              AS BIGINT) AS s
+  FROM nodes nd
+  LEFT JOIN dir d ON d.dst = nd.node
+  LEFT JOIN s{p} s ON s.node = d.src
+  LEFT JOIN wdeg ON wdeg.src = d.src
+  GROUP BY nd.node
+)"""
+    its = ",".join(it_tpl.format(n=i + 1, p=i) for i in range(iters))
+    return """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (event_id %% 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) %% 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+),
+dir AS (SELECT ua AS src, ub AS dst, w FROM pairs
+        UNION ALL SELECT ub, ua, w FROM pairs),
+wdeg AS (SELECT src, sum(w) AS wd FROM dir GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+%s
+SELECT node, s AS score FROM s%d ORDER BY node
+""" % (its, iters)
+
+
+SQL_USER_PAGERANK = _build_user_pagerank_sql()
+
+
+def q_group_mode(sf_dir):
+    """Per-group mode — each user's most frequent event_type with a
+    deterministic tie-break (higher count wins, then lexicographically
+    smaller type). The holistic aggregate the existing quantile/top-k
+    family lacks. Shape: per-batch (user, type) count combiner, ONE
+    composite-key groupby-sum, then a user-keyed argmax fold that is a
+    vectorized lexsort + segment-boundary pick (no Python per group)."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .sum(["n"])
+    )
+
+    def argmax_fold(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "mode_type": pa.array([], type=pa.string()),
+                    "mode_n": pa.array([], type=pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        # winner first within each user: (user asc, n desc, type asc)
+        order = np.lexsort((et, -n, u))
+        u, et, n = u[order], et[order], n[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        return pa.table(
+            {
+                "user_id": pa.array(u[first]),
+                "mode_type": pa.array(list(et[first]), type=pa.string()),
+                "mode_n": pa.array(n[first]),
+            }
+        )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        b = (
+            t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64) % 16
+        ).astype(np.int32)
+        return t.append_column("b", pa.array(b))
+
+    return grouped_map(
+        counted.map_batches(bucketed, batch_format="pyarrow"),
+        key="b",
+        fn=lambda t: argmax_fold(t.drop_columns(["b"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("sum(n)", pa.int64()),
+                ("b", pa.int32()),
+            ]
+        ),
+    )
+
+
+SQL_GROUP_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       event_type AS mode_type,
+       n AS mode_n
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY n DESC, event_type ASC
+) = 1
+"""
+
+
+def q_type_entropy(sf_dir):
+    """Per-user Shannon entropy of the event-type distribution in
+    integer micro-nats — the diversity/anomaly score a behavioural
+    audit computes next to q_activity_histogram's volume profile.
+
+    Closed form avoiding any float accumulation:
+
+        H = ln N − (Σ_types c·ln c) / N
+
+    Quantize ln BEFORE every sum (the unigram_logprob discipline):
+    S = Σ c·round(ln(c)·10⁶) is then int64-exact and summation-order
+    independent, and h_micro = round(ln(N)·10⁶) − S // N (all terms
+    ≥ 0, so DuckDB's truncating // equals numpy's floor //). Shape:
+    per-batch (user, type) count combiner, one composite groupby, one
+    user groupby — no driver state."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .sum(["n"])
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        c = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(np.log(c.astype(np.float64)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": pa.array(c * q),
+                "n": pa.array(c),
+            }
+        )
+
+    per_user = (
+        counted.map_batches(terms, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.round(np.log(n.astype(np.float64)) * 1e6).astype(np.int64) - s // n
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "h_micro": pa.array(h),
+                "n_events": pa.array(n),
+            }
+        )
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+s AS (
+  SELECT user_id,
+         CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s // n AS h_micro,
+       n AS n_events
+FROM s
+"""
+
+
 def q_convoys(sf_dir):
     """Convoy / flock detection (stages/journey.py convoys): per
     unordered user pair, the maximal runs of >= 2 CONSECUTIVE hour
@@ -5949,6 +6258,10 @@ QUERIES = {
     "session_bigrams": q_session_bigrams,
     "attribution": q_attribution,
     "activity_histogram": q_activity_histogram,
+    "user_pagerank": q_user_pagerank,
+    "group_mode": q_group_mode,
+    "type_entropy": q_type_entropy,
+    "weighted_sample": q_weighted_sample,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -6138,6 +6451,10 @@ ORACLES = {
     "session_bigrams": SQL_SESSION_BIGRAMS,
     "attribution": SQL_ATTRIBUTION,
     "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
+    "user_pagerank": SQL_USER_PAGERANK,
+    "group_mode": SQL_GROUP_MODE,
+    "type_entropy": SQL_TYPE_ENTROPY,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,

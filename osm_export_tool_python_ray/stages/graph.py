@@ -445,3 +445,141 @@ def butterfly_counts(pairs_ds, count_col="n_shared", num_partitions=8):
         .groupby("user_id")
         .aggregate(Sum("bf", alias_name="butterflies"))
     )
+
+
+def pagerank_scores(
+    pairs_ds,
+    a_col="user_a",
+    b_col="user_b",
+    w_col="n_shared",
+    iters=3,
+    d_num=85,
+    d_den=100,
+    s0=1_000_000,
+    base=150_000,
+    num_buckets=16,
+):
+    """Weighted PageRank over ANY undirected pair table → Dataset
+    (node, score). The generic-graph sibling of ``textrank_scores``
+    (same integer-exact power iteration, same per-iteration shape:
+    one keyed join + one groupby-sum), but over arbitrary int64 node
+    ids instead of a driver-held vocabulary — node state lives ONLY in
+    datasets, so the graph can be billions of nodes.
+
+    Per iteration (micro-unit int64 arithmetic, floor division —
+    summation-order independent, DuckDB-rederivable):
+
+        s_{t+1}(v) = base + Σ_{(u,v)∈E} (d_num · s_t(u) · w_uv)
+                                        // (d_den · wdeg_u)
+
+    The node domain is "nodes with ≥1 edge" (isolated nodes never
+    appear in a pair table). Scale shape: the directed edge aggregate
+    (2 rows per pair, with wdeg attached once) is materialized and
+    reused every iteration; each iteration is one bucket_join + one
+    groupby — no driver state at all. Overflow bound: d_num·s·w must
+    fit int64; s plateaus near base·n_frontier growth so w up to ~10⁹
+    is safe at the defaults.
+
+    No reference analog — engine mandate (iterative graph centrality
+    over the co-location graph; Page et al. 1999).
+    """
+    import ray.data
+
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    i64 = pa.int64()
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    directed = pairs_ds.map_batches(to_directed, batch_format="pyarrow")
+    wdeg = directed.groupby("src").sum(["w"])
+    wdeg = wdeg.map_batches(
+        lambda t: pa.table(
+            {"src": t.column("src"), "wd": t.column("sum(w)").cast(i64)}
+        ),
+        batch_format="pyarrow",
+    )
+    edges = bucket_join(
+        directed,
+        wdeg,
+        key="src",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("src", i64), ("dst", i64), ("w", i64)]),
+        right_schema=pa.schema([("src", i64), ("wd", i64)]),
+    ).materialize()  # reused every iteration
+
+    nodes = wdeg.map_batches(
+        lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+    ).materialize()
+    scores = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("node"),
+                "s": pa.array(np.full(t.num_rows, s0, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(iters):
+        joined = bucket_join(
+            edges,
+            scores,
+            key="src",
+            num_buckets=num_buckets,
+            left_schema=pa.schema(
+                [("src", i64), ("dst", i64), ("w", i64), ("wd", i64)]
+            ),
+            right_schema=pa.schema([("src", i64), ("s", i64)]),
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            wd = t.column("wd").to_numpy(zero_copy_only=False)
+            c = (d_num * s * w) // (d_den * wd)
+            return pa.table({"dst": t.column("dst"), "c": pa.array(c)})
+
+        sums = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .sum(["c"])
+        )
+        sums = sums.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"), "cs": t.column("sum(c)").cast(i64)}
+            ),
+            batch_format="pyarrow",
+        )
+        merged = bucket_join(
+            nodes,
+            sums,
+            key="node",
+            how="left",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("node", i64)]),
+            right_schema=pa.schema([("node", i64), ("cs", i64)]),
+        )
+
+        def add_base(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            cs = pc_.fill_null(t.column("cs"), 0)
+            return pa.table({"src": t.column("node"), "s": pc_.add(cs, base)})
+
+        scores = merged.map_batches(add_base, batch_format="pyarrow").materialize()
+
+    return scores.map_batches(
+        lambda t: pa.table({"node": t.column("src"), "score": t.column("s")}),
+        batch_format="pyarrow",
+    )

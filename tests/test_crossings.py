@@ -965,3 +965,74 @@ class TestNeardupDegree:
         }
         assert got == dict(want)
         assert sum(d * n for d, n in got.items()) == 2 * len(pairs)
+
+
+class TestGroupMode:
+    def test_mode_with_tiebreak(self, ray_session):
+        """Engine mode == brute-force Counter mode with the pinned
+        (count desc, type asc) tie-break, over the real sf0.001 events."""
+        from collections import Counter, defaultdict
+
+        import duckdb
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        out = {
+            r["user_id"]: (r["mode_type"], r["mode_n"])
+            for r in QUERIES["group_mode"]("/root/testdata/sf0.001").take_all()
+        }
+        con = duckdb.connect()
+        df = con.execute(
+            "SELECT user_id, event_type FROM"
+            " read_parquet('/root/testdata/sf0.001/events.parquet')"
+        ).df()
+        per = defaultdict(Counter)
+        for u, t in zip(df["user_id"], df["event_type"]):
+            per[int(u)][t] += 1
+        want = {
+            u: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            for u, c in per.items()
+        }
+        want = {u: (t, n) for u, (t, n) in want.items()}
+        assert out == want
+
+
+class TestTypeEntropy:
+    def test_uniform_and_point_mass(self, ray_session, tmp_path):
+        """Planted distributions: a point mass has zero entropy; a
+        uniform K-type user has round(ln(K)*1e6) micro-nats exactly
+        (the c=N/K terms cancel by the closed form)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rows_u, rows_t = [], []
+        # user 1: 12 events of one type -> H = 0
+        rows_u += [1] * 12
+        rows_t += ["a"] * 12
+        # user 2: 4 types x 3 each -> H = ln 4 exactly:
+        # round(ln12*1e6) - (12*round(ln3*1e6))//12 = round(ln12*1e6)-round(ln3*1e6)
+        rows_u += [2] * 12
+        rows_t += ["a", "b", "c", "d"] * 3
+        t = pa.table(
+            {
+                "event_id": pa.array(range(24), type=pa.int64()),
+                "ts": pa.array([0] * 24, type=pa.timestamp("us")),
+                "user_id": pa.array(rows_u, type=pa.int64()),
+                "event_type": pa.array(rows_t, type=pa.string()),
+                "value": pa.array([0.0] * 24),
+                "props": pa.array([""] * 24),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        out = {
+            r["user_id"]: (r["h_micro"], r["n_events"])
+            for r in QUERIES["type_entropy"](str(d)).take_all()
+        }
+        ln12 = int(np.round(np.log(12.0) * 1e6))
+        ln3 = int(np.round(np.log(3.0) * 1e6))
+        assert out[1] == (0, 12)
+        assert out[2] == (ln12 - ln3, 12)

@@ -186,3 +186,72 @@ class TestButterflies:
                 expect[v] = expect.get(v, 0) + bf
         got = self._run([(u, v, s) for (u, v), s in sorted(c.items())])
         assert got == expect
+
+
+class TestPagerank:
+    """Generic-graph PageRank (stages/graph.py pagerank_scores):
+    integer-exact power iteration vs a numpy reference on the same
+    quantized recurrence, plus symmetry/determinism invariants."""
+
+    @staticmethod
+    def _run(pair_rows, iters=3):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.graph import pagerank_scores
+
+        tbl = pa.table(
+            {
+                "user_a": pa.array([r[0] for r in pair_rows], type=pa.int64()),
+                "user_b": pa.array([r[1] for r in pair_rows], type=pa.int64()),
+                "n_shared": pa.array([r[2] for r in pair_rows], type=pa.int64()),
+            }
+        )
+        res = pagerank_scores(ray.data.from_arrow(tbl), iters=iters).take_all()
+        return {r["node"]: r["score"] for r in res}
+
+    @staticmethod
+    def _reference(pair_rows, iters=3, base=150_000, s0=1_000_000):
+        # same integer recurrence, dense numpy
+        edges = {}
+        for a, b, w in pair_rows:
+            edges[(a, b)] = edges.get((a, b), 0) + w
+            edges[(b, a)] = edges.get((b, a), 0) + w
+        nodes = sorted({n for e in edges for n in e})
+        wdeg = {n: sum(w for (s, _d), w in edges.items() if s == n) for n in nodes}
+        s = {n: s0 for n in nodes}
+        for _ in range(iters):
+            nxt = {}
+            for v in nodes:
+                tot = 0
+                for (u, d), w in edges.items():
+                    if d == v:
+                        tot += (85 * s[u] * w) // (100 * wdeg[u])
+                nxt[v] = base + tot
+            s = nxt
+        return s
+
+    def test_matches_dense_reference(self, ray_session):
+        rng = np.random.RandomState(7)
+        pairs = []
+        seen = set()
+        for _ in range(60):
+            a, b = sorted(rng.randint(0, 15, 2))
+            if a == b or (a, b) in seen:
+                continue
+            seen.add((a, b))
+            pairs.append((int(a), int(b), int(rng.randint(1, 5))))
+        assert self._run(pairs) == self._reference(pairs)
+
+    def test_star_symmetry(self, ray_session):
+        # leaves of a uniform star get identical scores; hub dominates
+        got = self._run([(0, i, 1) for i in range(1, 6)])
+        leaf_scores = {got[i] for i in range(1, 6)}
+        assert len(leaf_scores) == 1
+        assert got[0] > got[1]
+
+    def test_parallelism_determinism(self, ray_session):
+        pairs = [(i % 9, (i * 7 + 1) % 9, 1 + i % 3) for i in range(30)
+                 if i % 9 != (i * 7 + 1) % 9]
+        a = self._run(pairs, iters=2)
+        b = self._run(pairs, iters=2)
+        assert a == b

@@ -400,3 +400,39 @@ class TestStratifiedSample:
         langs = [["en", "fr", "de"][i % 3] for i in range(300)]
         sf = write_sf_dir(tmp_path, texts, langs=langs)
         oracle_compare(sf, ["stratified_sample"])
+
+
+class TestWeightedSample:
+    def test_brute_force_aes_order(self, ray_session, tmp_path):
+        """Engine selection == brute-force Efraimidis–Spirakis on the
+        same quantized rational keys; longer docs win more slots than
+        under the unweighted stratified sampler."""
+        import hashlib
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rng = np.random.default_rng(5)
+        texts = ["x" * int(n) for n in rng.integers(1, 400, size=250)]
+        sf = write_sf_dir(tmp_path, texts)
+        out = QUERIES["weighted_sample"](sf).to_pandas()
+        got = list(zip(out["rank"], out["doc_id"]))
+        # brute force over the written parquet
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(sf + "/documents.parquet").to_pydict()
+        M = 1 << 31
+        keys = []
+        for d, n in zip(t["doc_id"], t["n_chars"]):
+            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little")
+            u = ((h % M) + 1.0) / (M + 1)
+            lnq = int(np.round(np.log(u) * 1e6))
+            akey = (lnq * 1_000_000_000) // max(int(n), 1)
+            keys.append((-akey, d))
+        keys.sort()
+        want = [(i + 1, d) for i, (_k, d) in enumerate(keys[:100])]
+        assert sorted(got) == want
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        texts = ["word " * (1 + i % 37) for i in range(300)]
+        sf = write_sf_dir(tmp_path, texts)
+        oracle_compare(sf, ["weighted_sample"])
