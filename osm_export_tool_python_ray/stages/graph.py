@@ -482,6 +482,14 @@ def pagerank_scores(
 
     No reference analog — engine mandate (iterative graph centrality
     over the co-location graph; Page et al. 1999).
+
+    Known multi-node upgrade path (NOT needed single-node, where fixed
+    task overhead dominates): each iteration currently re-exchanges the
+    edge aggregate through bucket_join. A cluster-scale variant would
+    pin the edge blocks bucketed by src%B once and per iteration move
+    ONLY the score rows to the matching buckets (raw-task zip join over
+    the materialized block refs) — edges-stay-put, Pregel-style. The
+    arithmetic and results are identical; only data movement changes.
     """
     import ray.data
 
@@ -501,14 +509,21 @@ def pagerank_scores(
             }
         )
 
-    directed = pairs_ds.map_batches(to_directed, batch_format="pyarrow")
+    # materialize ONCE: both consumers below (wdeg groupby + edge join)
+    # would otherwise re-execute the full upstream pair-derivation
+    # lineage (e.g. the encounters exchange) — the dedup_clusters
+    # double-execution class. The directed edge aggregate is 2 rows per
+    # pair and lives in the object store from here on.
+    directed = pairs_ds.map_batches(to_directed, batch_format="pyarrow").materialize()
     wdeg = directed.groupby("src").sum(["w"])
+    # two consumers (edge join + node set) — materialize the tiny
+    # degree table once rather than re-running its groupby
     wdeg = wdeg.map_batches(
         lambda t: pa.table(
             {"src": t.column("src"), "wd": t.column("sum(w)").cast(i64)}
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     edges = bucket_join(
         directed,
         wdeg,
@@ -518,13 +533,10 @@ def pagerank_scores(
         right_schema=pa.schema([("src", i64), ("wd", i64)]),
     ).materialize()  # reused every iteration
 
-    nodes = wdeg.map_batches(
-        lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
-    ).materialize()
-    scores = nodes.map_batches(
+    scores = wdeg.map_batches(
         lambda t: pa.table(
             {
-                "src": t.column("node"),
+                "src": t.column("src"),
                 "s": pa.array(np.full(t.num_rows, s0, dtype=np.int64)),
             }
         ),
@@ -555,29 +567,22 @@ def pagerank_scores(
             .groupby("dst")
             .sum(["c"])
         )
-        sums = sums.map_batches(
-            lambda t: pa.table(
-                {"node": t.column("dst"), "cs": t.column("sum(c)").cast(i64)}
-            ),
-            batch_format="pyarrow",
-        )
-        merged = bucket_join(
-            nodes,
-            sums,
-            key="node",
-            how="left",
-            num_buckets=num_buckets,
-            left_schema=pa.schema([("node", i64)]),
-            right_schema=pa.schema([("node", i64), ("cs", i64)]),
-        )
-
+        # no left-join back onto a node set: in an undirected graph every
+        # node with an out-edge also has an in-edge, so groupby(dst)
+        # already yields EXACTLY the node domain — one exchange per
+        # iteration instead of two (textrank keeps the join because its
+        # vocabulary can contain edge-less terms; here it cannot)
         def add_base(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc_
 
-            cs = pc_.fill_null(t.column("cs"), 0)
-            return pa.table({"src": t.column("node"), "s": pc_.add(cs, base)})
+            return pa.table(
+                {
+                    "src": t.column("dst"),
+                    "s": pc_.add(t.column("sum(c)").cast(i64), base),
+                }
+            )
 
-        scores = merged.map_batches(add_base, batch_format="pyarrow").materialize()
+        scores = sums.map_batches(add_base, batch_format="pyarrow").materialize()
 
     return scores.map_batches(
         lambda t: pa.table({"node": t.column("src"), "score": t.column("s")}),
