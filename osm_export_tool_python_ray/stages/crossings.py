@@ -331,6 +331,14 @@ def segment_crossings(
         num_partitions=num_partitions,
         payload_schema=_PAIR_SCHEMA,
     )
-    return partials.groupby(["user_a", "user_b"]).aggregate(
-        Sum("n_partial", alias_name="n_cross")
+    # keyed_sum fold, not ray.data's row-walking two-key HashAggregate
+    # (see stages/exchange.py keyed_sum — measured 300× on the fold)
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+
+    return keyed_sum(
+        partials,
+        keys=["user_a", "user_b"],
+        sums=[("n_partial", "n_cross")],
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
     )

@@ -394,3 +394,70 @@ def _task_exchange(ds, key, fn, num_partitions):
         # empty exchange: preserve emptiness without a schema guess
         return ray.data.from_items([]).map_batches(lambda b: b)
     return ray.data.from_arrow_refs(live)
+
+
+def keyed_sum(ds, keys, sums, num_buckets=32, num_partitions=8):
+    """Exact SUM over int64 group keys via ONE grouped_map exchange and a
+    vectorized lexsort + ``np.add.reduceat`` fold — the drop-in
+    replacement for ``ds.groupby(keys).aggregate(Sum(...), ...)`` on
+    int64 keys. Motivation (measured, sf0.1/32 cpus): ray.data's
+    two-key HashAggregate folded the 425 k-row encounter pair partials
+    at ~50 k rows/s — 15.9 s of a 17.5 s pipeline; this fold does the
+    identical arithmetic in ~0.2 s. Ray's hash aggregate walks rows
+    through a per-key accumulator; this walks columns.
+
+    ``keys``: list of int64 key column names. ``sums``: list of
+    (value_col, alias) pairs, int64 values. Output columns: keys +
+    aliases, one row per distinct key tuple. The bucket is a polynomial
+    hash of the keys (collisions only co-locate extra groups — the
+    grouped_map contract needs all-equal-keys-same-bucket, nothing
+    more)."""
+    import numpy as np
+    import pyarrow as pa
+
+    value_cols = [c for c, _a in sums]
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        acc = np.zeros(n, dtype=np.int64)
+        for k in keys:
+            acc = acc * np.int64(1_000_003) + t.column(k).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        return t.append_column(
+            "__ksbucket", pa.array((acc % num_buckets).astype(np.int32))
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            cols = {k: pa.array([], type=pa.int64()) for k in keys}
+            for _c, a in sums:
+                cols[a] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        karr = [
+            g.column(k).to_numpy(zero_copy_only=False).astype(np.int64)
+            for k in keys
+        ]
+        order = np.lexsort(tuple(reversed(karr)))
+        karr = [k[order] for k in karr]
+        first = np.zeros(len(order), dtype=bool)
+        first[0] = True
+        for k in karr:
+            first[1:] |= k[1:] != k[:-1]
+        ps = np.nonzero(first)[0]
+        cols = {name: pa.array(k[ps]) for name, k in zip(keys, karr)}
+        for c, a in sums:
+            v = g.column(c).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            cols[a] = pa.array(np.add.reduceat(v, ps))
+        return pa.table(cols)
+
+    schema = pa.schema(
+        [(k, pa.int64()) for k in keys] + [(c, pa.int64()) for c in value_cols]
+    )
+    return grouped_map(
+        ds.map_batches(bucketed, batch_format="pyarrow"),
+        "__ksbucket",
+        lambda g: fold(g.drop_columns(["__ksbucket"])),
+        num_partitions=num_partitions,
+        payload_schema=schema,
+    )

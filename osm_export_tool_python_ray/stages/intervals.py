@@ -202,9 +202,16 @@ def session_overlap_join(
         num_partitions=num_partitions,
         payload_schema=pa.schema(list(_SES_SCHEMA) + [pa.field("epoch", pa.int64())]),
     )
-    return partials.groupby(["user_a", "user_b"]).aggregate(
-        Sum("n_partial", alias_name="n_overlaps"),
-        Sum("ov_partial", alias_name="overlap_us"),
+    # keyed_sum fold, not ray.data's row-walking two-key HashAggregate
+    # (see stages/exchange.py keyed_sum)
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+
+    return keyed_sum(
+        partials,
+        keys=["user_a", "user_b"],
+        sums=[("n_partial", "n_overlaps"), ("ov_partial", "overlap_us")],
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
     )
 
 

@@ -842,8 +842,20 @@ def encounters(
         num_partitions=num_partitions,
         payload_schema=pa.schema([("gkey", pa.int64()), ("user_id", pa.int64())]),
     )
-    return partials.groupby(["user_a", "user_b"]).aggregate(
-        Sum("n_partial", alias_name="n_shared")
+
+    # final pair fold via keyed_sum, NOT ray.data
+    # groupby(['user_a','user_b']) — measured 15.9 s of a 17.5 s
+    # encounters() run at sf0.1/32 cpus went into the two-key
+    # HashAggregate (~50 k rows/s); the vectorized fold does the
+    # identical sum at numpy speed (17.5 s → 5.0 s end to end).
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+
+    return keyed_sum(
+        partials,
+        keys=["user_a", "user_b"],
+        sums=[("n_partial", "n_shared")],
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
     )
 
 
