@@ -243,6 +243,8 @@ def run_query_suite(sf_dir):
         ("group_mode", Q.q_group_mode),
         ("type_entropy", Q.q_type_entropy),
         ("weighted_sample", Q.q_weighted_sample),
+        ("user_paths", Q.q_user_paths),
+        ("hour_pivot", Q.q_hour_pivot),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

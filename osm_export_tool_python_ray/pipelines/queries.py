@@ -3955,6 +3955,185 @@ FROM s
 """
 
 
+def q_user_paths(sf_dir):
+    """Ordered group-concat (sequence assembly): per user, the FIRST 20
+    event types in (ts, event_id) order joined with ',' plus the user's
+    total event count — the session-path string a Markov/behavior model
+    trains on. The collect_list/string_agg holistic aggregate the
+    engine's sum/count/quantile/mode family lacked. ONE user-keyed
+    exchange; the fold is a vectorized lexsort + segment-boundary scan
+    with only a per-GROUP (never per-row) join loop, capped at 20
+    elements per group."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(ts),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "bucket": pa.array((u % 32).astype(np.int32)),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [("user_id", pa.int64()), ("path", pa.string()), ("n_events", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        starts = np.nonzero(np.concatenate([[True], u[1:] != u[:-1]]))[0]
+        ends = np.append(starts[1:], len(u))
+        paths = [
+            ",".join(et[s : min(s + 20, e)]) for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "path": pa.array(paths, type=pa.string()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        lambda g: fold(g.drop_columns(["bucket"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+    )
+
+
+SQL_USER_PATHS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT o.user_id,
+       string_agg(o.event_type, ',' ORDER BY o.rn) AS path,
+       c.n_events
+FROM o JOIN c USING (user_id)
+WHERE o.rn <= 20
+GROUP BY o.user_id, c.n_events
+"""
+
+
+def q_hour_pivot(sf_dir):
+    """Crosstab / PIVOT: event_type × hour-of-day counts as a WIDE
+    24-column table (h0..h23, total) — the report-shaped output BI
+    tools expect, as opposed to cube_rollup's long-form grouping sets.
+    Per-batch (type, hour) combiner collapses events to ≤ |types|·24
+    rows before ONE type-keyed exchange; the pivot fold is a vectorized
+    scatter into a (groups × 24) matrix."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hr = (ts // np.int64(3_600_000_000)) % 24
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        types, inv = np.unique(et, return_inverse=True)
+        pk = inv.astype(np.int64) * 24 + hr
+        upk, cnt = np.unique(pk, return_counts=True)
+        ti = (upk // 24).astype(np.int64)
+        # deterministic cross-process hash (builtin hash() is seeded
+        # per process — same type would land in different buckets)
+        import hashlib as _hl
+
+        th = np.asarray(
+            [
+                int.from_bytes(
+                    _hl.md5(s.encode()).digest()[:8], "little", signed=False
+                )
+                % (1 << 62)
+                for s in types[ti]
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(list(types[ti]), type=pa.string()),
+                "hr": pa.array(upk % 24),
+                "n": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array((th % 16).astype(np.int32)),
+            }
+        )
+
+    def pivot(g: pa.Table) -> pa.Table:
+        fields = [("event_type", pa.string())] + [
+            ("h%d" % h, pa.int64()) for h in range(24)
+        ] + [("total", pa.int64())]
+        if g.num_rows == 0:
+            return pa.schema(fields).empty_table()
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        hr = g.column("hr").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        mat = np.zeros((len(types), 24), dtype=np.int64)
+        np.add.at(mat, (inv, hr), n)
+        cols = {"event_type": pa.array(list(types), type=pa.string())}
+        for h in range(24):
+            cols["h%d" % h] = pa.array(mat[:, h])
+        cols["total"] = pa.array(mat.sum(axis=1))
+        return pa.table(cols)
+
+    return grouped_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        lambda g: pivot(g.drop_columns(["bucket"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [("event_type", pa.string()), ("hr", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+
+
+SQL_HOUR_PIVOT = (
+    "SELECT event_type, "
+    + ", ".join(
+        "CAST(count(*) FILTER (WHERE (epoch_us(ts) // 3600000000) %% 24 = %d)"
+        " AS BIGINT) AS h%d" % (h, h)
+        for h in range(24)
+    )
+    + ", CAST(count(*) AS BIGINT) AS total FROM events GROUP BY event_type"
+)
+
+
 def q_convoys(sf_dir):
     """Convoy / flock detection (stages/journey.py convoys): per
     unordered user pair, the maximal runs of >= 2 CONSECUTIVE hour
@@ -6262,6 +6441,8 @@ QUERIES = {
     "group_mode": q_group_mode,
     "type_entropy": q_type_entropy,
     "weighted_sample": q_weighted_sample,
+    "user_paths": q_user_paths,
+    "hour_pivot": q_hour_pivot,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -6455,6 +6636,8 @@ ORACLES = {
     "group_mode": SQL_GROUP_MODE,
     "type_entropy": SQL_TYPE_ENTROPY,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "user_paths": SQL_USER_PATHS,
+    "hour_pivot": SQL_HOUR_PIVOT,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,

@@ -1036,3 +1036,67 @@ class TestTypeEntropy:
         ln3 = int(np.round(np.log(3.0) * 1e6))
         assert out[1] == (0, 12)
         assert out[2] == (ln12 - ln3, 12)
+
+
+def _tiny_events_dir(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+class TestUserPaths:
+    def test_order_cap_and_count(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rows = []
+        # user 1: 25 events, types cycle a,b,c — path = first 20 in ts order
+        for i in range(25):
+            rows.append((100 + i, 1_000_000 * i, 1, "abc"[i % 3]))
+        # user 2: ts ties broken by event_id
+        rows.append((7, 5, 2, "z"))
+        rows.append((3, 5, 2, "y"))
+        sf = _tiny_events_dir(tmp_path, rows)
+        out = {
+            r["user_id"]: (r["path"], r["n_events"])
+            for r in QUERIES["user_paths"](sf).take_all()
+        }
+        want1 = ",".join("abc"[i % 3] for i in range(20))
+        assert out[1] == (want1, 25)
+        assert out[2] == ("y,z", 2)  # event_id 3 before 7 at equal ts
+
+
+class TestHourPivot:
+    def test_wide_counts(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        HOUR = 3_600_000_000
+        rows = [
+            (1, 0 * HOUR, 1, "click"),
+            (2, 0 * HOUR + 5, 1, "click"),
+            (3, 23 * HOUR, 2, "click"),
+            (4, 1 * HOUR, 1, "view"),
+            (5, 25 * HOUR, 2, "view"),  # wraps to h1
+        ]
+        sf = _tiny_events_dir(tmp_path, rows)
+        out = {r["event_type"]: r for r in QUERIES["hour_pivot"](sf).take_all()}
+        assert out["click"]["h0"] == 2
+        assert out["click"]["h23"] == 1
+        assert out["click"]["total"] == 3
+        assert out["view"]["h1"] == 2
+        assert out["view"]["total"] == 2
+        assert sum(out["view"]["h%d" % h] for h in range(24)) == 2
