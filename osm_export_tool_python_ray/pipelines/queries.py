@@ -886,6 +886,172 @@ QUALIFY rank <= 20
 """.format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
 
 
+def q_lang_mad(sf_dir):
+    """Robust statistics per group: median and median-absolute-deviation
+    of doc length per language — the outlier-resistant spread measure a
+    corpus audit uses where stddev is poisoned by the long tail. Both
+    quantile cuts come from ONE histogram exchange (the char_quantiles
+    combiner): the per-group (value, count) histogram is complete inside
+    the fold, so the deviation quantile needs NO second data pass —
+    deviations are re-binned from the histogram itself. Integer-exact;
+    rank convention pinned to DuckDB quantile_disc (1-indexed
+    ceil(q·n))."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        v = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs, inv = np.unique(lang, return_inverse=True)
+        pair = inv.astype(np.int64) << np.int64(40) | v
+        upair, cnt = np.unique(pair, return_counts=True)
+        li = (upair >> np.int64(40)).astype(np.int64)
+        import hashlib as _hl
+
+        lb = np.asarray(
+            [
+                int.from_bytes(_hl.md5(s.encode()).digest()[:4], "little") % 16
+                for s in langs
+            ],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "lang": pa.array(list(langs[li]), type=pa.string()),
+                "value": pa.array(upair & np.int64((1 << 40) - 1)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array(lb[li]),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_docs", pa.int64()),
+                ("median_chars", pa.int64()),
+                ("mad_chars", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        # merge cross-batch histogram partials first
+        g = g.group_by(["lang", "value"]).aggregate([("cnt", "sum")])
+        g = g.sort_by([("lang", "ascending"), ("value", "ascending")])
+        lang = np.asarray(g.column("lang").to_pylist(), dtype=object)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt_sum").to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.concatenate(([True], lang[1:] != lang[:-1])))[0]
+        ends = np.append(starts[1:], len(lang))
+        out = {"lang": [], "n_docs": [], "median_chars": [], "mad_chars": []}
+        for s, e in zip(starts, ends):
+            vv, cc = val[s:e], cnt[s:e]
+            cum = np.cumsum(cc)
+            n = int(cum[-1])
+            med = int(vv[np.searchsorted(cum, np.ceil(0.5 * n), side="left")])
+            dev = np.abs(vv - med)
+            order = np.argsort(dev, kind="stable")
+            dcum = np.cumsum(cc[order])
+            mad = int(dev[order][np.searchsorted(dcum, np.ceil(0.5 * n), side="left")])
+            out["lang"].append(lang[s])
+            out["n_docs"].append(n)
+            out["median_chars"].append(med)
+            out["mad_chars"].append(mad)
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "median_chars": pa.array(out["median_chars"], type=pa.int64()),
+                "mad_chars": pa.array(out["mad_chars"], type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_map(ds, "bucket", lambda g: fold(g.drop_columns(["bucket"])), num_partitions=8)
+
+
+SQL_LANG_MAD = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(m.med) AS BIGINT) AS median_chars,
+       CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad_chars
+FROM documents d JOIN m USING (lang)
+GROUP BY d.lang
+"""
+
+
+def q_embedding_coverage(sf_dir):
+    """Referential-integrity audit (relational ANTI-join, aggregated):
+    per language, how many documents have NO embedding row
+    (doc_id ∉ embeddings.vec_id) — the coverage-gap report run before
+    any embedding-dependent stage (ANN, dedup, clustering). Rides
+    bucket_join(how='left') + a null count: one keyed exchange, both
+    sides streamed, no broadcast requirement (the embedding table is as
+    large as the corpus at production scale). Aggregated rather than
+    row-listing so the report is stable and non-empty at any coverage
+    level (a fully-covered corpus returns n_missing = 0 per lang, not
+    an empty — and schema-less — dataset)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    embs = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("vec_id"),
+                "has_emb": pa.array(
+                    np.ones(t.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        docs,
+        embs,
+        key="doc_id",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("has_emb", pa.int8())]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        miss = pc.is_null(t.column("has_emb")).to_numpy(zero_copy_only=False)
+        langs, inv = np.unique(lang, return_inverse=True)
+        n = np.bincount(inv, minlength=len(langs)).astype(np.int64)
+        nm = np.bincount(inv, weights=miss.astype(np.float64), minlength=len(langs)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(list(langs), type=pa.string()),
+                "n_docs": pa.array(n),
+                "n_missing": pa.array(nm),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_missing", alias_name="n_missing"))
+    )
+
+
+SQL_EMBEDDING_COVERAGE = """
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE e.vec_id IS NULL) AS BIGINT) AS n_missing
+FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 def q_weighted_sample(sf_dir):
     """Deterministic WEIGHTED sample without replacement (Efraimidis &
     Spirakis 2006 A-ES): keep the k=100 docs with the largest
@@ -6443,6 +6609,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "user_paths": q_user_paths,
     "hour_pivot": q_hour_pivot,
+    "lang_mad": q_lang_mad,
+    "embedding_coverage": q_embedding_coverage,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -6638,6 +6806,8 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "user_paths": SQL_USER_PATHS,
     "hour_pivot": SQL_HOUR_PIVOT,
+    "lang_mad": SQL_LANG_MAD,
+    "embedding_coverage": SQL_EMBEDDING_COVERAGE,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,

@@ -436,3 +436,53 @@ class TestWeightedSample:
         texts = ["word " * (1 + i % 37) for i in range(300)]
         sf = write_sf_dir(tmp_path, texts)
         oracle_compare(sf, ["weighted_sample"])
+
+
+class TestLangMad:
+    def test_brute_force(self, ray_session, tmp_path):
+        """Median and MAD match a brute-force per-group computation with
+        the pinned quantile_disc rank convention (1-indexed ceil(q*n))."""
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rng = np.random.default_rng(11)
+        texts = ["x" * int(n) for n in rng.integers(1, 500, size=240)]
+        langs = [["en", "fr", "de"][i % 3] for i in range(240)]
+        sf = write_sf_dir(tmp_path, texts, langs=langs)
+        out = {
+            r["lang"]: (r["median_chars"], r["mad_chars"], r["n_docs"])
+            for r in QUERIES["lang_mad"](sf).take_all()
+        }
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(sf + "/documents.parquet").to_pydict()
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for l, n in zip(t["lang"], t["n_chars"]):
+            per[l].append(int(n))
+
+        def qdisc(vals):
+            vals = sorted(vals)
+            return vals[int(np.ceil(0.5 * len(vals))) - 1]
+
+        for l, vals in per.items():
+            med = qdisc(vals)
+            mad = qdisc([abs(v - med) for v in vals])
+            assert out[l] == (med, mad, len(vals)), l
+
+
+class TestEmbeddingCoverage:
+    def test_counts_at_sf01(self, ray_session):
+        """sf0.1 has a real coverage gap (5000 docs, 2000 embeddings):
+        totals must add up and missing must be positive."""
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rows = QUERIES["embedding_coverage"]("/root/testdata/sf0.1").take_all()
+        assert sum(r["n_docs"] for r in rows) == 5000
+        assert sum(r["n_missing"] for r in rows) == 3000
+
+    def test_full_coverage_zero_missing(self, ray_session):
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        rows = QUERIES["embedding_coverage"]("/root/testdata/sf0.001").take_all()
+        assert rows and all(r["n_missing"] == 0 for r in rows)
