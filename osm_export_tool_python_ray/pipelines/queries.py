@@ -1052,6 +1052,71 @@ GROUP BY d.lang
 """
 
 
+def q_monthly_rollup(sf_dir):
+    """Calendar-grain rollup: per (calendar month, event_type), event
+    count and exact value sum in integer cents — the civil-calendar
+    sibling of events_window's hourly bucketing (months are not a fixed
+    number of microseconds, so epoch arithmetic can't produce them).
+    numpy's datetime64[M] cast IS the civil-month truncation and matches
+    DuckDB date_trunc('month', ts) exactly. Per-batch (month, type)
+    combiner, one tiny keyed groupby; cents quantized per row before any
+    sum (the cube_rollup discipline) so totals are summation-order
+    independent."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        month = ts.astype("datetime64[M]").astype("datetime64[us]")
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        types, tinv = np.unique(et, return_inverse=True)
+        months, minv = np.unique(month, return_inverse=True)
+        pk = minv.astype(np.int64) * len(types) + tinv
+        upk, inv = np.unique(pk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        # exact int64 group sums via sorted reduceat (bincount weights
+        # would route through float64 — exact only below 2^53)
+        order = np.argsort(inv, kind="stable")
+        cs = cents[order]
+        starts = np.nonzero(
+            np.concatenate([[True], inv[order][1:] != inv[order][:-1]])
+        )[0]
+        c = np.add.reduceat(cs, starts)
+        return pa.table(
+            {
+                "month": pa.array(months[(upk // len(types)).astype(np.int64)]),
+                "event_type": pa.array(
+                    list(types[(upk % len(types)).astype(np.int64)]),
+                    type=pa.string(),
+                ),
+                "n": pa.array(n),
+                "value_cents": pa.array(c),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["month", "event_type"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+        )
+    )
+
+
+SQL_MONTHLY_ROLLUP = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_weighted_sample(sf_dir):
     """Deterministic WEIGHTED sample without replacement (Efraimidis &
     Spirakis 2006 A-ES): keep the k=100 docs with the largest
@@ -6611,6 +6676,7 @@ QUERIES = {
     "hour_pivot": q_hour_pivot,
     "lang_mad": q_lang_mad,
     "embedding_coverage": q_embedding_coverage,
+    "monthly_rollup": q_monthly_rollup,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -6808,6 +6874,7 @@ ORACLES = {
     "hour_pivot": SQL_HOUR_PIVOT,
     "lang_mad": SQL_LANG_MAD,
     "embedding_coverage": SQL_EMBEDDING_COVERAGE,
+    "monthly_rollup": SQL_MONTHLY_ROLLUP,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,

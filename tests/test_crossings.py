@@ -1100,3 +1100,42 @@ class TestHourPivot:
         assert out["view"]["h1"] == 2
         assert out["view"]["total"] == 2
         assert sum(out["view"]["h%d" % h] for h in range(24)) == 2
+
+
+class TestMonthlyRollup:
+    def test_civil_month_boundaries(self, ray_session, tmp_path):
+        """Events straddling a month boundary (incl. a leap February)
+        land in their civil month; cents sums are exact."""
+        import numpy as np
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        US = 1_000_000
+        def ts(s):
+            return int(np.datetime64(s, "us").astype(np.int64))
+
+        rows = [
+            (1, ts("2024-02-29T23:59:59"), 1, "buy"),   # leap day -> Feb
+            (2, ts("2024-03-01T00:00:00"), 1, "buy"),   # -> Mar
+            (3, ts("2024-02-01T00:00:00"), 2, "buy"),   # -> Feb
+            (4, ts("2024-03-15T12:00:00"), 2, "view"),  # -> Mar
+        ]
+        sf = _tiny_events_dir(tmp_path, rows)
+        # overwrite value column with known cents
+        import pyarrow.parquet as pq_
+        import pyarrow as pa_
+
+        t = pq_.read_table(sf + "/events.parquet")
+        vals = [1.25, 2.50, 0.75, 10.00]
+        t = t.set_column(
+            t.schema.get_field_index("value"), "value", pa_.array(vals)
+        )
+        pq_.write_table(t, sf + "/events.parquet")
+        out = {
+            (str(np.datetime64(r["month"], "us"))[:7], r["event_type"]):
+                (r["n"], r["value_cents"])
+            for r in QUERIES["monthly_rollup"](sf).take_all()
+        }
+        assert out[("2024-02", "buy")] == (2, 200)   # 125 + 75
+        assert out[("2024-03", "buy")] == (1, 250)
+        assert out[("2024-03", "view")] == (1, 1000)
