@@ -1052,6 +1052,107 @@ GROUP BY d.lang
 """
 
 
+def q_gap_histogram(sf_dir):
+    """Window-LAG family: distribution of inter-event gaps per
+    event_type — each user's consecutive-event time delta (the LAG
+    diff), bucketed into float-free log2 µs bins (the
+    activity_histogram binning) and counted per (event_type, bin).
+    The latency/cadence profile a pipeline reads before choosing
+    session gaps and window sizes. ONE user-keyed exchange; the lag is
+    a shifted comparison inside the fold (no per-user loop); zero gaps
+    land in bin −1 (integer bit_length−1 convention on both sides)."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, keyed_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(ts),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "bucket": pa.array((u % 32).astype(np.int32)),
+            }
+        )
+
+    def lag_bins(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [("event_type", pa.string()), ("bin", pa.int64()), ("n", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = u[1:] == u[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        # the gap is attributed to the LATER event's type (the LAG row)
+        typ = et[1:][same]
+        # floor(log2 gap) via frexp; gap == 0 -> bin -1 (frexp exp 0)
+        _m, e = np.frexp(gap.astype(np.float64))
+        b = e.astype(np.int64) - 1
+        types, tinv = np.unique(typ, return_inverse=True)
+        pk = tinv.astype(np.int64) * 128 + (b + 1)
+        upk, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    list(types[(upk // 128).astype(np.int64)]), type=pa.string()
+                ),
+                "bin": pa.array((upk % 128) - 1),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = grouped_map(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        lambda g: lag_bins(g.drop_columns(["bucket"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+    )
+    # final fold over the tiny (type, bin) aggregate
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(["event_type", "bin"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+SQL_GAP_HISTOGRAM = """
+WITH lagged AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN gap = 0 THEN -1
+            ELSE length(bin(CAST(gap AS BIGINT))) - 1 END AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lagged WHERE gap IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_monthly_rollup(sf_dir):
     """Calendar-grain rollup: per (calendar month, event_type), event
     count and exact value sum in integer cents — the civil-calendar
@@ -6677,6 +6778,7 @@ QUERIES = {
     "lang_mad": q_lang_mad,
     "embedding_coverage": q_embedding_coverage,
     "monthly_rollup": q_monthly_rollup,
+    "gap_histogram": q_gap_histogram,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -6875,6 +6977,7 @@ ORACLES = {
     "lang_mad": SQL_LANG_MAD,
     "embedding_coverage": SQL_EMBEDDING_COVERAGE,
     "monthly_rollup": SQL_MONTHLY_ROLLUP,
+    "gap_histogram": SQL_GAP_HISTOGRAM,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,
