@@ -245,6 +245,10 @@ def run_query_suite(sf_dir):
         ("weighted_sample", Q.q_weighted_sample),
         ("user_paths", Q.q_user_paths),
         ("hour_pivot", Q.q_hour_pivot),
+        ("lang_mad", Q.q_lang_mad),
+        ("embedding_coverage", Q.q_embedding_coverage),
+        ("monthly_rollup", Q.q_monthly_rollup),
+        ("gap_histogram", Q.q_gap_histogram),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()

@@ -4386,9 +4386,13 @@ def q_hour_pivot(sf_dir):
     Per-batch (type, hour) combiner collapses events to ≤ |types|·24
     rows before ONE type-keyed exchange; the pivot fold is a vectorized
     scatter into a (groups × 24) matrix."""
-    from osm_export_tool_python_ray.stages.exchange import grouped_map
+    return hour_pivot_over(_read(sf_dir, "events", ["ts", "event_type"]))
 
-    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+def hour_pivot_over(ds):
+    """The hour_pivot stage over ANY events dataset with (ts,
+    event_type) — composable form (see examples/events_analytics.py)."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
 
     def partial(t: pa.Table) -> pa.Table:
         ts = (
