@@ -1218,6 +1218,114 @@ GROUP BY 1, 2
 """
 
 
+def q_length_outliers(sf_dir):
+    """Robust outlier flags: documents whose length deviates from their
+    language's median by more than 3×MAD (the modified z-score gate,
+    integer-exact: |x − med| > 3·mad) — the two-phase
+    aggregate-then-probe composition: phase 1 computes the tiny per-lang
+    (median, MAD) table (q_lang_mad's one histogram exchange), phase 2
+    broadcasts it via ray.put and flags per batch with a searchsorted
+    probe. The corpus is scanned twice but never shuffled; the broadcast
+    is |langs| rows."""
+    import ray
+
+    stats = q_lang_mad(sf_dir).to_pandas()
+    langs = np.asarray(stats["lang"], dtype=object)
+    order = np.argsort(langs)
+    sref = ray.put(
+        (
+            langs[order],
+            stats["median_chars"].to_numpy()[order],
+            stats["mad_chars"].to_numpy()[order],
+        )
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        ls, med, mad = cached_get(sref)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        v = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ls, lang)
+        pos = np.minimum(pos, len(ls) - 1)
+        dev = np.abs(v - med[pos])
+        out = dev > 3 * mad[pos]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_chars": pa.array(v),
+                "deviation": pa.array(dev.astype(np.int64)),
+                "is_outlier": pa.array(out),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT d.lang,
+         max(m.med) AS med,
+         quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN m USING (lang) GROUP BY d.lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(abs(d.n_chars - s.med) AS BIGINT) AS deviation,
+       abs(d.n_chars - s.med) > 3 * s.mad AS is_outlier
+FROM documents d JOIN s USING (lang)
+"""
+
+
+def q_k_anonymity(sf_dir):
+    """Privacy audit (k-anonymity over quasi-identifiers): per
+    (lang, source) equivalence class, the document count and whether the
+    class violates k = 5 — the re-identification risk report run
+    alongside PII redaction before a corpus release (Sweeney 2002).
+    Per-batch class-count combiner, one tiny composite groupby; the
+    exchange moves |langs|·|sources| aggregate rows, never documents."""
+    from ray.data.aggregate import Sum
+
+    K = 5
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counted = (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "violates_k", pc.less(t.column("n"), K)
+        )
+
+    return counted.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_K_ANONYMITY = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       count(*) < 5 AS violates_k
+FROM documents GROUP BY lang, source
+"""
+
+
 def q_weighted_sample(sf_dir):
     """Deterministic WEIGHTED sample without replacement (Efraimidis &
     Spirakis 2006 A-ES): keep the k=100 docs with the largest
@@ -6783,6 +6891,8 @@ QUERIES = {
     "embedding_coverage": q_embedding_coverage,
     "monthly_rollup": q_monthly_rollup,
     "gap_histogram": q_gap_histogram,
+    "length_outliers": q_length_outliers,
+    "k_anonymity": q_k_anonymity,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -6982,6 +7092,8 @@ ORACLES = {
     "embedding_coverage": SQL_EMBEDDING_COVERAGE,
     "monthly_rollup": SQL_MONTHLY_ROLLUP,
     "gap_histogram": SQL_GAP_HISTOGRAM,
+    "length_outliers": SQL_LENGTH_OUTLIERS,
+    "k_anonymity": SQL_K_ANONYMITY,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,
