@@ -518,3 +518,64 @@ class TestAdaptiveStrategy:
             )
             assert out.count() == 3
         assert any("task" in str(w.message) for w in rec)
+
+
+class TestKeyedSum:
+    """keyed_sum (stages/exchange.py): the vectorized replacement for
+    groupby(keys).aggregate(Sum) on int64 keys — equivalence with ray's
+    own aggregate on randomized input, negative keys, multi-sum columns,
+    hot-key skew, and empty input."""
+
+    @staticmethod
+    def _ref(rows, nkeys, nsums):
+        from collections import defaultdict
+
+        acc = defaultdict(lambda: [0] * nsums)
+        for r in rows:
+            k = tuple(r[:nkeys])
+            for i in range(nsums):
+                acc[k][i] += r[nkeys + i]
+        return {k: tuple(v) for k, v in acc.items()}
+
+    def _run(self, rows, keys, sums):
+        import pyarrow as pa
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.exchange import keyed_sum
+
+        nk = len(keys)
+        cols = {k: pa.array([r[i] for r in rows], type=pa.int64())
+                for i, k in enumerate(keys)}
+        for j, (c, _a) in enumerate(sums):
+            cols[c] = pa.array([r[nk + j] for r in rows], type=pa.int64())
+        out = keyed_sum(
+            ray.data.from_arrow(pa.table(cols)), keys=keys, sums=sums,
+            num_buckets=4, num_partitions=2,
+        ).take_all()
+        return {
+            tuple(r[k] for k in keys): tuple(r[a] for _c, a in sums)
+            for r in out
+        }
+
+    def test_matches_bruteforce_random(self, ray_session):
+        rng = np.random.RandomState(3)
+        rows = [
+            (int(a), int(b), int(v), int(w))
+            for a, b, v, w in zip(
+                rng.randint(-50, 50, 500),     # negative keys exercised
+                rng.randint(0, 7, 500),
+                rng.randint(-100, 100, 500),
+                rng.randint(0, 10, 500),
+            )
+        ]
+        got = self._run(rows, ["ka", "kb"], [("v", "sv"), ("w", "sw")])
+        assert got == self._ref(rows, 2, 2)
+
+    def test_hot_key_skew(self, ray_session):
+        rows = [(1, 1, 1)] * 3000 + [(2, 9, 5)]
+        got = self._run(rows, ["ka", "kb"], [("v", "sv")])
+        assert got == {(1, 1): (3000,), (2, 9): (5,)}
+
+    def test_empty_input(self, ray_session):
+        got = self._run([], ["ka"], [("v", "sv")])
+        assert got == {}
