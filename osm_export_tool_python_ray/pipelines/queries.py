@@ -1281,6 +1281,165 @@ FROM documents d JOIN s USING (lang)
 """
 
 
+def q_source_dup_rate(sf_dir):
+    """Per-source duplication diagnostic (corpus-curation report): for
+    every source, total docs, distinct text fingerprints, and duplicate
+    count (n_docs − n_distinct) — the "which feed is flooding the corpus
+    with copies" breakdown read before weighting sources in a data mix.
+    Rides the exact-dedup 128-bit text hash; per-batch (source, hash)
+    dedup combiner, ONE hash-bucketed exchange moving deduped pairs, then
+    a tiny per-source fold."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+    from osm_export_tool_python_ray.functions.text import hash_strings_128
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        h1, _h2 = hash_strings_128(t.column("text"))
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        # batch-local (source, hash) dedup via two-column lexsort — NOT
+        # string concatenation, which is ambiguous without a separator
+        hs = h1.astype(np.int64)
+        order = np.lexsort((hs, src))
+        src, hs = src[order], hs[order]
+        first = np.concatenate(
+            [[True], (src[1:] != src[:-1]) | (hs[1:] != hs[:-1])]
+        )
+        ps = np.nonzero(first)[0]
+        cnt = np.diff(np.append(ps, len(src))).astype(np.int64)
+        src, hs = src[ps], hs[ps]
+        return pa.table(
+            {
+                "source": pa.array(list(src), type=pa.string()),
+                "h": pa.array(hs),
+                "n": pa.array(cnt),
+                "bucket": pa.array(
+                    (hs.astype(np.uint64) % np.uint64(32)).astype(np.int32)
+                ),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("n_distinct", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        # merge cross-batch partials: per (source, h) total count, then
+        # per source: Σ counts (docs) and #distinct hashes
+        agg = g.group_by(["source", "h"]).aggregate([("n", "sum")])
+        per = agg.group_by(["source"]).aggregate(
+            [("n_sum", "sum"), ("h", "count")]
+        )
+        return pa.table(
+            {
+                "source": per.column("source"),
+                "n_docs": per.column("n_sum_sum").cast(pa.int64()),
+                "n_distinct": per.column("h_count").cast(pa.int64()),
+            }
+        )
+
+    per_bucket = grouped_map(
+        _read(sf_dir, "documents", ["source", "text"]).map_batches(
+            pairs, batch_format="pyarrow"
+        ),
+        "bucket",
+        lambda g: fold(g.drop_columns(["bucket"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [("source", pa.string()), ("h", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+    # per-bucket partials → final tiny per-source fold (hashes are
+    # partitioned by bucket, so distinct counts add across buckets)
+    out = per_bucket.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_distinct", alias_name="n_distinct"),
+    )
+    return out.map_batches(
+        lambda t: t.append_column(
+            "n_dups",
+            pc.subtract(t.column("n_docs"), t.column("n_distinct")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SOURCE_DUP_RATE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dups
+FROM documents GROUP BY source
+"""
+
+
+def q_fd_check(sf_dir):
+    """Functional-dependency audit (schema-discovery / data-profiling
+    family): does lang → source hold, and does source → lang hold?
+    For each candidate FD, the number of LHS values, the number of
+    distinct (LHS, RHS) pairs, and violations = pairs − lhs (0 ⇔ the FD
+    holds). Per-batch distinct-pair combiner; the exchange moves only
+    the distinct-pair aggregate."""
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([])
+        return g
+
+    distinct_pairs = (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_"))
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        n_pairs = len(lang)
+        n_lang = len(np.unique(lang))
+        n_src = len(np.unique(src))
+        return pa.table(
+            {
+                "fd": pa.array(
+                    ["lang->source", "source->lang"], type=pa.string()
+                ),
+                "n_lhs": pa.array([n_lang, n_src], type=pa.int64()),
+                "n_pairs": pa.array([n_pairs, n_pairs], type=pa.int64()),
+                "violations": pa.array(
+                    [n_pairs - n_lang, n_pairs - n_src], type=pa.int64()
+                ),
+            }
+        )
+
+    # the distinct-pair table is ≤ |langs|·|sources| rows — one tiny
+    # repartition to a single summarizer is aggregate-sized by design
+    return distinct_pairs.repartition(1).map_batches(
+        summarize, batch_format="pyarrow"
+    )
+
+
+SQL_FD_CHECK = """
+WITH p AS (SELECT DISTINCT lang, source FROM documents),
+s AS (
+  SELECT count(*) AS n_pairs,
+         count(DISTINCT lang) AS n_lang,
+         count(DISTINCT source) AS n_src
+  FROM p
+)
+SELECT 'lang->source' AS fd, CAST(n_lang AS BIGINT) AS n_lhs,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs - n_lang AS BIGINT) AS violations FROM s
+UNION ALL
+SELECT 'source->lang', CAST(n_src AS BIGINT), CAST(n_pairs AS BIGINT),
+       CAST(n_pairs - n_src AS BIGINT) FROM s
+"""
+
+
 def q_k_anonymity(sf_dir):
     """Privacy audit (k-anonymity over quasi-identifiers): per
     (lang, source) equivalence class, the document count and whether the
@@ -6893,6 +7052,8 @@ QUERIES = {
     "gap_histogram": q_gap_histogram,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
+    "source_dup_rate": q_source_dup_rate,
+    "fd_check": q_fd_check,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
     "editdist_pairs": q_editdist_pairs,
@@ -7094,6 +7255,8 @@ ORACLES = {
     "gap_histogram": SQL_GAP_HISTOGRAM,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
+    "source_dup_rate": SQL_SOURCE_DUP_RATE,
+    "fd_check": SQL_FD_CHECK,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,
     "editdist_pairs": SQL_EDITDIST_PAIRS,
