@@ -1377,6 +1377,104 @@ FROM documents GROUP BY source
 """
 
 
+def q_dedup_best(sf_dir):
+    """Policy-based dedup canonicalization over NORMALIZED text: docs
+    whose lowercased, whitespace-collapsed text coincides form one
+    group; keep the representative with the longest ORIGINAL text, then
+    smallest doc_id — the upgrade of exact_dedup's byte-identity
+    first-wins rule a curation pipeline actually wants (casing/spacing
+    mirrors collapse, the best-formatted copy survives). Normalization
+    is RE2 `\\s+`→' ' + trim + lower on BOTH sides (pyarrow and DuckDB
+    both run RE2, so the whitespace class is identical). Same 128-bit
+    hash + ONE hash-bucketed exchange; the fold is a vectorized
+    (hash, −n_chars, doc_id) lexsort + group-first pick."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+    from osm_export_tool_python_ray.functions.text import hash_strings_128
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # trim ASCII space only (characters=" ") — DuckDB's trim() is
+        # ASCII-space; utf8_trim_whitespace would also strip unicode
+        # whitespace RE2's \s never collapsed, diverging the two sides
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")), r"\s+", " "
+            ),
+            characters=" ",
+        )
+        h1, h2 = hash_strings_128(norm)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "h1": pa.array(h1.astype(np.int64)),
+                "h2": pa.array(h2.astype(np.int64)),
+                "bucket": pa.array(
+                    (h1.astype(np.uint64) % np.uint64(32)).astype(np.int32)
+                ),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_copies", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = g.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, -nc, h2, h1))
+        h1, h2, d, nc = h1[order], h2[order], d[order], nc[order]
+        first = np.concatenate(
+            [[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        )
+        ps = np.nonzero(first)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[ps]),
+                "n_chars": pa.array(nc[ps]),
+                "n_copies": pa.array(np.diff(np.append(ps, len(d))).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        "bucket",
+        lambda g: fold(g.drop_columns(["bucket"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("h1", pa.int64()),
+                ("h2", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_DEDUP_BEST = r"""
+WITH n AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_copies
+FROM n
+QUALIFY row_number() OVER (
+  PARTITION BY norm ORDER BY n_chars DESC, doc_id ASC
+) = 1
+"""
+
+
 def q_fd_check(sf_dir):
     """Functional-dependency audit (schema-discovery / data-profiling
     family): does lang → source hold, and does source → lang hold?
@@ -7053,6 +7151,7 @@ QUERIES = {
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
+    "dedup_best": q_dedup_best,
     "fd_check": q_fd_check,
     "cube_rollup": q_cube_rollup,
     "skyline": q_skyline,
@@ -7256,6 +7355,7 @@ ORACLES = {
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,
+    "dedup_best": SQL_DEDUP_BEST,
     "fd_check": SQL_FD_CHECK,
     "cube_rollup": SQL_CUBE_ROLLUP,
     "skyline": SQL_SKYLINE,

@@ -486,3 +486,22 @@ class TestEmbeddingCoverage:
 
         rows = QUERIES["embedding_coverage"]("/root/testdata/sf0.001").take_all()
         assert rows and all(r["n_missing"] == 0 for r in rows)
+
+
+class TestDedupBest:
+    def test_policy_keeps_longest_original(self, ray_session, tmp_path):
+        """Planted casing/spacing mirrors collapse into one normalized
+        group; the LONGEST original (most whitespace) survives, ties by
+        smallest doc_id; distinct texts stay."""
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        texts = [
+            "Hello   World",   # doc 0: len 13  <- longest, kept
+            "hello world",     # doc 1: len 11
+            "HELLO  WORLD",    # doc 2: len 12
+            "something else",  # doc 3: distinct, kept
+            "hello world",     # doc 4: len 11 (tie with 1 -> both lose to 0)
+        ]
+        sf = write_sf_dir(tmp_path, texts)
+        out = {r["doc_id"]: r["n_copies"] for r in QUERIES["dedup_best"](sf).take_all()}
+        assert out == {0: 4, 3: 1}
