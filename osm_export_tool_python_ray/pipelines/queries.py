@@ -1171,8 +1171,11 @@ def q_monthly_rollup(sf_dir):
         ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
         month = ts.astype("datetime64[M]").astype("datetime64[us]")
         et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
-        cents = np.round(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        # floor(v*100 + 0.5): the repo's half-up quantize rule (olap.py
+        # _cents) — np.round would be half-EVEN and flip vs DuckDB's
+        # half-away round() at exact .5 boundaries
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
         types, tinv = np.unique(et, return_inverse=True)
         months, minv = np.unique(month, return_inverse=True)
@@ -1212,7 +1215,7 @@ SQL_MONTHLY_ROLLUP = """
 SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """
