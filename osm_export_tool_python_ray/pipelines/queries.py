@@ -2868,6 +2868,52 @@ FROM ranked WHERE rank < 5
 """
 
 
+def q_pq_codes(sf_dir):
+    """Product-quantization compression codes (stages/ann.py pq_codes):
+    4 subspaces × 16 strided centroids over the 64-dim embeddings —
+    the storage representation of a web-scale ANN corpus. Codebook
+    broadcast, zero shuffles; oracle re-derives the identical codebook
+    (rank+position formula) and argmin via window ranking over sliced
+    list_distance."""
+    from osm_export_tool_python_ray.stages.ann import pq_codes
+
+    return pq_codes(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), m=4, k=16
+    ).sort(["vec_id", "sub"])
+
+
+SQL_PQ_CODES = """
+WITH samp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM embeddings ORDER BY vec_id LIMIT 2048
+),
+cnt AS (SELECT count(*) AS n FROM samp),
+cents AS (
+  SELECT i.i AS cidx, s.v AS cv
+  FROM range(16) i(i), cnt, samp s
+  WHERE s.rn = least((i.i * cnt.n) // 16, cnt.n - 1)
+),
+subc AS (
+  SELECT sub.s AS sub, c.cidx,
+         c.cv[sub.s * 16 + 1 : sub.s * 16 + 16] AS scv
+  FROM range(4) sub(s), cents c
+),
+d AS (
+  SELECT e.vec_id, sc.sub, sc.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id, sc.sub
+           ORDER BY list_distance(
+             CAST(e.embedding AS DOUBLE[])[sc.sub * 16 + 1 : sc.sub * 16 + 16],
+             sc.scv) ASC, sc.cidx ASC
+         ) AS r
+  FROM embeddings e CROSS JOIN subc sc
+)
+SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(cidx AS INTEGER) AS code
+FROM d WHERE r = 1 ORDER BY vec_id, sub
+"""
+
+
 def q_gram_matrix(sf_dir):
     """Distributed PCA sufficient statistics (stages/ann.py gram_stats):
     exact integer Gram matrix + per-dim sums + count over the embedding
@@ -7185,6 +7231,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "embedding_kmeans": q_embedding_kmeans,
     "gram_matrix": q_gram_matrix,
+    "pq_codes": q_pq_codes,
     "q1_lineitem": q_q1_lineitem,
     "top_orders": q_top_orders,
     "customer_orders_join": q_customer_orders_join,
@@ -7384,6 +7431,7 @@ ORACLES = {
     "ivf_topk": SQL_IVF_TOPK,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "gram_matrix": SQL_GRAM_MATRIX,
+    "pq_codes": SQL_PQ_CODES,
     "q1_lineitem": SQL_Q1_LINEITEM,
     "top_orders": SQL_TOP_ORDERS,
     "customer_orders_join": SQL_CUSTOMER_ORDERS_JOIN,

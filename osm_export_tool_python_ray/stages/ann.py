@@ -512,3 +512,62 @@ def pca_from_gram(rows, d):
     w, vecs = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1]
     return w[order], vecs[:, order]
+
+
+def pq_codes(embeddings_ds, m=4, k=16, sample_size=2048):
+    """Product-quantization codes (Jégou et al. 2011): split each
+    D-dim embedding into ``m`` contiguous subspaces and assign each
+    subvector to its nearest of ``k`` per-subspace centroids — the
+    vector-COMPRESSION stage of a production ANN system (a D-dim
+    float32 vector becomes m uint8 codes: 64x smaller at the defaults,
+    the representation a 100 TB embedding corpus is actually stored
+    and scanned in).
+
+    Centroids come from the deterministic SQL-re-derivable strided
+    sample (strided_sample_centroids — the same rows sliced per
+    subspace), so the whole operator is value-exact against a DuckDB
+    oracle (pipelines/queries.py SQL_PQ_CODES). Scale shape: the
+    (m·k·D/m) codebook broadcasts via ray.put; assignment is one
+    vectorized map_batches pass (batched (n, k) distance matrices per
+    subspace), no shuffle at all. Ties break to the smaller centroid
+    index on both sides (argmin first-occurrence ⇔ ORDER BY dist, cidx).
+
+    → Dataset (vec_id, sub:int32, code:int32), m rows per vector."""
+    import ray
+
+    cents = strided_sample_centroids(embeddings_ds, k, sample_size)  # (k, D)
+    D = cents.shape[1]
+    if D % m:
+        raise ValueError("embedding dim %d not divisible by m=%d" % (D, m))
+    w = D // m
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = cached_get(cref)
+        mat = _to_matrix(t.column("embedding"), np.float64)
+        n = mat.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sub": pa.array([], type=pa.int32()),
+                    "code": pa.array([], type=pa.int32()),
+                }
+            )
+        vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        subs, codes, ids = [], [], []
+        for s in range(m):
+            sl = slice(s * w, (s + 1) * w)
+            d2 = ((mat[:, None, sl] - c[None, :, sl]) ** 2).sum(axis=2)
+            codes.append(d2.argmin(axis=1).astype(np.int32))
+            subs.append(np.full(n, s, dtype=np.int32))
+            ids.append(vec_ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(ids)),
+                "sub": pa.array(np.concatenate(subs)),
+                "code": pa.array(np.concatenate(codes)),
+            }
+        )
+
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow")

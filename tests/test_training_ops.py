@@ -1398,3 +1398,34 @@ class TestGramStats:
 
         ds = ray.data.from_arrow(self._emb_table(np.zeros((0, 4))))
         assert gram_stats(ds).take_all() == []
+
+
+class TestPqCodes:
+    def test_reconstruction_beats_random_and_is_deterministic(self, ray_session):
+        """PQ codes at sf0.001: every (vec, sub) is assigned its true
+        nearest centroid (brute-force check), and two runs agree."""
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+        from osm_export_tool_python_ray.stages.ann import strided_sample_centroids
+        from osm_export_tool_python_ray.pipelines.queries import _read
+
+        sf = "/root/testdata/sf0.001"
+        a = QUERIES["pq_codes"](sf).to_pandas()
+        b = QUERIES["pq_codes"](sf).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["vec_id", "sub", "code"]].values.tolist()))
+        assert key(a) == key(b)
+        # brute-force nearest-centroid per subspace
+        t = pq_.read_table(sf + "/embeddings.parquet").to_pydict()
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        cents = strided_sample_centroids(_read(sf, "embeddings"), 16)
+        got = {(r.vec_id, r.sub): r.code for r in a.itertuples()}
+        w = mat.shape[1] // 4
+        for s in range(4):
+            sl = slice(s * w, (s + 1) * w)
+            d2 = ((mat[:, None, sl] - cents[None, :, sl]) ** 2).sum(axis=2)
+            want = d2.argmin(axis=1)
+            for vid, code in zip(ids, want):
+                assert got[(vid, s)] == code
