@@ -2914,6 +2914,68 @@ FROM d WHERE r = 1 ORDER BY vec_id, sub
 """
 
 
+def q_pq_topk(sf_dir):
+    """ADC search over PQ codes (stages/ann.py pq_adc_topk): the search
+    half of product quantization — per-query (m × k) integer distance
+    tables, per-vector m table lookups, tiny top-k combiner. Fully
+    int64 (1e-4 sub-unit quantization BEFORE any distance) so ranking
+    is bit-identical to the oracle with no float-ranking risk."""
+    from osm_export_tool_python_ray.stages.ann import pq_adc_topk
+
+    return pq_adc_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=[0, 1, 2, 3],
+        m=4,
+        k=16,
+        topk=5,
+    )
+
+
+SQL_PQ_TOPK = """
+WITH eq AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dj,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+samp AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM embeddings ORDER BY vec_id LIMIT 2048
+),
+cnt AS (SELECT count(*) AS n FROM samp),
+cpos AS (
+  SELECT i.i AS cidx, s.vec_id
+  FROM range(16) i(i), cnt, samp s
+  WHERE s.rn = least((i.i * cnt.n) // 16, cnt.n - 1)
+),
+cq AS (SELECT p.cidx, e.dj, e.qv FROM cpos p JOIN eq e ON e.vec_id = p.vec_id),
+dist AS (
+  SELECT e.vec_id, e.dj // 16 AS sub, c.cidx,
+         CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+  FROM eq e JOIN cq c ON c.dj = e.dj
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cidx FROM (
+    SELECT vec_id, sub, cidx,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cidx ASC) AS r
+    FROM dist
+  ) WHERE r = 1
+),
+adc AS (
+  SELECT qd.vec_id AS query_id, c.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc
+  FROM codes c JOIN dist qd ON qd.sub = c.sub AND qd.cidx = c.cidx
+  WHERE qd.vec_id IN (0, 1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc ASC, vec_id ASC) AS rank
+FROM adc QUALIFY rank <= 5
+"""
+
+
 def q_gram_matrix(sf_dir):
     """Distributed PCA sufficient statistics (stages/ann.py gram_stats):
     exact integer Gram matrix + per-dim sums + count over the embedding
@@ -7232,6 +7294,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "gram_matrix": q_gram_matrix,
     "pq_codes": q_pq_codes,
+    "pq_topk": q_pq_topk,
     "q1_lineitem": q_q1_lineitem,
     "top_orders": q_top_orders,
     "customer_orders_join": q_customer_orders_join,
@@ -7432,6 +7495,7 @@ ORACLES = {
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "gram_matrix": SQL_GRAM_MATRIX,
     "pq_codes": SQL_PQ_CODES,
+    "pq_topk": SQL_PQ_TOPK,
     "q1_lineitem": SQL_Q1_LINEITEM,
     "top_orders": SQL_TOP_ORDERS,
     "customer_orders_join": SQL_CUSTOMER_ORDERS_JOIN,

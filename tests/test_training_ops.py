@@ -1429,3 +1429,48 @@ class TestPqCodes:
             want = d2.argmin(axis=1)
             for vid, code in zip(ids, want):
                 assert got[(vid, s)] == code
+
+
+class TestPqAdcTopk:
+    def test_adc_matches_bruteforce_and_recall_sane(self, ray_session):
+        """ADC ranks match a dense integer brute force; the ADC top-5
+        sets share at least one member with exact squared-distance
+        top-5 (compression loses precision, not everything)."""
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["pq_topk"](sf).to_pandas()
+        t = pq_.read_table(sf + "/embeddings.parquet").to_pydict()
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        matq = np.floor(mat * 10_000 + 0.5).astype(np.int64)
+        order = np.argsort(ids)
+        smq = matq[order][:2048]
+        n = len(smq)
+        pos = np.minimum((np.arange(16, dtype=np.int64) * n) // 16, n - 1)
+        cents = smq[pos]
+        w = matq.shape[1] // 4
+        codes = np.empty((len(matq), 4), dtype=np.int64)
+        for s in range(4):
+            sl = slice(s * w, (s + 1) * w)
+            d2 = ((matq[:, None, sl] - cents[None, :, sl]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        id_to_row = {int(v): i for i, v in enumerate(ids)}
+        for q in (0, 1, 2, 3):
+            qv = matq[id_to_row[q]]
+            dt = np.empty((4, 16), dtype=np.int64)
+            for s in range(4):
+                sl = slice(s * w, (s + 1) * w)
+                dt[s] = ((qv[sl][None, :] - cents[:, sl]) ** 2).sum(axis=1)
+            adc = dt[np.arange(4)[:, None], codes.T].sum(axis=0)
+            want = sorted(zip(adc, ids))[:5]
+            got = out[out["query_id"] == q].sort_values("rank")
+            assert list(got["vec_id"]) == [v for _a, v in want]
+            assert list(got["adc"]) == [int(a) for a, _v in want]
+            # sanity: exact top-5 overlap (the query itself at least)
+            exact = ((matq - qv) ** 2).sum(axis=1)
+            exact5 = {v for _d, v in sorted(zip(exact, ids))[:5]}
+            assert exact5 & set(got["vec_id"])
