@@ -249,6 +249,8 @@ def run_query_suite(sf_dir):
         ("embedding_coverage", Q.q_embedding_coverage),
         ("monthly_rollup", Q.q_monthly_rollup),
         ("gap_histogram", Q.q_gap_histogram),
+        ("pq_codes", Q.q_pq_codes),
+        ("pq_topk", Q.q_pq_topk),
     ):
         t0 = time.perf_counter()
         fn(sf_dir).count()
