@@ -7184,6 +7184,68 @@ FROM e GROUP BY cx, cy
 """
 
 
+def q_tfidf_cosine_pairs(sf_dir):
+    """AllPairs prefix-filtered TF-IDF cosine similarity self-join
+    (stages/simjoin.py tfidf_cosine_pairs, after Bayardo et al. WWW'07):
+    every document pair with cosine >= 0.8 over milli-quantized
+    L2-normalized tf·idf vectors. The prefix filter is lossless (only
+    prefix postings generate candidates; verification computes the exact
+    integer dot), so the oracle is a brute-force term self-join with the
+    identical integer quantization chain — threshold compared as
+    25·dot² >= 16·ssq_a·ssq_b in pure int64 on both sides."""
+    import pyarrow.parquet as _pq
+
+    from osm_export_tool_python_ray.stages.simjoin import tfidf_cosine_pairs
+
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    return tfidf_cosine_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n_docs
+    ).sort(["doc_a", "doc_b"])
+
+
+SQL_TFIDF_COSINE_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+w AS (
+  SELECT t.doc_id, t.term,
+         t.tf * CAST(floor(ln((CAST(nd AS DOUBLE) + 1.0)
+                              / (CAST(df AS DOUBLE) + 1.0)) * 1000.0 + 0.5)
+                     AS BIGINT) AS w
+  FROM tf t JOIN df USING (term), n
+),
+ssq0 AS (SELECT doc_id, sum(w * w) AS s0 FROM w GROUP BY 1),
+wn AS (
+  -- the one deterministic float chain, identical op order to numpy:
+  -- (w * 1000.0) / sqrt(double(ssq0)) + 0.5, floored
+  SELECT w.doc_id, w.term,
+         CAST(floor(CAST(w AS DOUBLE) * 1000.0
+                    / sqrt(CAST(s0 AS DOUBLE)) + 0.5) AS BIGINT) AS wn
+  FROM w JOIN ssq0 USING (doc_id) WHERE s0 > 0
+),
+s2 AS (SELECT doc_id, sum(wn * wn) AS ssq FROM wn GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.wn * b.wn) AS BIGINT) AS dot
+  FROM wn a JOIN wn b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot, sa.ssq AS ssq_a, sb.ssq AS ssq_b
+FROM dots
+JOIN s2 sa ON sa.doc_id = doc_a
+JOIN s2 sb ON sb.doc_id = doc_b
+WHERE 25 * dot * dot >= 16 * sa.ssq * sb.ssq
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -7207,6 +7269,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
@@ -7409,6 +7472,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "lang_id": SQL_LANG_ID,
