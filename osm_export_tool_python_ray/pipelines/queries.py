@@ -7246,6 +7246,68 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_kcore(sf_dir):
+    """k-core decomposition (stages/graph.py kcore_members, Seidman
+    1983): the maximal subgraph of the sparse co-location graph
+    (2×2-cell / 15-min encounters) where every user keeps degree >= 30,
+    by iterative peel to fixpoint — degree fold + two semi-joins per
+    round, driver state one integer, unconverged exits counted via
+    report_cap. The oracle re-derives the peel with a recursive CTE
+    (DuckDB allows aggregation over the recursive reference) run past
+    fixpoint to a fixed horizon; peel depth at this scale is 3 rounds
+    (measured), horizon 8."""
+    from osm_export_tool_python_ray.stages.graph import kcore_members
+    from osm_export_tool_python_ray.stages.journey import encounters
+
+    pairs = encounters(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=2,
+        bucket_us=900_000_000,
+    )
+    # NO .sort(): the sf0.001 core is legitimately EMPTY and ray.data's
+    # Sort loses the schema of an all-empty dataset (blocks in, no
+    # schema out); the driver compare sorts rows itself.
+    return kcore_members(pairs, k=30)
+
+
+SQL_KCORE = """
+WITH RECURSIVE p AS (
+  SELECT DISTINCT user_id, (event_id % 100) // 2 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 2 AS cy,
+         epoch_us(ts) // 900000000 AS hr
+  FROM events
+),
+e AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY 1, 2
+),
+und AS (SELECT ua AS node, ub AS other FROM e UNION ALL SELECT ub, ua FROM e),
+alive(it, node) AS (
+  SELECT 0, node FROM (SELECT DISTINCT node FROM und)
+  UNION
+  -- peel: keep nodes whose degree among the PREVIOUS level's
+  -- survivors is >= k; run past fixpoint to the it=8 horizon (node
+  -- sets shrink monotonically, so post-fixpoint levels just repeat)
+  SELECT it + 1, node FROM (
+    SELECT al.it, u.node, count(*) AS deg
+    FROM alive al
+    JOIN und u ON u.node = al.node
+    JOIN alive al2 ON al2.it = al.it AND al2.node = u.other
+    GROUP BY al.it, u.node
+  ) WHERE deg >= 30 AND it < 8
+),
+core AS (SELECT node FROM alive WHERE it = 8)
+SELECT u.node, count(*) AS deg
+FROM und u
+JOIN core c1 ON c1.node = u.node
+JOIN core c2 ON c2.node = u.other
+GROUP BY u.node
+ORDER BY u.node
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -7270,6 +7332,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "kcore": q_kcore,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
@@ -7473,6 +7536,7 @@ ORACLES = {
     "theme_filter": SQL_THEME_FILTER,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "kcore": SQL_KCORE,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "lang_id": SQL_LANG_ID,

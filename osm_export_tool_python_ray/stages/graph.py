@@ -588,3 +588,139 @@ def pagerank_scores(
         lambda t: pa.table({"node": t.column("src"), "score": t.column("s")}),
         batch_format="pyarrow",
     )
+
+
+def kcore_members(
+    pairs_ds,
+    k,
+    a_col="user_a",
+    b_col="user_b",
+    max_rounds=64,
+    num_buckets=16,
+):
+    """k-core of the undirected pair graph: the (unique, maximal)
+    subgraph in which every node has degree >= k, by iterative peeling
+    — drop all nodes of degree < k, re-induce, repeat to fixpoint
+    (Seidman 1983; the standard distributed formulation, e.g.
+    Montresor et al. "Distributed k-Core Decomposition", PODC'11).
+    Returns (node, deg) with deg = degree INSIDE the core.
+
+    Per round: one ``keyed_sum`` degree fold plus two semi-joins
+    (``bucket_join`` on src then dst) re-inducing the edge set — three
+    bucketed exchanges, node/edge state lives only in datasets; driver
+    state is ONE integer (the survivor count, whose monotone shrink
+    doubles as the fixpoint test: node sets only shrink, so equal
+    counts <=> equal sets <=> degrees unchanged <=> fixpoint).
+    Unconverged exits at ``max_rounds`` are reported via
+    ``report_cap('kcore_unconverged_rounds')`` — peel depth is
+    data-dependent (a k=2 path graph peels one layer per round), so the
+    bound is a documented cap, not an assumption.
+
+    No reference analog — engine mandate (graph family, sibling of
+    pagerank_scores / colocation_triangles)."""
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+    from osm_export_tool_python_ray.state.metrics import report_cap
+
+    i64 = pa.int64()
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "one": pa.array(np.ones(2 * n, dtype=np.int64)),
+            }
+        )
+
+    directed = pairs_ds.map_batches(to_directed, batch_format="pyarrow").materialize()
+    edge_schema = pa.schema([("src", i64), ("dst", i64), ("one", i64)])
+    deg_schema = pa.schema([("src", i64), ("deg", i64)])
+
+    prev = -1
+    deg = None
+    for _round in range(max_rounds):
+        deg = keyed_sum(
+            directed, ["src"], [("one", "deg")], num_buckets=num_buckets
+        ).materialize()
+
+        def survivors(t: pa.Table) -> pa.Table:
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"src": t.column("src").filter(pa.array(d >= k)),
+                 "deg": t.column("deg").filter(pa.array(d >= k))}
+            )
+
+        deg = deg.map_batches(survivors, batch_format="pyarrow").materialize()
+        n_alive = deg.count()
+        if n_alive == prev:
+            return deg.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("src"), "deg": t.column("deg")}
+                ),
+                batch_format="pyarrow",
+            )
+        if n_alive == 0:
+            # a 0-row pyarrow Table, NOT an empty Dataset: ray.data
+            # drops the schema of all-empty datasets on to_pandas()/
+            # sort(), which breaks the driver's schema compare. The
+            # empty core is driver-safe by construction.
+            return pa.table(
+                {"node": pa.array([], type=i64), "deg": pa.array([], type=i64)}
+            )
+        prev = n_alive
+        # re-induce: keep edges whose BOTH endpoints survive
+        alive_nodes = deg.map_batches(
+            lambda t: pa.table({"src": t.column("src")}), batch_format="pyarrow"
+        )
+        directed = bucket_join(
+            directed,
+            alive_nodes.map_batches(
+                lambda t: t.append_column("keep_s", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            ),
+            key="src",
+            num_buckets=num_buckets,
+            how="inner",
+            left_schema=edge_schema,
+            right_schema=pa.schema([("src", i64), ("keep_s", pa.int8())]),
+        ).map_batches(
+            lambda t: t.select(["src", "dst", "one"]), batch_format="pyarrow"
+        )
+        directed = (
+            bucket_join(
+                directed.map_batches(
+                    lambda t: pa.table(
+                        {"dst": t.column("dst"), "osrc": t.column("src"), "one": t.column("one")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                alive_nodes.map_batches(
+                    lambda t: pa.table(
+                        {"dst": t.column("src"),
+                         "keep_d": pa.array(np.ones(t.num_rows, np.int8))}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                key="dst",
+                num_buckets=num_buckets,
+                how="inner",
+                left_schema=pa.schema([("dst", i64), ("osrc", i64), ("one", i64)]),
+                right_schema=pa.schema([("dst", i64), ("keep_d", pa.int8())]),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"src": t.column("osrc"), "dst": t.column("dst"), "one": t.column("one")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    report_cap("kcore_unconverged_rounds", 1)
+    return deg.map_batches(
+        lambda t: pa.table({"node": t.column("src"), "deg": t.column("deg")}),
+        batch_format="pyarrow",
+    )

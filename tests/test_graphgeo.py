@@ -255,3 +255,80 @@ class TestPagerank:
         a = self._run(pairs, iters=2)
         b = self._run(pairs, iters=2)
         assert a == b
+
+
+class TestKCore:
+    """kcore_members vs a brute-force sequential peel, on graphs chosen
+    for deep/adversarial peel behavior."""
+
+    @staticmethod
+    def _brute(edges, k):
+        edges = {(min(a, b), max(a, b)) for a, b in edges}
+        while True:
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            ne = {(a, b) for a, b in edges if a in alive and b in alive}
+            if ne == edges:
+                return sorted((n, deg[n]) for n in alive)
+            edges = ne
+            if not edges:
+                return []
+
+    @staticmethod
+    def _run(edges, k, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.graph import kcore_members
+
+        t = pa.table(
+            {
+                "user_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "user_b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+        out = kcore_members(ray.data.from_arrow(t), k, num_buckets=4, **kw)
+        rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+        return sorted((r["node"], r["deg"]) for r in rows)
+
+    def test_path_graph_peels_layer_by_layer(self, ray_session):
+        # P12 with k=2: ends peel one per round — the deep sequential
+        # case (11 rounds to empty); guards the fixpoint loop, not just
+        # one-shot filtering
+        edges = [(i, i + 1) for i in range(11)]
+        assert self._run(edges, 2) == self._brute(edges, 2) == []
+
+    def test_clique_with_tails(self, ray_session):
+        # K5 (survives k=3) + two tails and a pendant triangle (peel)
+        edges = list(combinations(range(5), 2))
+        edges += [(4, 10), (10, 11), (11, 12)]  # tail
+        edges += [(0, 20), (20, 21), (21, 0)]  # pendant triangle (deg 2)
+        got = self._run(edges, 3)
+        assert got == self._brute(edges, 3)
+        assert {n for n, _ in got} == {0, 1, 2, 3, 4}
+        assert all(d == 4 for _, d in got)
+
+    def test_two_components_different_fates(self, ray_session):
+        edges = list(combinations(range(4), 2))  # K4: survives k=3
+        edges += [(100 + i, 100 + j) for i, j in [(0, 1), (1, 2), (2, 0), (2, 3)]]
+        got = self._run(edges, 3)
+        assert got == self._brute(edges, 3)
+        assert {n for n, _ in got} == {0, 1, 2, 3}
+
+    def test_randomized_equivalence(self, ray_session):
+        rng = np.random.default_rng(11)
+        for k in (2, 3, 4):
+            m = rng.integers(0, 40, size=(60, 2))
+            edges = [(int(a), int(b)) for a, b in m if a != b]
+            assert self._run(edges, k) == self._brute(edges, k)
+
+    def test_max_rounds_cap_counts(self, ray_session):
+        from osm_export_tool_python_ray.state.metrics import snapshot_caps
+
+        edges = [(i, i + 1) for i in range(11)]
+        snapshot_caps()
+        self._run(edges, 2, max_rounds=2)  # P12 needs ~11 rounds
+        caps = snapshot_caps()
+        assert caps.get("kcore_unconverged_rounds", 0) >= 1
