@@ -251,9 +251,13 @@ def run_query_suite(sf_dir):
         ("gap_histogram", Q.q_gap_histogram),
         ("pq_codes", Q.q_pq_codes),
         ("pq_topk", Q.q_pq_topk),
+        ("tfidf_cosine_pairs", Q.q_tfidf_cosine_pairs),
+        ("kcore", Q.q_kcore),
     ):
         t0 = time.perf_counter()
-        fn(sf_dir).count()
+        r = fn(sf_dir)
+        # kcore's empty-core path returns a 0-row pyarrow Table
+        r.count() if hasattr(r, "count") else r.num_rows
         extras[nm] = round(time.perf_counter() - t0, 3)
         c = snapshot_caps()
         if c:

@@ -28,7 +28,15 @@ prefix-postings, pair-dedup, probe/vector co-location, pair-verify),
 no broadcast of the vocabulary or the vectors, no all-pairs stage.
 Degenerate postings (a prefix term shared by more than ``max_group``
 documents) are skipped and counted via ``report_cap`` — the documented
-approximation at scale; below the cap the join is exact.
+approximation at scale; below the cap the join is exact. The cap is
+load-bearing on duplicate-heavy corpora: at sf0.1 twenty-seven hot
+postings (max 3,921 docs sharing one prefix term) alone would emit
+94.6 M candidate pairs, while every posting under 500 docs together
+emits 31 k (measured); a dense near-dup CLUSTER's pairs are inherently
+quadratic, and that regime belongs to MinHash-LSH banding
+(stages/dedup.py) — this join is the high-precision instrument for the
+long tail below the cap. sf0.01/sf0.001 have no posting above the cap,
+so the driver's oracle gate is exact.
 
 Reference parity note: the reference tool has no similarity join; this
 is part of the training-data engine mandate (SURVEY.md "beyond the
@@ -57,7 +65,7 @@ def tfidf_cosine_pairs(
     tnum=4,
     tden=5,
     num_buckets=64,
-    max_group=4096,
+    max_group=500,
 ):
     """All document pairs with TF-IDF cosine >= tnum/tden, exactly.
 
