@@ -253,6 +253,7 @@ def run_query_suite(sf_dir):
         ("pq_topk", Q.q_pq_topk),
         ("tfidf_cosine_pairs", Q.q_tfidf_cosine_pairs),
         ("kcore", Q.q_kcore),
+        ("snm_pairs", Q.q_snm_pairs),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

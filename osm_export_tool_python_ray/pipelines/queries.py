@@ -7308,6 +7308,40 @@ ORDER BY u.node
 """
 
 
+def q_snm_pairs(sf_dir):
+    """Sorted-neighborhood blocking (stages/snm.py, Hernández & Stolfo
+    SIGMOD'95): all candidate pairs within a 4-wide window of the global
+    (blocking key, doc_id) sort order, key = first 12 chars of the
+    lowered alnum-squashed text. Exact two-phase global rank (range
+    buckets on the order-isomorphic packed key, O(num_buckets) driver
+    ints) + a rank-chunked halo exchange; candidate volume is linear,
+    ≤ 3·N pairs."""
+    from osm_export_tool_python_ray.stages.snm import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=4
+    )
+
+
+SQL_SNM_PAIRS = """
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(coalesce(text, '')),
+                               '[^a-z0-9]+', '', 'g'), 1, 12) AS bkey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bkey,
+         row_number() OVER (ORDER BY bkey, doc_id) AS rk
+  FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       b.rk - a.rk AS dist, a.bkey AS key_a, b.bkey AS key_b
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+ORDER BY doc_a, doc_b, dist
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -7333,6 +7367,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "kcore": q_kcore,
+    "snm_pairs": q_snm_pairs,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
@@ -7537,6 +7572,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "kcore": SQL_KCORE,
+    "snm_pairs": SQL_SNM_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "lang_id": SQL_LANG_ID,

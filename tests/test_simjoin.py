@@ -150,3 +150,82 @@ def test_threshold_is_exact_boundary(ray_session):
         (2, "aa zz yy xx"),
     ]
     assert _run(docs, ray_session) == _brute_force(docs)
+
+
+class TestSortedNeighborhood:
+    """sorted_neighborhood_pairs vs a brute-force sort+window, with the
+    halo/chunk machinery forced to matter (tiny chunk sizes)."""
+
+    @staticmethod
+    def _brute(docs, window=4, key_len=12):
+        import re
+
+        squash = re.compile(r"[^a-z0-9]+")
+        rows = sorted(
+            ((squash.sub("", (t or "").lower())[:key_len], d) for d, t in docs)
+        )
+        out = []
+        for i in range(len(rows)):
+            for j in range(1, window):
+                if i + j >= len(rows):
+                    break
+                out.append(
+                    (rows[i][1], rows[i + j][1], j, rows[i][0], rows[i + j][0])
+                )
+        return sorted(out)
+
+    @staticmethod
+    def _run(docs, ray_session, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.snm import sorted_neighborhood_pairs
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "text": pa.array([t for _, t in docs], type=pa.string()),
+            }
+        )
+        out = sorted_neighborhood_pairs(ray.data.from_arrow(t), **kw)
+        rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["dist"], r["key_a"], r["key_b"])
+            for r in rows
+        )
+
+    def test_brute_force_small_chunk(self, ray_session):
+        # chunk=5 on 40 docs: every pair family crosses chunk seams
+        rng = np.random.default_rng(3)
+        words = ["apple", "apples", "aple", "banana", "bananna", "cherry",
+                 "Cherry!", "  cherry  ", "date", "dates", ""]
+        docs = [(i, str(rng.choice(words)) + (" x" * int(rng.integers(0, 3))))
+                for i in range(40)]
+        got = self._run(docs, ray_session, window=4, chunk=5, num_buckets=4)
+        assert got == self._brute(docs, window=4)
+
+    def test_duplicate_keys_tiebreak_by_doc_id(self, ray_session):
+        docs = [(i, "identical text") for i in range(7)]
+        got = self._run(docs, ray_session, window=3, chunk=3, num_buckets=2)
+        assert got == self._brute(docs, window=3)
+        # consecutive doc_ids pair at dist 1 (rank order = doc_id order)
+        assert (0, 1, 1, "identicaltex", "identicaltex") in got
+
+    def test_window_2_adjacent_only(self, ray_session):
+        docs = [(i, "k%02d" % i) for i in range(10)]
+        got = self._run(docs, ray_session, window=2, chunk=4)
+        assert [(a, b, d) for a, b, d, *_ in got] == [
+            (i, i + 1, 1) for i in range(9)
+        ]
+
+    def test_key_packing_order_matches_string_order(self, ray_session):
+        # keys that differ only past the 8-byte word boundary, plus
+        # prefix-of-each-other keys (NUL padding must sort first)
+        docs = [
+            (0, "abcdefghX"),
+            (1, "abcdefgh"),
+            (2, "abcdefghijkl"),
+            (3, "abcdefghijklMORE"),  # truncated to 12 → ties with 2
+            (4, "abcdefg"),
+        ]
+        got = self._run(docs, ray_session, window=3, chunk=2, num_buckets=2)
+        assert got == self._brute(docs, window=3)
