@@ -216,16 +216,22 @@ def tfidf_cosine_pairs(
         )
         starts = np.nonzero(first)[0]
         ends = np.append(starts[1:], len(terms))
+        # the group loop below is the house per-group pattern
+        # (_pairs_from_groups), but a Zipf vocabulary is dominated by
+        # df=1 singletons — pre-select the loopable groups vectorized
+        # (size >= 2 AND >= 1 prefix member) so the Python loop touches
+        # only postings that can actually pair
+        sizes = ends - starts
+        npref_per = np.add.reduceat(
+            pref.astype(np.int64), starts
+        ) if len(starts) else np.array([], dtype=np.int64)
+        loopable = (sizes >= 2) & (npref_per >= 1)
         out_a, out_b = [], []
         skipped = 0
-        for s, e in zip(starts, ends):
+        for s, e in zip(starts[loopable], ends[loopable]):
             m = e - s
-            if m < 2:
-                continue
             gp = pref[s:e]
             npref = int(gp.sum())
-            if npref == 0:
-                continue  # no prefix member → no qualifying pair here
             if m > max_group:
                 skipped += 1
                 continue
