@@ -254,6 +254,7 @@ def run_query_suite(sf_dir):
         ("tfidf_cosine_pairs", Q.q_tfidf_cosine_pairs),
         ("kcore", Q.q_kcore),
         ("snm_pairs", Q.q_snm_pairs),
+        ("graph_walks", Q.q_graph_walks),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

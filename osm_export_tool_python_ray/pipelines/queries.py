@@ -7342,6 +7342,78 @@ ORDER BY doc_a, doc_b, dist
 """
 
 
+def q_graph_walks(sf_dir):
+    """Deterministic random-walk corpus (stages/graph.py graph_walks;
+    DeepWalk KDD'14): one 4-step walk per node of the sparse co-location
+    graph, step index = splitmix64((walk·P) XOR step) mod deg — the
+    engine's mix64 family, re-derived exactly in SQL via _sql_mix64, so
+    walks are bit-identical across runs, parallelism levels and the
+    oracle. Adjacency indexed once; each step is one node-keyed
+    exchange."""
+    from osm_export_tool_python_ray.stages.graph import graph_walks
+    from osm_export_tool_python_ray.stages.journey import encounters
+
+    pairs = encounters(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        cell_div=2,
+        bucket_us=900_000_000,
+    )
+    return graph_walks(pairs, length=4).sort(["walk", "step"])
+
+
+def _build_graph_walks_sql(length=4):
+    P = 0x9E3779B97F4A7C15
+    mix = _sql_mix64("hx")
+    parts = [
+        """
+WITH p AS (
+  SELECT DISTINCT user_id, (event_id % 100) // 2 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 2 AS cy,
+         epoch_us(ts) // 900000000 AS hr
+  FROM events
+),
+e AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY 1, 2
+),
+und AS (SELECT ua AS src, ub AS dst FROM e UNION ALL SELECT ub, ua FROM e),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM und
+),
+wk0 AS (SELECT DISTINCT src AS walk, src AS cur, __HW__ AS hw FROM und)""".replace(
+            "__HW__",
+            _sql_mulmod64("CAST(src AS UBIGINT)", "CAST('%d' AS UBIGINT)" % P),
+        )
+    ]
+    for s in range(1, length + 1):
+        parts.append(
+            """,
+hx{s} AS (SELECT walk, hw, cur,
+                 xor(hw, CAST({s} AS UBIGINT)) AS hx FROM wk{prev}),
+wk{s} AS (
+  SELECT h.walk, h.hw, a.dst AS cur
+  FROM hx{s} h JOIN adj a
+    ON a.src = h.cur
+   AND a.idx = CAST((__MIX__) % CAST(a.deg AS UBIGINT) AS BIGINT)
+)""".replace("__MIX__", mix).format(s=s, prev=s - 1)
+        )
+    sel = ["SELECT walk, 0 AS step, cur AS node FROM wk0"]
+    for s in range(1, length + 1):
+        sel.append(
+            "SELECT walk, %d AS step, cur AS node FROM wk%d" % (s, s)
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY walk, step")
+    return "".join(parts)
+
+
+SQL_GRAPH_WALKS = _build_graph_walks_sql(4)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -7368,6 +7440,7 @@ QUERIES = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "kcore": q_kcore,
     "snm_pairs": q_snm_pairs,
+    "graph_walks": q_graph_walks,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
@@ -7573,6 +7646,7 @@ ORACLES = {
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "kcore": SQL_KCORE,
     "snm_pairs": SQL_SNM_PAIRS,
+    "graph_walks": SQL_GRAPH_WALKS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "lang_id": SQL_LANG_ID,

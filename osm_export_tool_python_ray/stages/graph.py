@@ -724,3 +724,208 @@ def kcore_members(
         lambda t: pa.table({"node": t.column("src"), "deg": t.column("deg")}),
         batch_format="pyarrow",
     )
+
+
+def graph_walks(
+    pairs_ds,
+    length=4,
+    a_col="user_a",
+    b_col="user_b",
+    num_buckets=16,
+):
+    """Deterministic random-walk corpus over the undirected pair graph —
+    the training-data generator for graph-embedding pipelines (DeepWalk,
+    Perozzi et al. KDD'14 / node2vec, Grover & Leskovec KDD'16): one
+    walk of ``length`` steps from every node. "Randomness" is the
+    engine's splitmix64 avalanche over (walk·P XOR step), so walks are
+    reproducible across runs, parallelism levels AND in the DuckDB
+    oracle (same mix64 via _sql_mix64 — the MinHash hash-family parity
+    discipline).
+
+    Step rule from node ``cur`` at step ``s`` of walk ``w``:
+
+        idx = mix64((w * 0x9E3779B97F4A7C15 mod 2^64) XOR s) mod deg(cur)
+        next = sorted-neighbors(cur)[idx]
+
+    Scale shape: the indexed adjacency (src, dst, idx, deg — neighbor
+    lists sorted by dst, one exchange) is materialized ONCE and reused
+    every step; each step is ONE node-keyed exchange co-locating the
+    frontier with its adjacency slice (searchsorted + fancy-index, no
+    Python loop); frontier state lives only in datasets. L steps = L
+    exchanges — the Pregel-style iteration of pagerank_scores, with a
+    gather instead of a scatter-sum.
+
+    No reference analog — engine mandate (graph training-data family).
+    """
+    import ray.data
+
+    from osm_export_tool_python_ray.stages.exchange import union_all
+
+    i64 = pa.int64()
+    P = np.uint64(0x9E3779B97F4A7C15)
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def bucket_src(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((s % num_buckets).astype(np.int32))
+        )
+
+    def index_adj(g: pa.Table) -> pa.Table:
+        s = g.column("src").to_numpy(zero_copy_only=False)
+        d = g.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        # collapse multi-edges: neighbor LISTS are sets (matches the
+        # oracle's DISTINCT pair derivation and keeps deg well-defined
+        # for arbitrary pair tables)
+        if len(s):
+            keep = np.concatenate([[True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+            s, d = s[keep], d[keep]
+        n = len(s)
+        first = (
+            np.concatenate([[True], s[1:] != s[:-1]]) if n else np.array([], bool)
+        )
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        seg = np.repeat(np.arange(len(starts)), sizes)
+        idx = np.arange(n, dtype=np.int64) - starts[seg]
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(d),
+                "idx": pa.array(idx),
+                "deg": pa.array(sizes[seg].astype(np.int64)),
+            }
+        )
+
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    adj = grouped_map(
+        pairs_ds.map_batches(to_directed, batch_format="pyarrow").map_batches(
+            bucket_src, batch_format="pyarrow"
+        ),
+        "bucket",
+        index_adj,
+        num_partitions=min(num_buckets, 8),
+        payload_schema=pa.schema([("src", i64), ("dst", i64)]),
+    ).materialize()  # reused every step
+
+    # frontier 0: one walk per node (idx==0 row of each neighbor list)
+    def seeds(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        f = t.filter(pc_.equal(t.column("idx"), 0))
+        return pa.table({"walk": f.column("src"), "cur": f.column("src")})
+
+    frontier = adj.map_batches(seeds, batch_format="pyarrow").materialize()
+
+    def with_step(ds, s):
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "walk": t.column("walk"),
+                    "step": pa.array(np.full(t.num_rows, s, dtype=np.int64)),
+                    "node": t.column("cur"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    out_steps = [with_step(frontier, 0)]
+
+    def adj_as_union(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "walk": pa.nulls(n, type=i64),
+                "cur": t.column("src"),
+                "dst": t.column("dst"),
+                "idx": t.column("idx"),
+                "deg": t.column("deg"),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "bucket": pa.array((s % num_buckets).astype(np.int32)),
+            }
+        )
+
+    adj_union = adj.map_batches(adj_as_union, batch_format="pyarrow").materialize()
+
+    union_schema = pa.schema(
+        [
+            ("walk", i64),
+            ("cur", i64),
+            ("dst", i64),
+            ("idx", i64),
+            ("deg", i64),
+            ("kind", pa.int8()),
+        ]
+    )
+
+    for s in range(1, int(length) + 1):
+
+        def frontier_as_union(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            c = t.column("cur").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "walk": t.column("walk"),
+                    "cur": t.column("cur"),
+                    "dst": pa.nulls(n, type=i64),
+                    "idx": pa.nulls(n, type=i64),
+                    "deg": pa.nulls(n, type=i64),
+                    "kind": pa.array(np.zeros(n, np.int8)),
+                    "bucket": pa.array((c % num_buckets).astype(np.int32)),
+                }
+            )
+
+        step_const = np.uint64(s)
+
+        def advance(g: pa.Table, _step=step_const) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            # split Arrow-side FIRST: to_numpy on a null-bearing int64
+            # column silently widens to float64 (NaN nulls) — filtering
+            # the table keeps the columns int64
+            am = pc_.equal(g.column("kind"), 1)
+            at = g.filter(am)
+            ft = g.filter(pc_.invert(am))
+            asrc = at.column("cur").to_numpy(zero_copy_only=False)
+            adst = at.column("dst").to_numpy(zero_copy_only=False)
+            aidx = at.column("idx").to_numpy(zero_copy_only=False)
+            order = np.lexsort((aidx, asrc))
+            asrc, adst = asrc[order], adst[order]
+            adeg = at.column("deg").to_numpy(zero_copy_only=False)[order]
+            w = ft.column("walk").to_numpy(zero_copy_only=False)
+            cur = ft.column("cur").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(asrc, cur, side="left")
+            deg = adeg[pos].astype(np.uint64)
+            from osm_export_tool_python_ray.functions.text import _mix64
+
+            with np.errstate(over="ignore"):
+                h = _mix64(w.astype(np.uint64) * P ^ _step) % deg
+            nxt = adst[pos + h.astype(np.int64)]
+            return pa.table({"walk": pa.array(w), "cur": pa.array(nxt)})
+
+        frontier = grouped_map(
+            union_all(
+                frontier.map_batches(frontier_as_union, batch_format="pyarrow"),
+                adj_union,
+            ),
+            "bucket",
+            advance,
+            num_partitions=min(num_buckets, 8),
+            payload_schema=union_schema,
+        ).materialize()
+        out_steps.append(with_step(frontier, s))
+
+    return union_all(*out_steps)

@@ -347,20 +347,24 @@ def tfidf_cosine_pairs(
     )
 
     def explode_pair_terms(g: pa.Table) -> pa.Table:
-        kind = g.column("kind").to_numpy(zero_copy_only=False)
-        jdoc = g.column("jdoc").to_numpy(zero_copy_only=False)
-        pm = kind == 0
-        vm = ~pm
-        vd = jdoc[vm]
+        import pyarrow.compute as pc_
+
+        # split Arrow-side FIRST: to_numpy on a null-bearing int64
+        # column silently widens to float64 — filtering the table keeps
+        # every column at its declared type
+        pmask = pc_.equal(g.column("kind"), 0)
+        pt = g.filter(pmask)
+        vt = g.filter(pc_.invert(pmask))
+        vd = vt.column("jdoc").to_numpy(zero_copy_only=False)
         vorder = np.argsort(vd, kind="stable")
         vd = vd[vorder]
-        vterm = np.asarray(g.column("term").to_pylist(), dtype=object)[vm][vorder]
-        vwn = g.column("wn").to_numpy(zero_copy_only=False)[vm][vorder]
-        vssq = g.column("ssq").to_numpy(zero_copy_only=False)[vm][vorder]
-        pd_ = jdoc[pm]
-        pa_ = g.column("doc_a").to_numpy(zero_copy_only=False)[pm]
-        pb_ = g.column("doc_b").to_numpy(zero_copy_only=False)[pm]
-        ps_ = g.column("side").to_numpy(zero_copy_only=False)[pm]
+        vterm = np.asarray(vt.column("term").to_pylist(), dtype=object)[vorder]
+        vwn = vt.column("wn").to_numpy(zero_copy_only=False)[vorder]
+        vssq = vt.column("ssq").to_numpy(zero_copy_only=False)[vorder]
+        pd_ = pt.column("jdoc").to_numpy(zero_copy_only=False)
+        pa_ = pt.column("doc_a").to_numpy(zero_copy_only=False)
+        pb_ = pt.column("doc_b").to_numpy(zero_copy_only=False)
+        ps_ = pt.column("side").to_numpy(zero_copy_only=False)
         lo = np.searchsorted(vd, pd_, side="left")
         hi = np.searchsorted(vd, pd_, side="right")
         cnt = hi - lo

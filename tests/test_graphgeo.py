@@ -332,3 +332,68 @@ class TestKCore:
         self._run(edges, 2, max_rounds=2)  # P12 needs ~11 rounds
         caps = snapshot_caps()
         assert caps.get("kcore_unconverged_rounds", 0) >= 1
+
+
+class TestGraphWalks:
+    """graph_walks vs a sequential brute-force walker using the same
+    mix64 step rule."""
+
+    P = 0x9E3779B97F4A7C15
+
+    @classmethod
+    def _brute(cls, edges, length=4):
+        from osm_export_tool_python_ray.functions.text import _mix64
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        adj = {n: sorted(v) for n, v in adj.items()}
+        out = []
+        for n in sorted(adj):
+            cur = n
+            out.append((n, 0, n))
+            for s in range(1, length + 1):
+                h = int(
+                    _mix64(
+                        np.uint64(n) * np.uint64(cls.P) ^ np.uint64(s)
+                    )
+                ) % len(adj[cur])
+                cur = adj[cur][h]
+                out.append((n, s, cur))
+        return sorted(out)
+
+    @staticmethod
+    def _run(edges, length=4, **kw):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.graph import graph_walks
+
+        t = pa.table(
+            {
+                "user_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "user_b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+        rows = graph_walks(ray.data.from_arrow(t), length=length, **kw).take_all()
+        return sorted((r["walk"], r["step"], r["node"]) for r in rows)
+
+    def test_star_and_path(self, ray_session):
+        edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)]
+        assert self._run(edges) == self._brute(edges)
+
+    def test_randomized_and_parallelism_invariance(self, ray_session):
+        rng = np.random.default_rng(5)
+        m = rng.integers(0, 30, size=(50, 2))
+        edges = [(int(a), int(b)) for a, b in m if a != b]
+        want = self._brute(edges, length=5)
+        assert self._run(edges, length=5, num_buckets=2) == want
+        assert self._run(edges, length=5, num_buckets=16) == want
+
+    def test_deg_one_node_bounces(self, ray_session):
+        # pendant node: every odd step returns to its only neighbor
+        edges = [(1, 2), (2, 3), (3, 1), (3, 99)]
+        got = self._run(edges, length=4)
+        assert got == self._brute(edges, length=4)
+        w99 = {(s, n) for w, s, n in got if w == 99}
+        assert (1, 3) in w99  # deg(99)=1 → first hop must be 3
