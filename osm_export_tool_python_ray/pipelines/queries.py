@@ -7414,6 +7414,67 @@ wk{s} AS (
 SQL_GRAPH_WALKS = _build_graph_walks_sql(4)
 
 
+def q_entity_clusters(sf_dir):
+    """Merge/purge entity resolution END-TO-END (the composition the
+    SNM paper is actually for): sorted-neighborhood blocking
+    (stages/snm.py) → match rule (8-char blocking-key prefix equality,
+    vectorized Arrow filter) → connected components
+    (stages/dedup.py dedup_clusters) → (doc_id, cluster_id = min doc of
+    the component). One oracle re-derives the whole chain: window
+    self-join on ranks → substr-prefix filter → recursive min-label
+    walk."""
+    import pyarrow.compute as _pc
+
+    from osm_export_tool_python_ray.stages.dedup import dedup_clusters
+    from osm_export_tool_python_ray.stages.snm import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=4
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ka = _pc.utf8_slice_codeunits(t.column("key_a"), 0, 8)
+        kb = _pc.utf8_slice_codeunits(t.column("key_b"), 0, 8)
+        f = t.filter(_pc.equal(ka, kb))
+        return pa.table({"doc_a": f.column("doc_a"), "doc_b": f.column("doc_b")})
+
+    return dedup_clusters(
+        pairs.map_batches(verify, batch_format="pyarrow")
+    ).sort("doc_id")
+
+
+SQL_ENTITY_CLUSTERS = r"""
+WITH RECURSIVE k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(coalesce(text, '')),
+                               '[^a-z0-9]+', '', 'g'), 1, 12) AS bkey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bkey,
+         row_number() OVER (ORDER BY bkey, doc_id) AS rk
+  FROM k
+),
+vp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+  WHERE substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION ALL SELECT doc_b, doc_a FROM vp
+),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node
+  WHERE walk.label < e.b
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -7441,6 +7502,7 @@ QUERIES = {
     "kcore": q_kcore,
     "snm_pairs": q_snm_pairs,
     "graph_walks": q_graph_walks,
+    "entity_clusters": q_entity_clusters,
     "dedup_clusters": q_dedup_clusters,
     "ngram_clusters": q_ngram_clusters,
     "dup_spans": q_dup_spans,
@@ -7647,6 +7709,7 @@ ORACLES = {
     "kcore": SQL_KCORE,
     "snm_pairs": SQL_SNM_PAIRS,
     "graph_walks": SQL_GRAPH_WALKS,
+    "entity_clusters": SQL_ENTITY_CLUSTERS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "lang_id": SQL_LANG_ID,

@@ -229,3 +229,37 @@ class TestSortedNeighborhood:
         ]
         got = self._run(docs, ray_session, window=3, chunk=2, num_buckets=2)
         assert got == self._brute(docs, window=3)
+
+
+def test_entity_clusters_transitive_beyond_window(ray_session):
+    """Chained matches merge into ONE cluster even when the endpoints
+    are farther apart than the SNM window (components, not windows,
+    define the entity)."""
+    import ray.data
+
+    from osm_export_tool_python_ray.stages.dedup import dedup_clusters
+    from osm_export_tool_python_ray.stages.snm import sorted_neighborhood_pairs
+    import pyarrow.compute as pc
+
+    # six docs with the same 8-char prefix (one entity), plus noise
+    docs = [(i, "prefixAB suffix%d" % i) for i in range(6)]
+    docs += [(100 + i, "zz unrelated %d" % i) for i in range(4)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([x for _, x in docs], type=pa.string()),
+        }
+    )
+    pairs = sorted_neighborhood_pairs(ray.data.from_arrow(t), window=3, chunk=4)
+
+    def verify(tt):
+        ka = pc.utf8_slice_codeunits(tt.column("key_a"), 0, 8)
+        kb = pc.utf8_slice_codeunits(tt.column("key_b"), 0, 8)
+        f = tt.filter(pc.equal(ka, kb))
+        return pa.table({"doc_a": f.column("doc_a"), "doc_b": f.column("doc_b")})
+
+    out = dedup_clusters(pairs.map_batches(verify, batch_format="pyarrow")).take_all()
+    cl = {r["doc_id"]: r["cluster_id"] for r in out}
+    # docs 0..5: rank-adjacent chain with equal prefixes → one cluster,
+    # labeled by its min member, even though (0,5) exceeds window 3
+    assert [cl[i] for i in range(6)] == [0] * 6
