@@ -6,7 +6,7 @@ Ray pipeline and the oracle (the driver sorts columns by name and
 value-hashes). Floating-point aggregates are rounded to 6 decimals on BOTH
 sides so double-summation order cannot flip the hash; rank/selection ties
 are broken on a quantized key + id on both sides (raw doubles differ in
-the last ulp between numpy and DuckDB). ALL 71 queries are oracle-backed
+the last ulp between numpy and DuckDB). ALL queries in QUERIES are oracle-backed
 — including the LSH families (MinHash/SimHash re-derived with exact hash
 arithmetic in SQL), connected components (recursive CTE), the full export
 surface (span-UNNEST re-derivation), deterministic strided-centroid
@@ -772,6 +772,234 @@ def q_lang_id(sf_dir):
     )
 
 
+def q_naive_bayes_lang(sf_dir):
+    """Model TRAIN + SCORE inside the engine: a multinomial Naive Bayes
+    language classifier fit on the even-doc_id half of the corpus and
+    scored on the odd half — the distributed train/infer composition a
+    labeling pipeline runs (fit token statistics at corpus scale,
+    broadcast the fitted model, score map-side). Train pass: per-batch
+    (lang, term) count combiner → ONE groupby exchange that moves
+    VOCABULARY rows, not tokens; the model vocabulary is the global
+    top-V=500 terms by a DISTRIBUTED ``.sort().limit(V)`` (the
+    q_vocab_topk cut — the distinct-term table never reaches the driver);
+    only the ≤ V×|langs| Laplace-smoothed count matrix and the |langs|
+    doc-prior vector are collected and broadcast via ``ray.put``. Score
+    pass: tokens → sorted-vocab searchsorted → per-token log-probs
+    gathered from the broadcast int64 MICRO-NAT matrix and summed per doc
+    with order-independent integer reduceat (the unigram_logprob
+    quantization discipline — both sides quantize each (term, lang) cell
+    ONCE, so parallel summation order cannot flip the hash); prediction
+    is argmax with ties broken lang-ascending on both sides. Output per
+    test doc: true lang, predicted lang, winning score in micro-nats."""
+    import ray
+
+    from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
+
+    V = 500
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    TRAIN_OUT = pa.schema(
+        [("lang", pa.string()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (did % 2) == 0
+        texts = [x for x, k in zip(t.column("text").to_pylist(), keep) if k]
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)[keep]
+        flat, ntoks = alnum_tokens_batch(texts)
+        if not flat:
+            return TRAIN_OUT.empty_table()
+        tok_lang = np.repeat(langs, ntoks)
+        w = np.asarray(flat, dtype=object)
+        lang_u, lang_inv = np.unique(tok_lang, return_inverse=True)
+        term_u, term_inv = np.unique(w, return_inverse=True)
+        nt = np.int64(len(term_u))
+        upk, cnt = np.unique(lang_inv.astype(np.int64) * nt + term_inv, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(list(lang_u[upk // nt]), type=pa.string()),
+                "term": pa.array(list(term_u[upk % nt]), type=pa.string()),
+                "tf": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        docs.map_batches(train_partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .sum(["tf"])
+        .materialize()  # |langs|×|distinct terms| rows, distributed — never collected
+    )
+
+    # top-V vocabulary cut, fully distributed (tf desc, term asc at the
+    # cut rank, deterministic on both sides)
+    term_tot = counts.groupby("term").sum(["sum(tf)"])
+    top_rows = (
+        term_tot.sort(["sum(sum(tf))", "term"], descending=[True, False])
+        .limit(V)
+        .take_all()
+    )
+    vterms = np.sort(np.array([r["term"] for r in top_rows]))
+    v_eff = len(vterms)
+
+    lang_tok = {
+        r["lang"]: int(r["sum(sum(tf))"])
+        for r in counts.groupby("lang").sum(["sum(tf)"]).take_all()
+    }
+
+    def prior_partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (did % 2) == 0
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)[keep]
+        lu, cnt = np.unique(langs, return_counts=True)
+        return pa.table(
+            {"lang": pa.array(list(lu), type=pa.string()), "nd": pa.array(cnt.astype(np.int64))}
+        )
+
+    prior_rows = (
+        docs.map_batches(prior_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["nd"])
+        .take_all()
+    )
+    nd = {r["lang"]: int(r["sum(nd)"]) for r in prior_rows}
+    langs_arr = np.array(sorted(nd), dtype=object)
+    L = len(langs_arr)
+    nd_total = sum(nd.values())
+
+    # model rows: counts restricted to the vocabulary — ≤ V×L rows is the
+    # ONLY train-side collect (the filter runs distributed, map-side)
+    vref = ray.put(vterms)
+
+    def vocab_filter(t: pa.Table) -> pa.Table:
+        vt = cached_get(vref)
+        w = np.asarray(t.column("term").to_pylist(), dtype=object)
+        pos = np.searchsorted(vt, w)
+        pos_c = np.minimum(pos, len(vt) - 1)
+        return t.filter(pa.array((pos < len(vt)) & (vt[pos_c] == w)))
+
+    model_rows = counts.map_batches(vocab_filter, batch_format="pyarrow").take_all()
+    lidx = {l: i for i, l in enumerate(langs_arr)}
+    cntm = np.zeros((v_eff, L), dtype=np.int64)
+    for r in model_rows:
+        if r["lang"] in lidx:
+            cntm[np.searchsorted(vterms, r["term"]), lidx[r["lang"]]] = r["sum(tf)"]
+    tot = np.array([lang_tok.get(l, 0) for l in langs_arr], dtype=np.float64)
+    # each (term, lang) cell quantized ONCE to int64 micro-nats; per-doc
+    # sums are then integer-exact and summation-order independent
+    lp = np.round(np.log((cntm + 1.0) / (tot + v_eff)) * 1e6).astype(np.int64)
+    pri = np.round(
+        np.log(np.array([nd[l] for l in langs_arr], dtype=np.float64) / nd_total) * 1e6
+    ).astype(np.int64)
+    model_ref = ray.put((vterms, lp, pri, langs_arr))
+
+    SCORE_OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("lang_pred", pa.string()),
+            ("score_micro", pa.int64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        vt, lpm, pr, la = cached_get(model_ref)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (did % 2) == 1
+        texts = [x for x, k in zip(t.column("text").to_pylist(), keep) if k]
+        true_lang = np.asarray(t.column("lang").to_pylist(), dtype=object)[keep]
+        ids = did[keep]
+        if len(ids) == 0:
+            return SCORE_OUT.empty_table()
+        flat, ntoks = alnum_tokens_batch(texts)
+        scores = np.tile(pr, (len(ids), 1))
+        if flat:
+            w = np.asarray(flat, dtype=object)
+            pos = np.searchsorted(vt, w)
+            pos_c = np.minimum(pos, len(vt) - 1)
+            hit = (pos < len(vt)) & (vt[pos_c] == w)
+            if hit.any():
+                # tokens are concatenated in doc order, so the per-doc
+                # hit index is non-decreasing → axis-0 reduceat, no
+                # (slow, unbuffered) np.add.at needed
+                dih = np.repeat(np.arange(len(ids)), ntoks)[hit]
+                seg = np.flatnonzero(
+                    np.concatenate(([True], dih[1:] != dih[:-1]))
+                )
+                scores[dih[seg]] += np.add.reduceat(lpm[pos_c[hit]], seg, axis=0)
+        pred = np.argmax(scores, axis=1)  # first max → lang ascending
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "lang": pa.array(list(true_lang), type=pa.string()),
+                "lang_pred": pa.array(list(la[pred]), type=pa.string()),
+                "score_micro": pa.array(scores[np.arange(len(ids)), pred]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_NAIVE_BAYES_LANG = r"""
+WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM train
+),
+counts AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT term FROM (SELECT term, sum(tf) AS ttf FROM counts GROUP BY term)
+  ORDER BY ttf DESC, term LIMIT 500
+),
+veff AS (SELECT count(*) AS v FROM vocab),
+doc_n AS (SELECT lang, count(*) AS ndocs FROM train GROUP BY lang),
+lang_tot AS (SELECT lang, sum(tf) AS tot FROM counts GROUP BY lang),
+priors AS (
+  SELECT lang,
+         CAST(round(ln(CAST(ndocs AS DOUBLE)
+                       / (SELECT sum(ndocs) FROM doc_n)) * 1e6) AS BIGINT) AS p
+  FROM doc_n
+),
+-- one quantization per (term, lang) cell, BEFORE any per-doc sum (the
+-- unigram_logprob discipline: integer micro-nats are summation-order
+-- independent, parallel float sums are not)
+lp AS (
+  SELECT d.lang, v.term,
+         CAST(round(ln((coalesce(c.tf, 0) + 1.0)
+                       / (coalesce(t.tot, 0) + (SELECT v FROM veff))) * 1e6)
+              AS BIGINT) AS lp
+  FROM doc_n d
+  CROSS JOIN vocab v
+  LEFT JOIN lang_tot t ON t.lang = d.lang
+  LEFT JOIN counts c ON c.lang = d.lang AND c.term = v.term
+),
+test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+ttoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM test
+),
+tok_scores AS (
+  SELECT tt.doc_id, lp.lang, sum(lp.lp) AS s
+  FROM ttoks tt JOIN lp ON lp.term = tt.term
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT d.doc_id, pr.lang, coalesce(ts.s, 0) + pr.p AS score
+  FROM test d
+  CROSS JOIN priors pr
+  LEFT JOIN tok_scores ts ON ts.doc_id = d.doc_id AND ts.lang = pr.lang
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT t.doc_id, t.lang, b.lang_pred, CAST(b.score AS BIGINT) AS score_micro
+FROM test t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+"""
+
+
 def q_minhash_pairs(sf_dir):
     from osm_export_tool_python_ray.stages.dedup import minhash_lsh_pairs
 
@@ -1151,6 +1379,160 @@ SELECT event_type,
 FROM lagged WHERE gap IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def q_watermark_late(sf_dir):
+    """Event-time watermark semantics (the Flink/Beam allowed-lateness
+    model — Ray Data has no event-time watermarks, so the engine supplies
+    them): events arrive out of order (arrival = event time + a
+    deterministic splitmix64 network delay in [0, 600 s)); processing in
+    ARRIVAL order per user, the raw watermark is the running max of
+    event-time over previously-arrived events, and an event is LATE when
+    its event-time sits more than the 120 s allowed lateness behind that
+    watermark (it would be dropped / side-outputted by a streaming
+    runner). Per user: event count, late count, and worst observed
+    watermark lag in integer µs — the numbers that size a real pipeline's
+    allowed-lateness budget. ONE user-keyed exchange; the per-partition
+    fold is a fully vectorized SEGMENTED prefix-max (Hillis–Steele
+    doubling with a segment-start guard — log2(longest user run) passes,
+    no per-user Python loop); per-user totals via reduceat on segment
+    starts. Integer µs throughout — no float, no rounding flakes."""
+    from osm_export_tool_python_ray.functions.text import _mix64
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    DELAY_MOD = np.uint64(600_000_000)  # simulated delay in [0, 600 s)
+    LATE_US = np.int64(120_000_000)  # allowed lateness: 120 s
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            delay = (_mix64(eid.astype(np.uint64) * GOLD) % DELAY_MOD).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "tsu": pa.array(ts),
+                "event_id": pa.array(eid),
+                "arrival": pa.array(ts + delay),
+                "bucket": pa.array((u % 32).astype(np.int32)),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_late", pa.int64()),
+            ("max_lateness_us", pa.int64()),
+        ]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("tsu").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        arr = g.column("arrival").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr, u))  # (user, arrival, event_id)
+        u, ts = u[order], ts[order]
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        s_idx = idx[new_seg]
+        seg_len = np.diff(np.append(s_idx, n))
+        # segmented prefix-max of event-time in arrival order: after pass
+        # k, cm[i] = max ts over [max(start_i, i-2^k+1), i]; the
+        # i-d >= start guard keeps every merge inside one user's segment
+        # (cm[i-d]'s window is already clipped at the same start by
+        # induction), so log2(longest run) passes suffice.
+        LOW = np.iinfo(np.int64).min
+        cm = ts.copy()
+        d = 1
+        max_run = int(seg_len.max())
+        while d < max_run:
+            shifted = np.concatenate((np.full(d, LOW, dtype=np.int64), cm[:-d]))
+            np.maximum(cm, np.where(idx - d >= start, shifted, LOW), out=cm)
+            d <<= 1
+        # watermark BEFORE row i = segment-shifted cm (first arrival of a
+        # user has no watermark yet)
+        wm = np.concatenate(([LOW], cm[:-1]))
+        wm[new_seg] = LOW
+        has_wm = wm != LOW
+        wm_safe = np.where(has_wm, wm, ts)  # no int64 underflow below
+        late = has_wm & (ts < wm_safe - LATE_US)
+        lag = np.where(has_wm & (wm_safe > ts), wm_safe - ts, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(u[new_seg]),
+                "n_events": pa.array(seg_len.astype(np.int64)),
+                "n_late": pa.array(np.add.reduceat(late.astype(np.int64), s_idx)),
+                "max_lateness_us": pa.array(
+                    np.maximum.reduceat(lag, s_idx).astype(np.int64)
+                ),
+            }
+        )
+
+    return grouped_map(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        lambda g: fold(g.drop_columns(["bucket"])),
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("tsu", pa.int64()),
+                ("event_id", pa.int64()),
+                ("arrival", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _build_watermark_late_sql():
+    delay = _sql_mix64(
+        _sql_mulmod64(
+            "CAST(event_id AS UBIGINT)",
+            "CAST('%d' AS UBIGINT)" % 0x9E3779B97F4A7C15,
+        )
+    )
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         CAST({delay} % 600000000 AS BIGINT) AS delay
+  FROM events
+),
+w AS (
+  SELECT user_id, tsu,
+         max(tsu) OVER (PARTITION BY user_id ORDER BY tsu + delay, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN tsu < wm - 120000000 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN wm > tsu THEN wm - tsu ELSE 0 END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM w GROUP BY user_id
+""".format(delay=delay)
+
+
+# SQL_WATERMARK_LATE is assigned right after _sql_mix64 is defined below.
 
 
 def q_monthly_rollup(sf_dir):
@@ -1821,6 +2203,9 @@ def _sql_mix64(v):
 # functions/text.py shingle_windows_batch — DuckDB trim() strips spaces
 # only (engine: .strip(" ")), RE2 \s+ is [\t\n\f\r ]+ (engine: the same
 # explicit class), lower() is Unicode on both sides.
+SQL_WATERMARK_LATE = _build_watermark_late_sql()
+
+
 _NORM_NHX_CTES = r"""
 norm AS (
   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents
@@ -7495,6 +7880,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "theme_filter": q_theme_filter,
     "lang_id": q_lang_id,
+    "naive_bayes_lang": q_naive_bayes_lang,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -7555,6 +7941,7 @@ QUERIES = {
     "embedding_coverage": q_embedding_coverage,
     "monthly_rollup": q_monthly_rollup,
     "gap_histogram": q_gap_histogram,
+    "watermark_late": q_watermark_late,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -7713,6 +8100,7 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "lang_id": SQL_LANG_ID,
+    "naive_bayes_lang": SQL_NAIVE_BAYES_LANG,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_clusters": SQL_NGRAM_CLUSTERS,
@@ -7766,6 +8154,7 @@ ORACLES = {
     "embedding_coverage": SQL_EMBEDDING_COVERAGE,
     "monthly_rollup": SQL_MONTHLY_ROLLUP,
     "gap_histogram": SQL_GAP_HISTOGRAM,
+    "watermark_late": SQL_WATERMARK_LATE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,
