@@ -17,6 +17,7 @@ verification for the model-shaped ones.
 """
 
 import os
+import zlib
 
 import numpy as np
 from osm_export_tool_python_ray.state.broadcast import cached_get
@@ -7860,6 +7861,308 @@ ORDER BY doc_id
 """
 
 
+def q_local_supplier_volume(sf_dir):
+    """TPC-H Q5-shaped multiway join tree (the classic star-join
+    composition test the engine had not yet exercised end-to-end):
+    revenue from lineitems whose CUSTOMER and SUPPLIER sit in the same
+    ASIA nation, orders inside calendar 1996, grouped by nation.
+
+    Scale shape: region/nation are broadcast-tiny (≤25 rows — read once
+    on the driver, shipped in task closures), while customer, orders,
+    lineitem and supplier all STREAM through three bucketed exchanges —
+    orders⋈customer on custkey, lineitem⋈that on orderkey, ⋈supplier on
+    suppkey — the canonical fact-to-fact plan; no big side is ever
+    materialized or broadcast. Revenue is quantized per-row to integer
+    1e-4 units (extendedprice and discount both carry ≤2 decimals, so
+    price*(1-discount) is exact at 4; floor(x*1e4+0.5) is the identical
+    IEEE expression on both sides) and summed in int64 via keyed_sum —
+    summation-order independent, no float-boundary hash flakes."""
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rnames = np.asarray(region.column("r_name").to_pylist(), dtype=object)
+    rkey = region.column("r_regionkey").to_numpy()[rnames == "ASIA"][0]
+    nmask = nation.column("n_regionkey").to_numpy() == rkey
+    nat_keys = nation.column("n_nationkey").to_numpy()[nmask].astype(np.int64)
+    nat_names = np.asarray(nation.column("n_name").to_pylist(), dtype=object)[nmask]
+    name_of = dict(zip(nat_keys.tolist(), nat_names.tolist()))
+
+    t0 = np.datetime64("1996-01-01", "us").astype(np.int64)
+    t1 = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, nat_keys)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"custkey": pa.array(ck), "c_nat": pa.array(nk[keep])})
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = (ts >= t0) & (ts < t1)
+        return pa.table(
+            {
+                "custkey": pa.array(
+                    t.column("o_custkey").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "orderkey": pa.array(
+                    t.column("o_orderkey").to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": t.column("l_orderkey"),
+                "suppkey": t.column("l_suppkey"),
+                "rev_e4": pa.array(rev),
+            }
+        )
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": t.column("s_suppkey"),
+                "s_nat": pa.array(
+                    t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_prep, batch_format="pyarrow")
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_prep, batch_format="pyarrow"
+    )
+
+    cust_schema = pa.schema([("custkey", pa.int64()), ("c_nat", pa.int64())])
+    ord_schema = pa.schema([("custkey", pa.int64()), ("orderkey", pa.int64())])
+    oc = bucket_join(
+        orders, cust, "custkey", left_schema=ord_schema, right_schema=cust_schema
+    ).select_columns(["orderkey", "c_nat"])
+
+    line_schema = pa.schema(
+        [("orderkey", pa.int64()), ("suppkey", pa.int64()), ("rev_e4", pa.int64())]
+    )
+    oc_schema = pa.schema([("orderkey", pa.int64()), ("c_nat", pa.int64())])
+    lo = bucket_join(
+        line, oc, "orderkey", left_schema=line_schema, right_schema=oc_schema
+    ).select_columns(["suppkey", "rev_e4", "c_nat"])
+
+    lo_schema = pa.schema(
+        [("suppkey", pa.int64()), ("rev_e4", pa.int64()), ("c_nat", pa.int64())]
+    )
+    supp_schema = pa.schema([("suppkey", pa.int64()), ("s_nat", pa.int64())])
+    ls = bucket_join(
+        lo, supp, "suppkey", left_schema=lo_schema, right_schema=supp_schema
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        cn = t.column("c_nat").to_numpy(zero_copy_only=False)
+        sn = t.column("s_nat").to_numpy(zero_copy_only=False)
+        keep = cn == sn
+        return pa.table(
+            {
+                "natkey": pa.array(cn[keep]),
+                "rev_e4": pa.array(
+                    t.column("rev_e4").to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    per_nat = keyed_sum(
+        ls.map_batches(local_only, batch_format="pyarrow"),
+        ["natkey"],
+        [("rev_e4", "revenue_e4")],
+    )
+
+    # ≤ |nations-in-region| rows from here on — tiny by construction
+    rows = per_nat.take_all()
+    names = [name_of[int(r["natkey"])] for r in rows]
+    revs = [int(r["revenue_e4"]) for r in rows]
+    order = sorted(range(len(rows)), key=lambda i: (-revs[i], names[i]))
+    return pa.table(
+        {
+            "n_name": pa.array([names[i] for i in order], type=pa.string()),
+            "revenue_e4": pa.array([revs[i] for i in order], type=pa.int64()),
+        }
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+WITH nat AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nat ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_e4 DESC, n_name
+"""
+
+
+def q_kmv_distinct(sf_dir):
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) — the
+    mergeable distinct-count sketch the engine's sketch family (HLL,
+    CMS, Bloom) did not yet cover with an EXACT oracle: unlike HLL its
+    estimator is a pure integer function of the k-th smallest hash, so
+    DuckDB re-derives it bit-for-bit. Per document source: keep the K
+    smallest DISTINCT md5-LE-u64 text hashes; estimate distinct texts as
+    (K-1)*2^64 // h_K (exact count when fewer than K distinct values
+    were ever seen). A final '__ALL__' row is built by MERGING the
+    per-source sketches — the union-mergeability that makes bottom-k
+    work on a 256-node cluster (each node sketches locally; the
+    coordinator merges 20×K values, never the data).
+
+    Scale shape: per-batch per-source bottom-K combiner (≤ sources×K
+    rows leave each batch) → one source-keyed exchange folds partials →
+    driver holds only O(sources×K) u64s. No full-column materialization
+    anywhere; the estimator arithmetic is Python-int exact on the engine
+    side and HUGEINT exact in SQL."""
+    from osm_export_tool_python_ray.functions.text import hash_bytes
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    K = 128
+
+    def bottomk_per_source(src, hv):
+        """(source, hash) pairs → unique pairs, rank-within-source < K."""
+        o = np.lexsort((hv, src))
+        src_s, hv_s = src[o], hv[o]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (src_s[1:] != src_s[:-1]) | (hv_s[1:] != hv_s[:-1])
+        src_u, hv_u = src_s[keep], hv_s[keep]
+        n = len(src_u)
+        seg = np.ones(n, dtype=bool)
+        seg[1:] = src_u[1:] != src_u[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(seg, idx, 0))
+        m = (idx - start) < K
+        return src_u[m], hv_u[m]
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        hv = np.array(
+            [hash_bytes(x.encode("utf-8")) for x in t.column("text").to_pylist()],
+            dtype=np.uint64,
+        )
+        s, h = bottomk_per_source(src, hv)
+        # bucket on a DETERMINISTIC per-source hash (Python's str hash is
+        # salted per process — it would scatter one source's sketches
+        # across buckets) so the exchange co-locates each source
+        bkt = np.array(
+            [zlib.crc32(x.encode("utf-8")) % 32 for x in s], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "source": pa.array(list(s), type=pa.string()),
+                "hv": pa.array(h, type=pa.uint64()),
+                "bucket": pa.array(bkt),
+            }
+        )
+
+    OUT = pa.schema([("source", pa.string()), ("hv", pa.uint64())])
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        src = np.asarray(g.column("source").to_pylist(), dtype=object)
+        hv = g.column("hv").to_numpy(zero_copy_only=False).astype(np.uint64)
+        s, h = bottomk_per_source(src, hv)
+        return pa.table(
+            {"source": pa.array(list(s), type=pa.string()), "hv": pa.array(h, type=pa.uint64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    sketches = grouped_map(
+        ds,
+        "bucket",
+        fold,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [("source", pa.string()), ("hv", pa.uint64()), ("bucket", pa.int32())]
+        ),
+    )
+
+    # O(sources × K) rows — the only driver-side state
+    rows = sketches.take_all()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(int(r["hv"]))
+
+    def estimate(hashes):
+        hs = sorted(set(hashes))[:K]
+        if len(hs) < K:
+            return len(hs), len(hs)
+        return K, min((K - 1) * (1 << 64) // hs[K - 1], 1 << 62)
+
+    merged = [h for hs in by_src.values() for h in hs]
+    out_rows = [("__ALL__",) + estimate(merged)]
+    for s in by_src:
+        out_rows.append((s,) + estimate(by_src[s]))
+    # codepoint sort = DuckDB's binary ORDER BY (all-ASCII source names)
+    out_rows.sort(key=lambda r: r[0])
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in out_rows], type=pa.string()),
+            "sketch_k": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "est_distinct": pa.array([r[2] for r in out_rows], type=pa.int64()),
+        }
+    )
+
+
+def _build_kmv_sql(K=128):
+    le = _le64_expr("md5(text)")
+    est = (
+        "CAST(LEAST(CAST({km1} AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)"
+        " // CAST(hk AS HUGEINT), CAST('4611686018427387904' AS HUGEINT)) AS BIGINT)"
+    ).format(km1=K - 1)
+    return """
+WITH h AS (SELECT DISTINCT source, {le} AS hv FROM documents),
+u AS (SELECT DISTINCT hv FROM h),
+r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY source) AS nd FROM h),
+ra AS (SELECT '__ALL__' AS source, hv, row_number() OVER (ORDER BY hv) AS rk,
+              count(*) OVER () AS nd FROM u),
+allr AS (SELECT * FROM r UNION ALL SELECT * FROM ra),
+kth AS (SELECT source, hv AS hk FROM allr WHERE rk = {K}),
+base AS (SELECT DISTINCT source, nd FROM allr)
+SELECT b.source,
+       CAST(LEAST(b.nd, {K}) AS BIGINT) AS sketch_k,
+       CASE WHEN b.nd < {K} THEN CAST(b.nd AS BIGINT) ELSE {est} END AS est_distinct
+FROM base b LEFT JOIN kth k ON b.source = k.source
+ORDER BY b.source
+""".format(le=le, K=K, est=est)
+
+
+SQL_KMV_DISTINCT = _build_kmv_sql()
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -7942,6 +8245,8 @@ QUERIES = {
     "monthly_rollup": q_monthly_rollup,
     "gap_histogram": q_gap_histogram,
     "watermark_late": q_watermark_late,
+    "local_supplier_volume": q_local_supplier_volume,
+    "kmv_distinct": q_kmv_distinct,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -8155,6 +8460,8 @@ ORACLES = {
     "monthly_rollup": SQL_MONTHLY_ROLLUP,
     "gap_histogram": SQL_GAP_HISTOGRAM,
     "watermark_late": SQL_WATERMARK_LATE,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "kmv_distinct": SQL_KMV_DISTINCT,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -1,0 +1,286 @@
+"""local_supplier_volume (TPC-H Q5-shaped 6-table join tree) and
+kmv_distinct (bottom-k distinct sketch with merge): planted fixtures and
+brute-force equivalence. Oracle parity at sf0.001/sf0.01 is covered by
+tools/check_oracles.py (driver contract)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from osm_export_tool_python_ray.functions.text import hash_bytes
+from osm_export_tool_python_ray.pipelines.queries import QUERIES
+
+US = 1_000_000
+
+
+def _write(d, name, table):
+    pq.write_table(table, str(d / (name + ".parquet")))
+
+
+def _ts(s):
+    return np.datetime64(s, "us")
+
+
+def _q5_fixture(d):
+    """2 regions, 3 nations, and a hand-built fact web exercising every
+    drop reason: wrong region, date outside 1996, supplier nation !=
+    customer nation — plus an exact-quantization lineitem."""
+    _write(
+        d,
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], type=pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE"]),
+            }
+        ),
+    )
+    _write(
+        d,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], type=pa.int32()),
+                "n_name": pa.array(["CHINA", "JAPAN", "FRANCE"]),
+                "n_regionkey": pa.array([0, 0, 1], type=pa.int32()),
+            }
+        ),
+    )
+    _write(
+        d,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 11, 12], type=pa.int64()),
+                "c_name": pa.array(["c10", "c11", "c12"]),
+                "c_nationkey": pa.array([0, 1, 2], type=pa.int32()),
+                "c_acctbal": pa.array([0.0, 0.0, 0.0]),
+                "c_mktsegment": pa.array(["x", "x", "x"]),
+            }
+        ),
+    )
+    _write(
+        d,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([20, 21, 22], type=pa.int64()),
+                "s_name": pa.array(["s20", "s21", "s22"]),
+                "s_nationkey": pa.array([0, 1, 2], type=pa.int32()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0]),
+            }
+        ),
+    )
+    # orders: 100 in-window CHINA cust, 101 out-of-window CHINA cust,
+    # 102 in-window JAPAN cust, 103 in-window FRANCE cust (wrong region)
+    _write(
+        d,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102, 103], type=pa.int64()),
+                "o_custkey": pa.array([10, 10, 11, 12], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([1.0] * 4),
+                "o_orderdate": pa.array(
+                    [
+                        _ts("1996-06-01"),
+                        _ts("1995-12-31"),
+                        _ts("1996-01-01"),
+                        _ts("1996-06-01"),
+                    ]
+                ),
+                "o_orderpriority": pa.array(["1"] * 4),
+            }
+        ),
+    )
+    # lineitems: (order, supp, price, disc)
+    li = [
+        (100, 20, 100.05, 0.07),  # CHINA/CHINA: kept, 100.05*0.93=93.0465
+        (100, 21, 50.00, 0.00),  # CHINA cust / JAPAN supp: dropped
+        (100, 20, 10.00, 0.10),  # kept: 9.0 -> 90000
+        (101, 20, 999.0, 0.00),  # order out of window: dropped
+        (102, 21, 200.0, 0.25),  # JAPAN/JAPAN kept: 150.0 -> 1500000
+        (103, 22, 300.0, 0.00),  # FRANCE: wrong region, dropped
+    ]
+    ok, sk, ep, dc = zip(*li)
+    n = len(li)
+    _write(
+        d,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(list(ok), type=pa.int64()),
+                "l_partkey": pa.array([1] * n, type=pa.int64()),
+                "l_suppkey": pa.array(list(sk), type=pa.int64()),
+                "l_linenumber": pa.array(list(range(n)), type=pa.int32()),
+                "l_quantity": pa.array([1.0] * n),
+                "l_extendedprice": pa.array(list(ep), type=pa.float64()),
+                "l_discount": pa.array(list(dc), type=pa.float64()),
+                "l_tax": pa.array([0.0] * n),
+                "l_returnflag": pa.array(["N"] * n),
+                "l_linestatus": pa.array(["O"] * n),
+                "l_shipdate": pa.array([_ts("1996-07-01")] * n),
+            }
+        ),
+    )
+
+
+class TestLocalSupplierVolume:
+    def test_planted(self, ray_session, tmp_path):
+        d = tmp_path / "q5"
+        d.mkdir()
+        _q5_fixture(d)
+        out = QUERIES["local_supplier_volume"](str(d)).to_pandas()
+        # JAPAN 1_500_000 > CHINA 930_465+90_000
+        assert out["n_name"].tolist() == ["JAPAN", "CHINA"]
+        assert out["revenue_e4"].tolist() == [1_500_000, 1_020_465]
+
+    def test_randomized_matches_pandas(self, ray_session, tmp_path):
+        rng = np.random.RandomState(13)
+        d = tmp_path / "q5r"
+        d.mkdir()
+        _q5_fixture(d)  # dims reused; overwrite facts below
+        n_ord, n_li = 60, 300
+        odate = np.array(
+            [_ts("1995-06-01")] * n_ord, dtype="datetime64[us]"
+        ) + rng.randint(0, 700, n_ord).astype("timedelta64[D]").astype(
+            "timedelta64[us]"
+        )
+        ocust = rng.choice([10, 11, 12], n_ord)
+        _write(
+            d,
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+                    "o_custkey": pa.array(ocust.astype(np.int64)),
+                    "o_orderstatus": pa.array(["O"] * n_ord),
+                    "o_totalprice": pa.array(np.ones(n_ord)),
+                    "o_orderdate": pa.array(odate),
+                    "o_orderpriority": pa.array(["1"] * n_ord),
+                }
+            ),
+        )
+        lok = rng.randint(0, n_ord, n_li).astype(np.int64)
+        lsk = rng.choice([20, 21, 22], n_li).astype(np.int64)
+        lep = np.round(rng.uniform(1, 1000, n_li), 2)
+        ldc = np.round(rng.uniform(0, 0.1, n_li), 2)
+        _write(
+            d,
+            "lineitem",
+            pa.table(
+                {
+                    "l_orderkey": pa.array(lok),
+                    "l_partkey": pa.array(np.ones(n_li, dtype=np.int64)),
+                    "l_suppkey": pa.array(lsk),
+                    "l_linenumber": pa.array(
+                        np.arange(n_li, dtype=np.int32)
+                    ),
+                    "l_quantity": pa.array(np.ones(n_li)),
+                    "l_extendedprice": pa.array(lep),
+                    "l_discount": pa.array(ldc),
+                    "l_tax": pa.array(np.zeros(n_li)),
+                    "l_returnflag": pa.array(["N"] * n_li),
+                    "l_linestatus": pa.array(["O"] * n_li),
+                    "l_shipdate": pa.array(
+                        np.array([_ts("1996-07-01")] * n_li)
+                    ),
+                }
+            ),
+        )
+        out = QUERIES["local_supplier_volume"](str(d)).to_pandas()
+
+        # brute force in pandas
+        cnat = {10: 0, 11: 1, 12: 2}
+        snat = {20: 0, 21: 1, 22: 2}
+        nname = {0: "CHINA", 1: "JAPAN"}
+        t0, t1 = _ts("1996-01-01"), _ts("1997-01-01")
+        okeep = (odate >= t0) & (odate < t1)
+        rev = np.floor(lep * (1.0 - ldc) * 10000.0 + 0.5).astype(np.int64)
+        exp = {}
+        for i in range(n_li):
+            o = int(lok[i])
+            if not okeep[o]:
+                continue
+            cn = cnat[int(ocust[o])]
+            if cn not in nname or snat[int(lsk[i])] != cn:
+                continue
+            exp[nname[cn]] = exp.get(nname[cn], 0) + int(rev[i])
+        expected = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert list(zip(out["n_name"], out["revenue_e4"])) == expected
+
+
+def _docs_table(texts, sources):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(list(texts), type=pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(list(sources), type=pa.string()),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+
+
+def _brute_kmv(texts_by_source, K=128):
+    def est(hset):
+        hs = sorted(hset)[:K]
+        if len(hs) < K:
+            return len(hs), len(hs)
+        return K, min((K - 1) * (1 << 64) // hs[K - 1], 1 << 62)
+
+    out = {}
+    allh = set()
+    for s, ts in texts_by_source.items():
+        hs = {hash_bytes(t.encode("utf-8")) for t in set(ts)}
+        allh |= hs
+        out[s] = est(hs)
+    out["__ALL__"] = est(allh)
+    return out
+
+
+class TestKmvDistinct:
+    def test_exact_below_k_and_estimator_above_k(self, ray_session, tmp_path):
+        rng = np.random.RandomState(5)
+        small = ["s %d" % i for i in range(40)] * 3  # 40 distinct, dup'd
+        big = ["b %d %d" % (i, rng.randint(1000)) for i in range(600)]
+        texts = small + big
+        sources = ["small"] * len(small) + ["big"] * len(big)
+        d = tmp_path / "kmv"
+        d.mkdir()
+        _write(d, "documents", _docs_table(texts, sources))
+        out = (
+            QUERIES["kmv_distinct"](str(d)).to_pandas().set_index("source")
+        )
+        brute = _brute_kmv({"small": small, "big": big})
+        for s in ("small", "big", "__ALL__"):
+            assert (
+                out.loc[s, "sketch_k"],
+                out.loc[s, "est_distinct"],
+            ) == brute[s], s
+        # exact regime: sketch holds everything
+        assert out.loc["small", "est_distinct"] == 40
+        # estimator regime: within 35% of truth (k=128 => ~9% std err)
+        n_big = len(set(big))
+        assert abs(out.loc["big", "est_distinct"] - n_big) < 0.35 * n_big
+
+    def test_merge_dedups_cross_source_duplicates(self, ray_session, tmp_path):
+        shared = ["dup %d" % i for i in range(30)]
+        d = tmp_path / "kmv2"
+        d.mkdir()
+        texts = shared + shared  # identical text sets in two sources
+        sources = ["a"] * 30 + ["b"] * 30
+        _write(d, "documents", _docs_table(texts, sources))
+        out = (
+            QUERIES["kmv_distinct"](str(d)).to_pandas().set_index("source")
+        )
+        assert out.loc["a", "est_distinct"] == 30
+        assert out.loc["b", "est_distinct"] == 30
+        assert out.loc["__ALL__", "est_distinct"] == 30  # merged, not 60
+        # binary-collation row order matches DuckDB's ORDER BY
+        assert out.index.tolist() == sorted(out.index.tolist())
