@@ -255,6 +255,9 @@ def run_query_suite(sf_dir):
         ("kcore", Q.q_kcore),
         ("snm_pairs", Q.q_snm_pairs),
         ("graph_walks", Q.q_graph_walks),
+        ("local_supplier_volume", Q.q_local_supplier_volume),
+        ("kmv_distinct", Q.q_kmv_distinct),
+        ("chi2_terms", Q.q_chi2_terms),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

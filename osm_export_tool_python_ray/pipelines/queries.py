@@ -8163,6 +8163,153 @@ ORDER BY b.source
 SQL_KMV_DISTINCT = _build_kmv_sql()
 
 
+def q_chi2_terms(sf_dir):
+    """Chi-square feature selection (the classic supervised term-ranking
+    step before training a text classifier — complements the engine's
+    naive_bayes_lang, which ASSUMES a vocabulary, by computing the
+    statistic that picks one): for every term, the 2×2 chi-square of
+    document-level term presence vs the binary label lang='en'; top 50
+    by statistic. Presence counts are per-document DISTINCT (a document
+    never spans two batches, so per-batch distinct (doc, term) pairs sum
+    exactly); the contingency arithmetic is the IDENTICAL IEEE double
+    expression on both sides — every operand an exact small integer —
+    and the rank ORDER uses the raw statistic with a term tie-break, so
+    the cut at rank 50 cannot flake. Scale shape: per-batch (term,
+    n_pos, n_neg) combiner → one term groupby (vocabulary-sized, not
+    token-sized) → distributed sort+limit; the only driver state is the
+    final 50 rows."""
+    from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "n1": pa.array([int((langs == "en").sum())], type=pa.int64()),
+                "n": pa.array([len(langs)], type=pa.int64()),
+            }
+        )
+
+    tot = ds.map_batches(tot_partial, batch_format="pyarrow").sum(["n1", "n"])
+    n1 = int(tot["sum(n1)"])
+    n = int(tot["sum(n)"])
+    n0 = n - n1
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        flat_list, ntoks = alnum_tokens_batch(t.column("text").to_pylist())
+        flat = np.asarray(flat_list, dtype=object)
+        didx = np.repeat(np.arange(len(ntoks), dtype=np.int64), ntoks)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "np_": pa.array([], type=pa.int64()),
+                    "nn_": pa.array([], type=pa.int64()),
+                }
+            )
+        o = np.lexsort((flat, didx))
+        f_s, d_s = flat[o], didx[o]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+        f_u, d_u = f_s[keep], d_s[keep]  # distinct (doc, term)
+        pos = (langs[d_u] == "en").astype(np.int64)
+        terms, inv = np.unique(f_u, return_inverse=True)
+        npos = np.bincount(inv, weights=pos).astype(np.int64)
+        ntot = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(list(terms), type=pa.string()),
+                "np_": pa.array(npos),
+                "nn_": pa.array(ntot - npos),
+            }
+        )
+
+    counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["np_", "nn_"])
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t.column("sum(np_)").to_numpy(zero_copy_only=False)
+        b = t.column("sum(nn_)").to_numpy(zero_copy_only=False)
+        keep = (a + b) < n
+        a, b = a[keep], b[keep]
+        terms = pc.filter(t.column("term"), pa.array(keep))
+        af = a.astype(np.float64)
+        bf = b.astype(np.float64)
+        cf = (n1 - a).astype(np.float64)
+        df_ = (n0 - b).astype(np.float64)
+        d2 = af * df_ - bf * cf
+        num = float(n) * d2 * d2
+        den = ((a + b).astype(np.float64) * (n - a - b).astype(np.float64)) * (
+            float(n1) * float(n0)
+        )
+        return pa.table(
+            {
+                "term": terms,
+                "df_pos": pa.array(a),
+                "df_neg": pa.array(b),
+                "chi2_raw": pa.array(num / den),
+            }
+        )
+
+    top = (
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["chi2_raw", "term"], descending=[True, False])
+        .limit(50)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in top], type=pa.string()),
+            "df_pos": pa.array([r["df_pos"] for r in top], type=pa.int64()),
+            "df_neg": pa.array([r["df_neg"] for r in top], type=pa.int64()),
+            "chi2": pa.array(
+                [round(r["chi2_raw"], 6) for r in top], type=pa.float64()
+            ),
+        }
+    )
+
+
+SQL_CHI2_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+w0 AS (SELECT doc_id, pos, unnest(t) AS term FROM toks),
+w AS (SELECT DISTINCT doc_id, pos, term FROM w0),
+agg AS (
+  SELECT term,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+  FROM w GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         count(*) AS n
+  FROM documents
+),
+sc AS (
+  SELECT term, df_pos, df_neg,
+         (CAST(n AS DOUBLE)
+          * (CAST(df_pos AS DOUBLE) * CAST((n - n1) - df_neg AS DOUBLE)
+             - CAST(df_neg AS DOUBLE) * CAST(n1 - df_pos AS DOUBLE))
+          * (CAST(df_pos AS DOUBLE) * CAST((n - n1) - df_neg AS DOUBLE)
+             - CAST(df_neg AS DOUBLE) * CAST(n1 - df_pos AS DOUBLE)))
+         / ((CAST(df_pos + df_neg AS DOUBLE) * CAST(n - df_pos - df_neg AS DOUBLE))
+            * (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))) AS chi2_raw
+  FROM agg, tot
+  WHERE df_pos + df_neg < n
+)
+SELECT term, df_pos, df_neg, round(chi2_raw, 6) AS chi2
+FROM sc ORDER BY chi2_raw DESC, term LIMIT 50
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -8247,6 +8394,7 @@ QUERIES = {
     "watermark_late": q_watermark_late,
     "local_supplier_volume": q_local_supplier_volume,
     "kmv_distinct": q_kmv_distinct,
+    "chi2_terms": q_chi2_terms,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -8462,6 +8610,7 @@ ORACLES = {
     "watermark_late": SQL_WATERMARK_LATE,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "chi2_terms": SQL_CHI2_TERMS,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

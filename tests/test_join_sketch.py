@@ -284,3 +284,56 @@ class TestKmvDistinct:
         assert out.loc["__ALL__", "est_distinct"] == 30  # merged, not 60
         # binary-collation row order matches DuckDB's ORDER BY
         assert out.index.tolist() == sorted(out.index.tolist())
+
+
+def _brute_chi2(texts, langs, topk=50):
+    import re
+
+    n = len(texts)
+    n1 = sum(1 for l in langs if l == "en")
+    n0 = n - n1
+    cnt = {}
+    for t, l in zip(texts, langs):
+        for w in set(re.findall(r"[a-z0-9]+", t.lower())):
+            a, b = cnt.get(w, (0, 0))
+            cnt[w] = (a + 1, b) if l == "en" else (a, b + 1)
+    rows = []
+    for w, (a, b) in cnt.items():
+        if a + b >= n:
+            continue
+        d2 = float(a) * float(n0 - b) - float(b) * float(n1 - a)
+        num = float(n) * d2 * d2
+        den = (float(a + b) * float(n - a - b)) * (float(n1) * float(n0))
+        rows.append((w, a, b, num / den))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return [(w, a, b, round(x, 6)) for w, a, b, x in rows[:topk]]
+
+
+class TestChi2Terms:
+    def test_planted_discriminative_term(self, ray_session, tmp_path):
+        rng = np.random.RandomState(11)
+        texts, langs = [], []
+        fillers = ["alpha", "beta", "gamma", "delta"]
+        for i in range(120):
+            en = i % 2 == 0
+            ws = list(rng.choice(fillers, 5))
+            # 'shibboleth' appears in 90% of en docs, 5% of others
+            if (en and rng.rand() < 0.9) or (not en and rng.rand() < 0.05):
+                ws.append("shibboleth")
+            texts.append(" ".join(ws))
+            langs.append("en" if en else "de")
+        d = tmp_path / "chi2"
+        d.mkdir()
+        tbl = _docs_table(texts, ["s"] * len(texts))
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("lang"),
+            "lang",
+            pa.array(langs, type=pa.string()),
+        )
+        _write(d, "documents", tbl)
+        out = QUERIES["chi2_terms"](str(d)).to_pandas()
+        assert out.iloc[0]["term"] == "shibboleth"
+        got = list(
+            zip(out["term"], out["df_pos"], out["df_neg"], out["chi2"])
+        )
+        assert got == _brute_chi2(texts, langs)
