@@ -258,6 +258,8 @@ def run_query_suite(sf_dir):
         ("local_supplier_volume", Q.q_local_supplier_volume),
         ("kmv_distinct", Q.q_kmv_distinct),
         ("chi2_terms", Q.q_chi2_terms),
+        ("decision_stump", Q.q_decision_stump),
+        ("ewma_users", Q.q_ewma_users),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

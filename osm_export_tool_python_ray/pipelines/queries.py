@@ -8310,6 +8310,278 @@ FROM sc ORDER BY chi2_raw DESC, term LIMIT 50
 """
 
 
+def q_decision_stump(sf_dir):
+    """Optimal 1-D decision stump (CART's inner loop, the primitive under
+    every tree/GBDT trainer): the threshold on doc length (n_chars) that
+    best separates lang='en' from the rest, scored by Gini purity —
+    maximize (c1²+c0²)/nL + (r1²+r0²)/nR over all split points. The
+    candidate set is the DISTINCT value domain (bounded by max doc
+    length, not corpus size); per-value label counts come from a
+    combiner-shaped groupby, the left-side cumulative counts from TWO
+    ordered_prefix_scan exchanges (stages/scan.py — O(num_buckets)
+    driver state each), re-joined value-to-value by one bucket_join.
+    The score is the identical IEEE double expression on both sides and
+    the argmax tie-breaks on threshold asc, so the winning row cannot
+    flake. Returns ONE row: threshold (left = x <= t), the 2×2 split
+    counts, and the rounded score."""
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+    from osm_export_tool_python_ray.stages.scan import ordered_prefix_scan
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = (
+            np.asarray(t.column("lang").to_pylist(), dtype=object) == "en"
+        ).astype(np.int64)
+        xs, inv = np.unique(x, return_inverse=True)
+        p1 = np.bincount(inv, weights=pos).astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"x": pa.array(xs), "p1": pa.array(p1), "p0": pa.array(n - p1)}
+        )
+
+    per_x = (
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("x")
+        .sum(["p1", "p0"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "x": t.column("x"),
+                    "p1": t.column("sum(p1)"),
+                    "p0": t.column("sum(p0)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # distinct-x rows, distributed; consumed 3×
+    )
+
+    t1 = int(per_x.sum("p1") or 0)
+    t0 = int(per_x.sum("p0") or 0)
+    n_total = t1 + t0
+
+    s1 = ordered_prefix_scan(
+        per_x.select_columns(["x", "p1"]), order_col="x", value_col="p1"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "x": t.column("x"),
+                "c1": pa.array(
+                    t.column("cum_excl").to_numpy(zero_copy_only=False)
+                    + t.column("p1").to_numpy(zero_copy_only=False)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s0 = ordered_prefix_scan(
+        per_x.select_columns(["x", "p0"]), order_col="x", value_col="p0"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "x": t.column("x"),
+                "c0": pa.array(
+                    t.column("cum_excl").to_numpy(zero_copy_only=False)
+                    + t.column("p0").to_numpy(zero_copy_only=False)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        s1,
+        s0,
+        "x",
+        left_schema=pa.schema([("x", pa.int64()), ("c1", pa.int64())]),
+        right_schema=pa.schema([("x", pa.int64()), ("c0", pa.int64())]),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c1 = t.column("c1").to_numpy(zero_copy_only=False)
+        c0 = t.column("c0").to_numpy(zero_copy_only=False)
+        keep = (c1 + c0) < n_total  # right side must be nonempty
+        c1, c0 = c1[keep], c0[keep]
+        x = t.column("x").to_numpy(zero_copy_only=False)[keep]
+        r1 = t1 - c1
+        r0 = t0 - c0
+        c1f, c0f = c1.astype(np.float64), c0.astype(np.float64)
+        r1f, r0f = r1.astype(np.float64), r0.astype(np.float64)
+        sc = (c1f * c1f + c0f * c0f) / (c1 + c0).astype(np.float64) + (
+            r1f * r1f + r0f * r0f
+        ) / (r1 + r0).astype(np.float64)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "c1": pa.array(c1),
+                "c0": pa.array(c0),
+                "r1": pa.array(r1),
+                "r0": pa.array(r0),
+                "score_raw": pa.array(sc),
+            }
+        )
+
+    best = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .sort(["score_raw", "x"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    r = best[0]
+    return pa.table(
+        {
+            "threshold": pa.array([r["x"]], type=pa.int64()),
+            "n_pos_left": pa.array([r["c1"]], type=pa.int64()),
+            "n_neg_left": pa.array([r["c0"]], type=pa.int64()),
+            "n_pos_right": pa.array([r["r1"]], type=pa.int64()),
+            "n_neg_right": pa.array([r["r0"]], type=pa.int64()),
+            "score": pa.array([round(r["score_raw"], 6)], type=pa.float64()),
+        }
+    )
+
+
+SQL_DECISION_STUMP = r"""
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM documents
+),
+g AS (
+  SELECT x, CAST(sum(p) AS BIGINT) AS p1,
+         CAST(count(*) - sum(p) AS BIGINT) AS p0
+  FROM d GROUP BY x
+),
+c AS (
+  SELECT x,
+         CAST(sum(p1) OVER w AS BIGINT) AS c1,
+         CAST(sum(p0) OVER w AS BIGINT) AS c0
+  FROM g WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+),
+t AS (
+  SELECT CAST(sum(p1) AS BIGINT) AS t1, CAST(sum(p0) AS BIGINT) AS t0 FROM g
+),
+sc AS (
+  SELECT x, c1, c0, t1 - c1 AS r1, t0 - c0 AS r0,
+         (CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+          + CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE))
+         / CAST(c1 + c0 AS DOUBLE)
+         + (CAST(t1 - c1 AS DOUBLE) * CAST(t1 - c1 AS DOUBLE)
+            + CAST(t0 - c0 AS DOUBLE) * CAST(t0 - c0 AS DOUBLE))
+         / CAST((t1 - c1) + (t0 - c0) AS DOUBLE) AS score_raw
+  FROM c, t WHERE c1 + c0 < t1 + t0
+)
+SELECT x AS threshold, c1 AS n_pos_left, c0 AS n_neg_left,
+       r1 AS n_pos_right, r0 AS n_neg_right,
+       round(score_raw, 6) AS score
+FROM sc ORDER BY score_raw DESC, x LIMIT 1
+"""
+
+
+def q_ewma_users(sf_dir):
+    """Exponentially-weighted tail window per user (the streaming-EWMA
+    recurrence, truncated at W=16 so it is exactly computable on both
+    sides): over each user's events in (ts, event_id) order, the last
+    event's weighted sum  Σ_{j=0..15} v_{last-j} · 2^(15-j)  with values
+    quantized to integer micro-units — newest event weighs 2^15, each
+    step back halves. Integer-exact: no float accumulation, no
+    summation-order dependence. ONE user-keyed exchange; the fold is a
+    fully vectorized segmented tail-rank (lexsort + segment-start
+    subtraction), weights applied by bit shift — no per-user loop.
+    Output per user: ewma_num (int64) and n_window (≤16)."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    W = 16
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        v = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "tsu": pa.array(ts),
+                "event_id": t.column("event_id"),
+                "v": pa.array(v),
+                "bucket": pa.array((u % 64).astype(np.int32)),
+            }
+        )
+
+    OUT = pa.schema(
+        [("user_id", pa.int64()), ("ewma_num", pa.int64()), ("n_window", pa.int64())]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("tsu").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        # (user asc, ts desc, event_id desc): newest event first per user
+        order = np.lexsort((-eid, -ts, u))
+        u, v = u[order], v[order]
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        seg = np.ones(n, dtype=bool)
+        seg[1:] = u[1:] != u[:-1]
+        start = np.maximum.accumulate(np.where(seg, idx, 0))
+        r = idx - start  # 0 = newest event of its user
+        m = r < W
+        wsum = np.zeros(int(seg.sum()), dtype=np.int64)
+        uid_seg = u[seg]
+        seg_id = np.cumsum(seg) - 1
+        np.add.at(wsum, seg_id[m], v[m] << (W - 1 - r[m]))
+        nwin = np.bincount(seg_id[m], minlength=len(wsum)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid_seg),
+                "ewma_num": pa.array(wsum),
+                "n_window": pa.array(nwin),
+            }
+        )
+
+    return grouped_map(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        fold,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("tsu", pa.int64()),
+                ("event_id", pa.int64()),
+                ("v", pa.int64()),
+                ("bucket", pa.int32()),
+            ]
+        ),
+    ).sort("user_id")
+
+
+SQL_EWMA_USERS = r"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS r
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(v * (65536 >> r)) AS BIGINT) AS ewma_num,
+       CAST(count(*) AS BIGINT) AS n_window
+FROM e WHERE r <= 16
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -8395,6 +8667,8 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "kmv_distinct": q_kmv_distinct,
     "chi2_terms": q_chi2_terms,
+    "decision_stump": q_decision_stump,
+    "ewma_users": q_ewma_users,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -8611,6 +8885,8 @@ ORACLES = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "chi2_terms": SQL_CHI2_TERMS,
+    "decision_stump": SQL_DECISION_STUMP,
+    "ewma_users": SQL_EWMA_USERS,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -337,3 +337,110 @@ class TestChi2Terms:
             zip(out["term"], out["df_pos"], out["df_neg"], out["chi2"])
         )
         assert got == _brute_chi2(texts, langs)
+
+
+class TestDecisionStump:
+    def test_planted_clean_split(self, ray_session, tmp_path):
+        # en docs short (<= 50 chars), others long: perfect split at 50
+        texts, langs = [], []
+        for i in range(40):
+            texts.append("a" * (20 + i % 30))
+            langs.append("en")
+        for i in range(40):
+            texts.append("b" * (200 + i % 30))
+            langs.append("de")
+        d = tmp_path / "stump"
+        d.mkdir()
+        tbl = _docs_table(texts, ["s"] * 80)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("lang"),
+            "lang",
+            pa.array(langs, type=pa.string()),
+        )
+        _write(d, "documents", tbl)
+        out = QUERIES["decision_stump"](str(d)).to_pandas().iloc[0]
+        assert out["n_pos_left"] == 40 and out["n_neg_left"] == 0
+        assert out["n_pos_right"] == 0 and out["n_neg_right"] == 40
+        assert out["threshold"] == 49  # longest en doc: 20+29
+        assert out["score"] == 80.0  # 40^2/40 + 40^2/40
+
+    def test_randomized_matches_brute(self, ray_session, tmp_path):
+        rng = np.random.RandomState(3)
+        n = 300
+        lens = rng.randint(5, 60, n)
+        langs = np.where(
+            rng.rand(n) < np.clip(lens / 60.0, 0, 1), "de", "en"
+        )
+        texts = ["x" * int(l) for l in lens]
+        d = tmp_path / "stump2"
+        d.mkdir()
+        tbl = _docs_table(texts, ["s"] * n)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("lang"),
+            "lang",
+            pa.array(list(langs), type=pa.string()),
+        )
+        _write(d, "documents", tbl)
+        out = QUERIES["decision_stump"](str(d)).to_pandas().iloc[0]
+
+        # brute force over every candidate threshold
+        xs = np.asarray([len(t) for t in texts])
+        pos = (langs == "en").astype(np.int64)
+        best = None
+        for t in sorted(set(xs)):
+            L = xs <= t
+            if L.all():
+                continue
+            c1, c0 = int(pos[L].sum()), int((~pos.astype(bool))[L].sum())
+            r1, r0 = int(pos[~L].sum()), int((1 - pos)[~L].sum())
+            sc = (c1 * c1 + c0 * c0) / (c1 + c0) + (r1 * r1 + r0 * r0) / (
+                r1 + r0
+            )
+            if best is None or sc > best[0] or (sc == best[0] and t < best[1]):
+                best = (sc, t, c1, c0, r1, r0)
+        assert out["threshold"] == best[1]
+        assert (
+            out["n_pos_left"],
+            out["n_neg_left"],
+            out["n_pos_right"],
+            out["n_neg_right"],
+        ) == best[2:]
+
+
+class TestEwmaUsers:
+    def test_matches_brute_force(self, ray_session, tmp_path):
+        rng = np.random.RandomState(9)
+        n = 500
+        eids = np.arange(n, dtype=np.int64)
+        uids = rng.randint(0, 12, n).astype(np.int64)
+        tss = 1_700_000_000_000_000 + rng.randint(
+            0, 10**9, n
+        ).astype(np.int64)
+        vals = np.round(rng.uniform(-5, 5, n), 3)
+        import pyarrow.parquet as _pq
+
+        rows = list(zip(eids, uids, tss, ["e"] * n, vals))
+        tbl = pa.table(
+            {
+                "event_id": pa.array(eids),
+                "ts": pa.array(tss.astype("datetime64[us]")),
+                "user_id": pa.array(uids),
+                "event_type": pa.array(["e"] * n),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "ewma"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = (
+            QUERIES["ewma_users"](str(d)).to_pandas().set_index("user_id")
+        )
+        q = np.floor(vals * 1_000_000.0 + 0.5).astype(np.int64)
+        for u in np.unique(uids):
+            m = uids == u
+            order = np.lexsort((-eids[m], -tss[m]))  # newest first
+            vv = q[m][order][:16]
+            num = int(sum(int(v) << (15 - j) for j, v in enumerate(vv)))
+            assert out.loc[u, "ewma_num"] == num, u
+            assert out.loc[u, "n_window"] == len(vv), u
