@@ -260,6 +260,8 @@ def run_query_suite(sf_dir):
         ("chi2_terms", Q.q_chi2_terms),
         ("decision_stump", Q.q_decision_stump),
         ("ewma_users", Q.q_ewma_users),
+        ("benford_audit", Q.q_benford_audit),
+        ("assoc_rules", Q.q_assoc_rules),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

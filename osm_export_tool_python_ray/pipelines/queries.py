@@ -8582,6 +8582,222 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_benford_audit(sf_dir):
+    """Benford first-significant-digit audit (the classic fraud /
+    data-entry anomaly screen for financial columns): distribution of
+    the leading digit of l_extendedprice, with each digit's share in
+    integer parts-per-million. Prices are quantized to exact integer
+    cents first (2-decimal doubles, identical floor(x*100+0.5) on both
+    sides), so the leading digit is a pure integer function — the
+    engine extracts it by repeated integer division, the oracle by the
+    first character of the decimal string; both are the leading digit
+    of the SAME integer. Map-side 9-bin bincount combiner → one tiny
+    keyed fold; the only driver state is the 9-row histogram."""
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        y = cents[cents > 0]
+        while len(y) and int(y.max()) >= 10:
+            m = y >= 10
+            y[m] //= 10
+        counts = np.bincount(y, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = keyed_sum(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["digit"],
+        [("n", "n")],
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["digit"])  # ≤ 9 rows
+    tot = sum(int(r["n"]) for r in rows)
+    rows = [r for r in rows if int(r["n"]) > 0]
+    return pa.table(
+        {
+            "digit": pa.array([int(r["digit"]) for r in rows], type=pa.int64()),
+            "n": pa.array([int(r["n"]) for r in rows], type=pa.int64()),
+            "pct_e6": pa.array(
+                [int(r["n"]) * 1_000_000 // tot for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+SQL_BENFORD_AUDIT = r"""
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+v AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+SELECT digit, n, CAST(n * 1000000 // tot AS BIGINT) AS pct_e6
+FROM g, t ORDER BY digit
+"""
+
+
+def q_assoc_rules(sf_dir):
+    """Association-rule mining over user event baskets (the Apriori
+    support/confidence/lift report, market-basket style: "users who did
+    A also did B"): baskets are each user's DISTINCT event types; rules
+    are directional type pairs with support ≥ 5 users, scored by
+    confidence n_ab/n_a and lift n·n_ab/(n_a·n_b), both in integer
+    parts-per-million (Python-int / HUGEINT exact — no float). Scale
+    shape: the type domain is small and bounded, so each user's basket
+    is a BITMASK — one user-keyed exchange, a per-partition
+    bitwise_or.reduceat fold, then pair counts come from ≤C(T,2)
+    vectorized mask tests over the user-mask array; what leaves each
+    partition is O(T²) count rows, never user rows. The only driver
+    state is the T-type dictionary and the final rule table."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    MINSUP = 5
+
+    # type dictionary: bounded domain, tiny take_all
+    types = sorted(
+        r["event_type"]
+        for r in _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    T = len(types)
+    if T > 64:
+        raise ValueError("event_type domain %d exceeds the 64-bit basket" % T)
+    tid = {t: i for i, t in enumerate(types)}
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        bits = np.array([np.uint64(1) << np.uint64(tid[x]) for x in et], dtype=np.uint64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "bit": pa.array(bits, type=pa.uint64()),
+                "bucket": pa.array((u % 64).astype(np.int32)),
+            }
+        )
+
+    OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("nab", pa.int64())])
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        bit = g.column("bit").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(u, kind="stable")
+        u, bit = u[order], bit[order]
+        seg = np.ones(len(u), dtype=bool)
+        seg[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(seg)[0]
+        masks = np.bitwise_or.reduceat(bit, starts)  # one basket per user
+        a_out, b_out, n_out = [], [], []
+        # per (a, b) TYPE pair — ≤ C(T,2) vectorized tests, a==b row
+        # carries n_a (single-type support) at b == a
+        for a in range(T):
+            in_a = (masks >> np.uint64(a)) & np.uint64(1)
+            a_out.append(a)
+            b_out.append(a)
+            n_out.append(int(in_a.sum()))
+            for b in range(a + 1, T):
+                both = in_a & ((masks >> np.uint64(b)) & np.uint64(1))
+                n = int(both.sum())
+                if n:
+                    a_out.append(a)
+                    b_out.append(b)
+                    n_out.append(n)
+        # n_users partial rides as a == b == -1
+        a_out.append(-1)
+        b_out.append(-1)
+        n_out.append(len(masks))
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(a_out, dtype=np.int64)),
+                "b": pa.array(np.asarray(b_out, dtype=np.int64)),
+                "nab": pa.array(np.asarray(n_out, dtype=np.int64)),
+            }
+        )
+
+    partials = grouped_map(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            keyed, batch_format="pyarrow"
+        ),
+        "bucket",
+        fold,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [("user_id", pa.int64()), ("bit", pa.uint64()), ("bucket", pa.int32())]
+        ),
+    )
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+
+    agg = keyed_sum(partials, ["a", "b"], [("nab", "nab")])
+    rows = agg.take_all()  # ≤ C(T,2)+T+1 rows
+    n_users = 0
+    n_a = {}
+    pair = {}
+    for r in rows:
+        a, b, n = int(r["a"]), int(r["b"]), int(r["nab"])
+        if a == -1:
+            n_users = n
+        elif a == b:
+            n_a[a] = n
+        else:
+            pair[(a, b)] = n
+    out = []
+    for (a, b), nab in pair.items():
+        if nab < MINSUP:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            conf = nab * 1_000_000 // n_a[ante]
+            lift = n_users * nab * 1_000_000 // (n_a[ante] * n_a[cons])
+            out.append((types[ante], types[cons], nab, conf, lift))
+    out.sort()
+    return pa.table(
+        {
+            "ante": pa.array([r[0] for r in out], type=pa.string()),
+            "cons": pa.array([r[1] for r in out], type=pa.string()),
+            "nab": pa.array([r[2] for r in out], type=pa.int64()),
+            "conf_e6": pa.array([r[3] for r in out], type=pa.int64()),
+            "lift_e6": pa.array([r[4] for r in out], type=pa.int64()),
+        }
+    )
+
+
+SQL_ASSOC_RULES = r"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+p AS (
+  SELECT a.event_type AS ante, b.event_type AS cons,
+         CAST(count(*) AS BIGINT) AS nab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons, p.nab,
+       CAST(CAST(p.nab AS HUGEINT) * 1000000 // x.n AS BIGINT) AS conf_e6,
+       CAST(CAST(u.n AS HUGEINT) * p.nab * 1000000
+            // (CAST(x.n AS HUGEINT) * y.n) AS BIGINT) AS lift_e6
+FROM p
+JOIN na x ON p.ante = x.event_type
+JOIN na y ON p.cons = y.event_type, nu u
+WHERE p.nab >= 5
+ORDER BY p.ante, p.cons
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -8669,6 +8885,8 @@ QUERIES = {
     "chi2_terms": q_chi2_terms,
     "decision_stump": q_decision_stump,
     "ewma_users": q_ewma_users,
+    "benford_audit": q_benford_audit,
+    "assoc_rules": q_assoc_rules,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -8887,6 +9105,8 @@ ORACLES = {
     "chi2_terms": SQL_CHI2_TERMS,
     "decision_stump": SQL_DECISION_STUMP,
     "ewma_users": SQL_EWMA_USERS,
+    "benford_audit": SQL_BENFORD_AUDIT,
+    "assoc_rules": SQL_ASSOC_RULES,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

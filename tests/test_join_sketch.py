@@ -444,3 +444,101 @@ class TestEwmaUsers:
             num = int(sum(int(v) << (15 - j) for j, v in enumerate(vv)))
             assert out.loc[u, "ewma_num"] == num, u
             assert out.loc[u, "n_window"] == len(vv), u
+
+
+class TestBenfordAudit:
+    def test_planted_digits(self, ray_session, tmp_path):
+        # prices with known leading cents-digits: 1.00->100(d1),
+        # 25.50->2550(d2), 0.09->9(d9), 999.99->99999(d9), 0.001->0 dropped
+        ep = [1.00, 25.50, 0.09, 999.99, 0.001, 3.33, 3.00]
+        n = len(ep)
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "l_partkey": pa.array(np.ones(n, dtype=np.int64)),
+                "l_suppkey": pa.array(np.ones(n, dtype=np.int64)),
+                "l_linenumber": pa.array(np.arange(n, dtype=np.int32)),
+                "l_quantity": pa.array(np.ones(n)),
+                "l_extendedprice": pa.array(ep, type=pa.float64()),
+                "l_discount": pa.array(np.zeros(n)),
+                "l_tax": pa.array(np.zeros(n)),
+                "l_returnflag": pa.array(["N"] * n),
+                "l_linestatus": pa.array(["O"] * n),
+                "l_shipdate": pa.array(
+                    np.array([_ts("1996-07-01")] * n)
+                ),
+            }
+        )
+        d = tmp_path / "benford"
+        d.mkdir()
+        _write(d, "lineitem", tbl)
+        out = QUERIES["benford_audit"](str(d)).to_pandas().set_index("digit")
+        # digits: 1 (100), 2 (2550), 9 (9), 9 (99999), 3 (333), 3 (300)
+        assert out.loc[1, "n"] == 1
+        assert out.loc[2, "n"] == 1
+        assert out.loc[3, "n"] == 2
+        assert out.loc[9, "n"] == 2
+        assert out["n"].sum() == 6  # 0.001 -> cents 0, dropped
+        assert out.loc[3, "pct_e6"] == 2 * 1_000_000 // 6
+
+
+class TestAssocRules:
+    def test_matches_brute_force(self, ray_session, tmp_path):
+        rng = np.random.RandomState(21)
+        n = 800
+        uids = rng.randint(0, 60, n).astype(np.int64)
+        types = np.asarray(
+            [["view", "click", "buy", "share"][i] for i in rng.randint(0, 4, n)],
+            dtype=object,
+        )
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(
+                    (1_700_000_000_000_000 + np.arange(n)).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "user_id": pa.array(uids),
+                "event_type": pa.array(list(types), type=pa.string()),
+                "value": pa.array(np.ones(n)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "assoc"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = QUERIES["assoc_rules"](str(d)).to_pandas()
+
+        baskets = {}
+        for u, t in zip(uids, types):
+            baskets.setdefault(int(u), set()).add(t)
+        nu = len(baskets)
+        na = {}
+        for b in baskets.values():
+            for t in b:
+                na[t] = na.get(t, 0) + 1
+        exp = []
+        dist = sorted(na)
+        for a in dist:
+            for c in dist:
+                if a >= c:
+                    continue
+                nab = sum(1 for b in baskets.values() if a in b and c in b)
+                if nab < 5:
+                    continue
+                for ante, cons in ((a, c), (c, a)):
+                    exp.append(
+                        (
+                            ante,
+                            cons,
+                            nab,
+                            nab * 1_000_000 // na[ante],
+                            nu * nab * 1_000_000 // (na[ante] * na[cons]),
+                        )
+                    )
+        exp.sort()
+        got = list(
+            zip(out["ante"], out["cons"], out["nab"], out["conf_e6"], out["lift_e6"])
+        )
+        assert got == exp
