@@ -8111,6 +8111,14 @@ def q_kmv_distinct(sf_dir):
 
     # O(sources × K) rows — the only driver-side state
     rows = sketches.take_all()
+    if not rows:  # empty corpus: the oracle's window CTEs emit 0 rows too
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "sketch_k": pa.array([], type=pa.int64()),
+                "est_distinct": pa.array([], type=pa.int64()),
+            }
+        )
     by_src = {}
     for r in rows:
         by_src.setdefault(r["source"], []).append(int(r["hv"]))
@@ -8192,6 +8200,15 @@ def q_chi2_terms(sf_dir):
         )
 
     tot = ds.map_batches(tot_partial, batch_format="pyarrow").sum(["n1", "n"])
+    if tot is None or tot.get("sum(n)") is None:  # empty corpus
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df_pos": pa.array([], type=pa.int64()),
+                "df_neg": pa.array([], type=pa.int64()),
+                "chi2": pa.array([], type=pa.float64()),
+            }
+        )
     n1 = int(tot["sum(n1)"])
     n = int(tot["sum(n)"])
     n0 = n - n1
@@ -8427,6 +8444,18 @@ def q_decision_stump(sf_dir):
         .limit(1)
         .take_all()
     )
+    if not best:  # empty / single-value corpus: no valid split exists
+        z = pa.array([], type=pa.int64())
+        return pa.table(
+            {
+                "threshold": z,
+                "n_pos_left": z,
+                "n_neg_left": z,
+                "n_pos_right": z,
+                "n_neg_right": z,
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
     r = best[0]
     return pa.table(
         {

@@ -542,3 +542,37 @@ class TestAssocRules:
             zip(out["ante"], out["cons"], out["nab"], out["conf_e6"], out["lift_e6"])
         )
         assert got == exp
+
+
+class TestEmptyInputs:
+    """Engine/oracle parity on zero-row inputs for the round-4 late
+    additions: both sides must yield zero rows (no crash, no sentinel)."""
+
+    def test_empty_documents_queries(self, ray_session, tmp_path):
+        d = tmp_path / "empty_docs"
+        d.mkdir()
+        _write(d, "documents", _docs_table([], []))
+        for name in ("kmv_distinct", "chi2_terms", "decision_stump"):
+            out = QUERIES[name](str(d)).to_pandas()
+            assert len(out) == 0, name
+
+    def test_empty_events_queries(self, ray_session, tmp_path):
+        d = tmp_path / "empty_ev"
+        d.mkdir()
+        _write(
+            d,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.timestamp("us")),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "value": pa.array([], type=pa.float64()),
+                    "props": pa.array([], type=pa.string()),
+                }
+            ),
+        )
+        for name in ("ewma_users", "assoc_rules"):
+            out = QUERIES[name](str(d)).to_pandas()
+            assert len(out) == 0, name
