@@ -262,6 +262,7 @@ def run_query_suite(sf_dir):
         ("ewma_users", Q.q_ewma_users),
         ("benford_audit", Q.q_benford_audit),
         ("assoc_rules", Q.q_assoc_rules),
+        ("theme_cooccurrence", Q.q_theme_cooccurrence),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

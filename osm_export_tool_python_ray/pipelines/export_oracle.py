@@ -240,6 +240,24 @@ def sql_export_theme_counts(corpus_path, mapping):
     )
 
 
+def sql_theme_cooccurrence(corpus_path, mapping):
+    """Per-(theme pair, geom_type) counts of features routed to BOTH
+    themes — the multi-label side of ThemeRouter (a feature matching two
+    matchers emits two rows) re-derived as a self-join over the same
+    per-theme feat branches sql_export_theme_counts uses."""
+    return (
+        "WITH %s,\n%s\n"
+        "SELECT a.theme AS theme_a, b.theme AS theme_b, "
+        "CAST(a.geom_type AS BIGINT) AS geom_type, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM feat a JOIN feat b "
+        "ON a.osm_id = b.osm_id AND a.geom_type = b.geom_type "
+        "AND a.theme < b.theme "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        % (_base_ctes(corpus_path), _themed_feature_selects(mapping))
+    )
+
+
 def sql_gpkg_layer_counts(corpus_path, mapping):
     """Per-layer × geometry-class row counts and osm_id sums, re-derived
     from the raw corpus. The engine side reads these numbers BACK out of

@@ -8827,6 +8827,157 @@ ORDER BY p.ante, p.cons
 """
 
 
+# Overlapping-matcher mapping for theme_cooccurrence: default.yml's themes
+# are mutually exclusive on the synthetic corpus, so the multi-label side
+# of ThemeRouter (one feature → several theme rows) was previously only
+# pytest-covered. These four themes overlap by construction (every named
+# amenity is in both 'named' and 'amenities', etc.).
+OVERLAP_MAPPING_YML = """
+named:
+  types: [points, lines, polygons]
+  select: [name]
+  where:
+    - name IS NOT NULL
+amenities:
+  types: [points, polygons]
+  select: [amenity]
+  where:
+    - amenity IS NOT NULL
+roads:
+  types: [lines]
+  select: [highway]
+  where:
+    - highway IS NOT NULL
+tall:
+  types: [points, lines, polygons]
+  select: [height]
+  where:
+    - height IS NOT NULL
+"""
+
+_OVERLAP_EXPORT_CACHE = {}
+
+
+def _run_overlap_export():
+    """(mapping, themed) for the overlap mapping — same memoization
+    rationale as _run_default_export."""
+    import ray.data
+
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export import run_export
+
+    path = corpus_path(n_shards=4)
+    if path not in _OVERLAP_EXPORT_CACHE:
+        mapping = Mapping(OVERLAP_MAPPING_YML)
+        themed = run_export(
+            ray.data.read_parquet(path), mapping, num_partitions=4, num_buckets=16
+        ).materialize()
+        _OVERLAP_EXPORT_CACHE[path] = (mapping, themed)
+    return _OVERLAP_EXPORT_CACHE[path]
+
+
+def q_theme_cooccurrence(sf_dir):
+    """Theme co-occurrence over the flagship export surface: for every
+    pair of themes, how many features were routed to BOTH (per geometry
+    type) — the audit a mapping author runs to find redundant or
+    shadowed matchers. Exercises ThemeRouter's multi-label path (one
+    feature → several theme rows) under an overlapping-matcher mapping.
+    Scale shape: themes are a bounded domain, so each feature's theme
+    set is a BITMASK — per-partition bitwise_or.reduceat over one
+    feature-keyed exchange, then ≤3·C(T,2) vectorized mask tests emit
+    count partials; one tiny keyed fold finishes. No pair explosion of
+    feature rows, no driver state beyond the T-theme dictionary.
+    Oracle: export_oracle.sql_theme_cooccurrence re-derives both the
+    export surface and the pair counts in SQL."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, keyed_sum
+
+    mapping, themed = _run_overlap_export()
+    names = [t.name for t in mapping.themes]
+    tix = {nm: i for i, nm in enumerate(names)}
+    T = len(names)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        osm = t.column("osm_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        gt = t.column("geom_type").to_numpy(zero_copy_only=False).astype(np.int64)
+        th = np.asarray(t.column("theme").to_pylist(), dtype=object)
+        bit = np.array(
+            [np.uint64(1) << np.uint64(tix[x]) for x in th], dtype=np.uint64
+        )
+        key = osm * 8 + gt  # geom_type ∈ 1..3 rides the low bits, sign-safe
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "bit": pa.array(bit, type=pa.uint64()),
+                "bucket": pa.array((key % 32).astype(np.int32)),
+            }
+        )
+
+    OUT = pa.schema(
+        [("ta", pa.int64()), ("tb", pa.int64()), ("gt", pa.int64()), ("n", pa.int64())]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        bit = g.column("bit").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, bit = key[order], bit[order]
+        seg = np.ones(len(key), dtype=bool)
+        seg[1:] = key[1:] != key[:-1]
+        starts = np.nonzero(seg)[0]
+        masks = np.bitwise_or.reduceat(bit, starts)
+        gts = key[seg] % 8
+        ta, tb, gg, nn = [], [], [], []
+        for gval in (1, 2, 3):
+            mg = masks[gts == gval]
+            if not len(mg):
+                continue
+            for a in range(T):
+                in_a = (mg >> np.uint64(a)) & np.uint64(1)
+                for b in range(a + 1, T):
+                    n = int((in_a & ((mg >> np.uint64(b)) & np.uint64(1))).sum())
+                    if n:
+                        ta.append(a)
+                        tb.append(b)
+                        gg.append(gval)
+                        nn.append(n)
+        return pa.table(
+            {
+                "ta": pa.array(np.asarray(ta, dtype=np.int64)),
+                "tb": pa.array(np.asarray(tb, dtype=np.int64)),
+                "gt": pa.array(np.asarray(gg, dtype=np.int64)),
+                "n": pa.array(np.asarray(nn, dtype=np.int64)),
+            }
+        )
+
+    partials = grouped_map(
+        themed.map_batches(keyed, batch_format="pyarrow"),
+        "bucket",
+        fold,
+        num_partitions=4,
+        payload_schema=pa.schema(
+            [("key", pa.int64()), ("bit", pa.uint64()), ("bucket", pa.int32())]
+        ),
+    )
+    rows = keyed_sum(partials, ["ta", "tb", "gt"], [("n", "n")]).take_all()
+    # pair order is LEXICOGRAPHIC on theme names (the oracle's
+    # a.theme < b.theme), not mapping-index order
+    out = sorted(
+        tuple(sorted((names[int(r["ta"])], names[int(r["tb"])])))
+        + (int(r["gt"]), int(r["n"]))
+        for r in rows
+    )
+    return pa.table(
+        {
+            "theme_a": pa.array([r[0] for r in out], type=pa.string()),
+            "theme_b": pa.array([r[1] for r in out], type=pa.string()),
+            "geom_type": pa.array([r[2] for r in out], type=pa.int64()),
+            "n": pa.array([r[3] for r in out], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -8916,6 +9067,7 @@ QUERIES = {
     "ewma_users": q_ewma_users,
     "benford_audit": q_benford_audit,
     "assoc_rules": q_assoc_rules,
+    "theme_cooccurrence": q_theme_cooccurrence,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -8995,6 +9147,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "geojson_layer_counts",
     "span_adjacency",
     "tag_cooccurrence",
+    "theme_cooccurrence",
 )
 
 
@@ -9013,6 +9166,7 @@ def export_surface_oracles():
         sql_kml_layer_counts,
         sql_shp_layer_counts,
         sql_spatial_join,
+        sql_theme_cooccurrence,
         sql_tile_assignment,
         sql_tile_theme_counts,
     )
@@ -9032,6 +9186,7 @@ def export_surface_oracles():
         "geojson_layer_counts": sql_geojson_layer_counts(path, mapping),
         "span_adjacency": sql_span_adjacency(path),
         "tag_cooccurrence": _sql_tag_cooccurrence(),
+        "theme_cooccurrence": sql_theme_cooccurrence(path, Mapping(OVERLAP_MAPPING_YML)),
     }
     assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
     return out

@@ -576,3 +576,20 @@ class TestEmptyInputs:
         for name in ("ewma_users", "assoc_rules"):
             out = QUERIES[name](str(d)).to_pandas()
             assert len(out) == 0, name
+
+
+class TestThemeCooccurrence:
+    def test_multilabel_routing_pairs(self, ray_session):
+        out = QUERIES["theme_cooccurrence"]("unused").to_pandas()
+        got = list(
+            zip(out["theme_a"], out["theme_b"], out["geom_type"], out["n"])
+        )
+        # every named amenity point co-occurs; roads only as lines; the
+        # exact counts pin the deterministic 4-shard corpus
+        assert ("amenities", "named", 1, 50) in got
+        assert ("named", "roads", 2, 11) in got
+        # pairs are lexicographic and no pair violates its theme types
+        for a, b, g, n in got:
+            assert a < b and n > 0
+            if "roads" in (a, b):
+                assert g == 2
