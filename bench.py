@@ -263,6 +263,7 @@ def run_query_suite(sf_dir):
         ("benford_audit", Q.q_benford_audit),
         ("assoc_rules", Q.q_assoc_rules),
         ("theme_cooccurrence", Q.q_theme_cooccurrence),
+        ("layer_fill_rates", Q.q_layer_fill_rates),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -197,38 +197,41 @@ rstat AS (
     )
 
 
-def _themed_feature_selects(mapping):
+def _themed_feature_selects(mapping, with_txt=False):
     """UNION ALL branches: one (theme, osm_id, geom_type, bbox) row per
     themed feature — the SQL twin of PointFeatures/WayFeatures/
-    RelationAreaFeatures + ThemeRouter (stages/features.py)."""
+    RelationAreaFeatures + ThemeRouter (stages/features.py).
+    ``with_txt`` additionally carries the element's raw JSON (for
+    tag-level audits like sql_layer_fill_rates)."""
     poly = polygonish_sql()
+    tx = ", txt" if with_txt else ""
     branches = []
     for t in mapping.themes:
         m = matcher_sql(t.matcher.expr)
         if t.points:
             branches.append(
                 "SELECT '%s' AS theme, id AS osm_id, 1 AS geom_type, "
-                "lon AS minx, lat AS miny, lon AS maxx, lat AS maxy "
-                "FROM nodes WHERE tagged AND %s" % (_esc(t.name), m)
+                "lon AS minx, lat AS miny, lon AS maxx, lat AS maxy%s "
+                "FROM nodes WHERE tagged AND %s" % (_esc(t.name), tx, m)
             )
         if t.lines:
             branches.append(
                 "SELECT '%s' AS theme, id AS osm_id, 2 AS geom_type, "
-                "minx, miny, maxx, maxy FROM wstat "
+                "minx, miny, maxx, maxy%s FROM wstat "
                 "WHERE tagged AND complete AND n_pts >= 2 "
-                "AND NOT (closed AND %s) AND %s" % (_esc(t.name), poly, m)
+                "AND NOT (closed AND %s) AND %s" % (_esc(t.name), tx, poly, m)
             )
         if t.polygons:
             branches.append(
                 "SELECT '%s' AS theme, id AS osm_id, 3 AS geom_type, "
-                "minx, miny, maxx, maxy FROM wstat "
+                "minx, miny, maxx, maxy%s FROM wstat "
                 "WHERE tagged AND complete AND closed AND %s AND %s"
-                % (_esc(t.name), poly, m)
+                % (_esc(t.name), tx, poly, m)
             )
             branches.append(
                 "SELECT '%s' AS theme, -id AS osm_id, 3 AS geom_type, "
-                "minx, miny, maxx, maxy FROM rstat "
-                "WHERE valid AND %s" % (_esc(t.name), m)
+                "minx, miny, maxx, maxy%s FROM rstat "
+                "WHERE valid AND %s" % (_esc(t.name), tx, m)
             )
     return "feat AS (\n" + "\nUNION ALL\n".join(branches) + "\n)"
 
@@ -255,6 +258,33 @@ def sql_theme_cooccurrence(corpus_path, mapping):
         "AND a.theme < b.theme "
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         % (_base_ctes(corpus_path), _themed_feature_selects(mapping))
+    )
+
+
+def sql_layer_fill_rates(corpus_path, mapping):
+    """Per-(theme, selected column) fill rates over the themed export
+    surface: how many routed feature rows actually carry each column the
+    mapping selects — the audit that finds dead `select:` entries. Tag
+    presence is re-extracted from the element JSON per (theme, col) via
+    a VALUES join, so the SQL shares nothing with ThemeProjector."""
+    cols = []
+    for t in mapping.themes:
+        for k in sorted(t.keys):
+            cols.append("('%s', '%s')" % (_esc(t.name), _esc(k)))
+    return (
+        "WITH %s,\n%s,\n"
+        "cols(theme, col) AS (VALUES %s),\n"
+        "j AS (SELECT f.theme, c.col, CASE WHEN json_extract_string("
+        "f.txt, '$.tags.\"' || c.col || '\"') IS NOT NULL THEN 1 ELSE 0 "
+        "END AS p FROM feat f JOIN cols c ON c.theme = f.theme)\n"
+        "SELECT theme, col, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(p) AS BIGINT) AS n_present "
+        "FROM j GROUP BY 1, 2 ORDER BY 1, 2"
+        % (
+            _base_ctes(corpus_path),
+            _themed_feature_selects(mapping, with_txt=True),
+            ", ".join(cols),
+        )
     )
 
 

@@ -8978,6 +8978,67 @@ def q_theme_cooccurrence(sf_dir):
     )
 
 
+def q_layer_fill_rates(sf_dir):
+    """Selected-column fill rates per exported layer: for every theme and
+    every key its mapping `select:`s, how many routed feature rows carry
+    that tag — the audit that finds dead select entries and sparse layer
+    columns before anyone opens the .gpkg. Runs over the SAME themed
+    surface the sinks consume (tags ride the feature rows — no re-join,
+    no second corpus pass); per-batch presence comes from the Arrow-native
+    extract_tag_columns kernel, partials are (theme, col, n, n_present)
+    rows, and the groupby folds ≤ themes×keys rows. Oracle:
+    export_oracle.sql_layer_fill_rates re-extracts tag presence from the
+    raw element JSON per (theme, col) — nothing shared with
+    ThemeProjector."""
+    from osm_export_tool_python_ray.stages.matcher_eval import extract_tag_columns
+
+    mapping, themed = _run_default_export()
+    keys_by_theme = {t.name: sorted(t.keys) for t in mapping.themes}
+
+    def partial(t: pa.Table) -> pa.Table:
+        th = np.asarray(t.column("theme").to_pylist(), dtype=object)
+        out_theme, out_col, out_n, out_p = [], [], [], []
+        for name, keys in keys_by_theme.items():
+            mrows = np.nonzero(th == name)[0]
+            if not len(mrows):
+                continue
+            sub = t.take(pa.array(mrows)).column("tags")
+            cols = extract_tag_columns(sub, keys)
+            for k in keys:
+                pres, _vals = cols[k]
+                out_theme.append(name)
+                out_col.append(k)
+                out_n.append(len(mrows))
+                out_p.append(int(pres.sum()))
+        return pa.table(
+            {
+                "theme": pa.array(out_theme, type=pa.string()),
+                "col": pa.array(out_col, type=pa.string()),
+                "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "n_present": pa.array(np.asarray(out_p, dtype=np.int64)),
+            }
+        )
+
+    rows = (
+        themed.map_batches(partial, batch_format="pyarrow")
+        .groupby(["theme", "col"])
+        .sum(["n", "n_present"])
+        .take_all()
+    )  # ≤ themes × keys rows
+    out = sorted(
+        (r["theme"], r["col"], int(r["sum(n)"]), int(r["sum(n_present)"]))
+        for r in rows
+    )
+    return pa.table(
+        {
+            "theme": pa.array([r[0] for r in out], type=pa.string()),
+            "col": pa.array([r[1] for r in out], type=pa.string()),
+            "n": pa.array([r[2] for r in out], type=pa.int64()),
+            "n_present": pa.array([r[3] for r in out], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_stats": q_doc_stats,
@@ -9068,6 +9129,7 @@ QUERIES = {
     "benford_audit": q_benford_audit,
     "assoc_rules": q_assoc_rules,
     "theme_cooccurrence": q_theme_cooccurrence,
+    "layer_fill_rates": q_layer_fill_rates,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -9148,6 +9210,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "span_adjacency",
     "tag_cooccurrence",
     "theme_cooccurrence",
+    "layer_fill_rates",
 )
 
 
@@ -9164,6 +9227,7 @@ def export_surface_oracles():
         sql_geojson_layer_counts,
         sql_gpkg_layer_counts,
         sql_kml_layer_counts,
+        sql_layer_fill_rates,
         sql_shp_layer_counts,
         sql_spatial_join,
         sql_theme_cooccurrence,
@@ -9187,6 +9251,7 @@ def export_surface_oracles():
         "span_adjacency": sql_span_adjacency(path),
         "tag_cooccurrence": _sql_tag_cooccurrence(),
         "theme_cooccurrence": sql_theme_cooccurrence(path, Mapping(OVERLAP_MAPPING_YML)),
+        "layer_fill_rates": sql_layer_fill_rates(path, mapping),
     }
     assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
     return out

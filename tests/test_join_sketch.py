@@ -593,3 +593,22 @@ class TestThemeCooccurrence:
             assert a < b and n > 0
             if "roads" in (a, b):
                 assert g == 2
+
+
+class TestLayerFillRates:
+    def test_fill_rates_sane_and_pinned(self, ray_session):
+        out = QUERIES["layer_fill_rates"]("unused").to_pandas()
+        assert len(out) > 0
+        # presence never exceeds row count; where-clause keys are 100%
+        assert (out["n_present"] <= out["n"]).all()
+        # single-key where-clause themes are 100% filled by construction
+        r = out[(out["theme"] == "roads") & (out["col"] == "highway")]
+        assert len(r) == 1 and (r["n_present"] == r["n"]).all()
+        b = out[(out["theme"] == "buildings") & (out["col"] == "building")]
+        assert len(b) == 1 and (b["n_present"] == b["n"]).all()
+        # and a known-sparse select column is strictly partial
+        nm = out[(out["theme"] == "roads") & (out["col"] == "name")]
+        assert len(nm) == 1 and (nm["n_present"] < nm["n"]).all()
+        # rows sorted lexicographically on (theme, col) like the oracle
+        key = list(zip(out["theme"], out["col"]))
+        assert key == sorted(key)
