@@ -612,3 +612,66 @@ class TestLayerFillRates:
         # rows sorted lexicographically on (theme, col) like the oracle
         key = list(zip(out["theme"], out["col"]))
         assert key == sorted(key)
+
+
+class TestBatchingInvariance:
+    """Per-batch combiners must be batching-invariant: the same fixture
+    written as ONE row group vs many tiny row groups (tiny Ray blocks)
+    must produce identical results for every new combiner-shaped query."""
+
+    def test_documents_queries(self, ray_session, tmp_path):
+        rng = np.random.RandomState(17)
+        texts = [
+            " ".join(rng.choice(["a", "b", "c", "d", "e", "f"], 8))
+            for _ in range(240)
+        ]
+        langs = [["en", "de", "fr"][i % 3] for i in range(240)]
+        srcs = [["s1", "s2", "s3", "s4"][i % 4] for i in range(240)]
+        tbl = _docs_table(texts, srcs)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("lang"),
+            "lang",
+            pa.array(langs, type=pa.string()),
+        )
+        d1 = tmp_path / "one"
+        d2 = tmp_path / "many"
+        d1.mkdir()
+        d2.mkdir()
+        pq.write_table(tbl, str(d1 / "documents.parquet"))
+        pq.write_table(tbl, str(d2 / "documents.parquet"), row_group_size=16)
+        for name in ("kmv_distinct", "chi2_terms", "decision_stump"):
+            a = QUERIES[name](str(d1)).to_pandas()
+            b = QUERIES[name](str(d2)).to_pandas()
+            pd.testing.assert_frame_equal(a, b), name
+
+    def test_events_queries(self, ray_session, tmp_path):
+        rng = np.random.RandomState(19)
+        n = 400
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(
+                    (
+                        1_700_000_000_000_000
+                        + rng.randint(0, 10**9, n).astype(np.int64)
+                    ).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(rng.randint(0, 25, n).astype(np.int64)),
+                "event_type": pa.array(
+                    [["view", "click", "buy"][i] for i in rng.randint(0, 3, n)],
+                    type=pa.string(),
+                ),
+                "value": pa.array(np.round(rng.uniform(-2, 2, n), 3)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d1 = tmp_path / "one"
+        d2 = tmp_path / "many"
+        d1.mkdir()
+        d2.mkdir()
+        pq.write_table(tbl, str(d1 / "events.parquet"))
+        pq.write_table(tbl, str(d2 / "events.parquet"), row_group_size=16)
+        for name in ("ewma_users", "assoc_rules"):
+            a = QUERIES[name](str(d1)).to_pandas()
+            b = QUERIES[name](str(d2)).to_pandas()
+            pd.testing.assert_frame_equal(a, b), name
