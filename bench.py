@@ -264,6 +264,7 @@ def run_query_suite(sf_dir):
         ("assoc_rules", Q.q_assoc_rules),
         ("theme_cooccurrence", Q.q_theme_cooccurrence),
         ("layer_fill_rates", Q.q_layer_fill_rates),
+        ("audio_features", Q.q_audio_features),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

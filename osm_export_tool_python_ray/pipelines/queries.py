@@ -7034,6 +7034,75 @@ FROM s
 """.format(le=_le64_expr("h"))
 
 
+def q_audio_features(sf_dir):
+    """Multimodal AUDIO path over real RIFF/WAVE payloads (the image twin
+    is media_features): one seed-deterministic PCM tone per document ref,
+    decoded STRICTLY by the pure-numpy WAV codec in an actor-pool
+    map_batches; output is the per-clip structural profile (sample rate,
+    sample count, exact integer duration). The clip length derives from
+    md5(media_ref) through the IDENTICAL IEEE double expression
+    floor(16000·(0.01 + (seed%5)·0.01)) on both sides, so the oracle
+    re-derives ref → seed → encode → decode → length end-to-end; sample
+    VALUES are sine-generated (transcendental) and are pytest-verified by
+    codec round-trips instead (tests/test_training_ops.py TestMedia)."""
+    from osm_export_tool_python_ray.stages.media import (
+        DecodeStage,
+        make_real_media_table,
+    )
+
+    def refs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return make_real_media_table(
+            ["aud:%d" % i for i in ids], media_type="audio"
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        refs, batch_format="pyarrow"
+    )
+    decoded = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def out(t: pa.Table) -> pa.Table:
+        ns = t.column("n_samples").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "media_ref": t.column("media_ref"),
+                "format": t.column("format"),
+                "sample_rate": t.column("sample_rate"),
+                "n_samples": pa.array(ns),
+                "duration_us": pa.array(ns * 1_000_000 // 16000),
+            }
+        )
+
+    return decoded.map_batches(out, batch_format="pyarrow")
+
+
+SQL_AUDIO_FEATURES = """
+WITH r AS (
+  SELECT 'aud:' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+),
+s AS (
+  SELECT media_ref,
+         ({le}) % CAST(4294967296 AS UBIGINT) AS seed
+  FROM (SELECT media_ref, md5(media_ref) AS h FROM r)
+),
+n AS (
+  SELECT media_ref,
+         CAST(floor(16000 * (0.01 + CAST(seed % 5 AS DOUBLE) * 0.01)) AS BIGINT) AS n_samples
+  FROM s
+)
+SELECT media_ref, 'wav' AS format, CAST(16000 AS INTEGER) AS sample_rate,
+       n_samples, CAST(n_samples * 1000000 // 16000 AS BIGINT) AS duration_us
+FROM n
+""".format(le=_le64_expr("h"))
+
+
 def q_gpkg_layer_counts(sf_dir):
     """Container round-trip proof (S6 as an oracle row): flagship export →
     REAL binary GeoPackage (sinks.Geopackage → functions/containers.py,
@@ -9130,6 +9199,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "theme_cooccurrence": q_theme_cooccurrence,
     "layer_fill_rates": q_layer_fill_rates,
+    "audio_features": q_audio_features,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -9356,6 +9426,7 @@ ORACLES = {
     "ewma_users": SQL_EWMA_USERS,
     "benford_audit": SQL_BENFORD_AUDIT,
     "assoc_rules": SQL_ASSOC_RULES,
+    "audio_features": SQL_AUDIO_FEATURES,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

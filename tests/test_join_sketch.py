@@ -675,3 +675,21 @@ class TestBatchingInvariance:
             a = QUERIES[name](str(d1)).to_pandas()
             b = QUERIES[name](str(d2)).to_pandas()
             pd.testing.assert_frame_equal(a, b), name
+
+
+class TestAudioFeatures:
+    def test_real_wav_decode_profile(self, ray_session, tmp_path):
+        d = tmp_path / "audio"
+        d.mkdir()
+        _write(d, "documents", _docs_table(["x"] * 12, ["s"] * 12))
+        out = QUERIES["audio_features"](str(d)).to_pandas()
+        assert len(out) == 12
+        assert (out["format"] == "wav").all()
+        assert (out["sample_rate"] == 16000).all()
+        # clip lengths are the seeded 10..50 ms family
+        assert set(out["n_samples"]).issubset(
+            {159, 160, 319, 320, 479, 480, 639, 640, 799, 800}
+        )
+        assert (
+            out["duration_us"] == out["n_samples"] * 1_000_000 // 16000
+        ).all()
