@@ -265,6 +265,7 @@ def run_query_suite(sf_dir):
         ("theme_cooccurrence", Q.q_theme_cooccurrence),
         ("layer_fill_rates", Q.q_layer_fill_rates),
         ("audio_features", Q.q_audio_features),
+        ("ann_recall_eval", Q.q_ann_recall_eval),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

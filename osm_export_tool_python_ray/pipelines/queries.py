@@ -7103,6 +7103,95 @@ FROM n
 """.format(le=_le64_expr("h"))
 
 
+def q_ann_recall_eval(sf_dir):
+    """Retrieval-quality evaluation harness (the recall@k / MRR report
+    every ANN deployment runs before switching off brute force): for each
+    query point, the IVF top-5 (strided centroids, nprobe probing) is
+    scored against the exact brute-force top-5 — hits, recall in exact
+    ppm, and the reciprocal rank of the true nearest neighbor inside the
+    IVF list. Both retrieval pipelines are the engine's own distributed
+    stages (stages/ann.py); the comparison itself touches only
+    |queries|×k rows. Oracle: re-derives BOTH retrievals in SQL (the
+    ann_topk / ivf_topk derivations inlined as subqueries) and the same
+    integer metrics — so this row certifies the evaluator AND re-certifies
+    both retrieval paths in one check."""
+    from osm_export_tool_python_ray.stages.ann import ann_topk, ivf_topk
+
+    K = 5
+    qm, qids = _query_vectors(sf_dir, 4)
+    exact = ann_topk(_read(sf_dir, "embeddings"), qm, qids, k=K).take_all()
+    ivf = ivf_topk(
+        _read(sf_dir, "embeddings"), qm, qids, k=K, init="strided", refine_iters=0
+    ).take_all()
+
+    ex_by_q = {}
+    for r in exact:
+        ex_by_q.setdefault(int(r["query_id"]), {})[int(r["vec_id"])] = int(r["rank"])
+    ivf_by_q = {}
+    for r in ivf:
+        ivf_by_q.setdefault(int(r["query_id"]), {})[int(r["vec_id"])] = int(r["rank"])
+
+    rows = []
+    for q in sorted(ex_by_q):
+        ex = ex_by_q[q]
+        iv = ivf_by_q.get(q, {})
+        hits = len(set(ex) & set(iv))
+        top1 = min(ex, key=lambda v: ex[v])
+        rr = 1_000_000 // (iv[top1] + 1) if top1 in iv else 0
+        rows.append((q, hits, hits * 1_000_000 // K, rr))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_hits": pa.array([r[1] for r in rows], type=pa.int64()),
+            "recall_ppm": pa.array([r[2] for r in rows], type=pa.int64()),
+            "rr_ppm": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _build_ann_recall_sql():
+    exact5 = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3)),
+ranked AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+         ) - 1 AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank < 5
+"""
+    return """
+WITH ex AS (SELECT * FROM ({exact})),
+ivf AS (SELECT query_id, vec_id, rank FROM ({ivf})),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM ex e JOIN ivf i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+  GROUP BY 1
+),
+top1 AS (SELECT query_id, vec_id FROM ex WHERE rank = 0),
+rr AS (
+  SELECT t.query_id, min(i.rank) AS r
+  FROM top1 t LEFT JOIN ivf i
+    ON i.query_id = t.query_id AND i.vec_id = t.vec_id
+  GROUP BY 1
+),
+qq AS (SELECT DISTINCT query_id FROM ex)
+SELECT qq.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN r.r IS NULL THEN 0 ELSE 1000000 // (r.r + 1) END AS BIGINT) AS rr_ppm
+FROM qq
+LEFT JOIN hits h ON h.query_id = qq.query_id
+LEFT JOIN rr r ON r.query_id = qq.query_id
+ORDER BY qq.query_id
+""".format(exact=exact5, ivf=SQL_IVF_TOPK)
+
+
+SQL_ANN_RECALL_EVAL = _build_ann_recall_sql()
+
+
 def q_gpkg_layer_counts(sf_dir):
     """Container round-trip proof (S6 as an oracle row): flagship export →
     REAL binary GeoPackage (sinks.Geopackage → functions/containers.py,
@@ -9200,6 +9289,7 @@ QUERIES = {
     "theme_cooccurrence": q_theme_cooccurrence,
     "layer_fill_rates": q_layer_fill_rates,
     "audio_features": q_audio_features,
+    "ann_recall_eval": q_ann_recall_eval,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -9427,6 +9517,7 @@ ORACLES = {
     "benford_audit": SQL_BENFORD_AUDIT,
     "assoc_rules": SQL_ASSOC_RULES,
     "audio_features": SQL_AUDIO_FEATURES,
+    "ann_recall_eval": SQL_ANN_RECALL_EVAL,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

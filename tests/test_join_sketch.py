@@ -693,3 +693,16 @@ class TestAudioFeatures:
         assert (
             out["duration_us"] == out["n_samples"] * 1_000_000 // 16000
         ).all()
+
+
+class TestAnnRecallEval:
+    def test_metrics_shape_and_selfhit(self, ray_session):
+        out = (
+            QUERIES["ann_recall_eval"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("query_id")
+        )
+        assert sorted(out.index) == [0, 1, 2, 3]
+        assert (out["n_hits"] >= 1).all()  # query's own vector probes home
+        assert (out["recall_ppm"] == out["n_hits"] * 1_000_000 // 5).all()
+        assert ((out["rr_ppm"] >= 0) & (out["rr_ppm"] <= 1_000_000)).all()
