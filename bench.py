@@ -266,6 +266,8 @@ def run_query_suite(sf_dir):
         ("layer_fill_rates", Q.q_layer_fill_rates),
         ("audio_features", Q.q_audio_features),
         ("ann_recall_eval", Q.q_ann_recall_eval),
+        ("l_diversity", Q.q_l_diversity),
+        ("acf_lag1", Q.q_acf_lag1),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -7192,6 +7192,199 @@ ORDER BY qq.query_id
 SQL_ANN_RECALL_EVAL = _build_ann_recall_sql()
 
 
+def q_l_diversity(sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007 — the companion to
+    the engine's k_anonymity row): per source equivalence class, how many
+    DISTINCT sensitive values (lang) appear; a class whose members all
+    share one sensitive value leaks it even at high k. Per-batch distinct
+    (source, lang) pairs → one tiny composite groupby → per-source
+    distinct count; the exchange moves |sources|·|langs| aggregate rows,
+    never documents."""
+    from ray.data.aggregate import Count
+
+    L = 3
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        o = np.lexsort((lang, src))
+        s, l = src[o], lang[o]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (s[1:] != s[:-1]) | (l[1:] != l[:-1])
+        return pa.table(
+            {
+                "source": pa.array(list(s[keep]), type=pa.string()),
+                "lang": pa.array(list(l[keep]), type=pa.string()),
+            }
+        )
+
+    pairs = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .count()
+    )
+    per_src = pairs.groupby("source").aggregate(Count(alias_name="l"))
+
+    def flag(t: pa.Table) -> pa.Table:
+        lv = t.column("l").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "l": pa.array(lv),
+                "violates_l": pa.array(lv < L),
+            }
+        )
+
+    return per_src.map_batches(flag, batch_format="pyarrow").sort("source")
+
+
+SQL_L_DIVERSITY = """
+SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS l,
+       count(DISTINCT lang) < 3 AS violates_l
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_acf_lag1(sf_dir):
+    """Lag-1 autocorrelation sufficient statistics over each user's
+    hourly event-count series (the time-series diagnostic that separates
+    bursty from Poisson-like activity): per user, the span in hours and
+    the exact integer sums Σx, Σx², Σ x_h·x_{h+1} over consecutive
+    occupied hours (missing hours are zero counts, so only adjacent
+    occupied hours contribute to Σxy). Emitting the sufficient statistics
+    rather than a float ρ keeps the row integer-exact (the house
+    gram_matrix / spatial_autocorr convention). Two combiner-shaped
+    exchanges: (user, hour) count fold via keyed_sum, then a user-keyed
+    segmented consecutive-hour fold."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, keyed_sum
+
+    HOUR_US = 3_600_000_000
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hr = ts // HOUR_US
+        key = np.stack([u, hr], axis=1)
+        uq, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uq[:, 0]),
+                "hr": pa.array(uq[:, 1]),
+                "n": pa.array(n),
+            }
+        )
+
+    hourly = keyed_sum(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            hour_partial, batch_format="pyarrow"
+        ),
+        ["user_id", "hr"],
+        [("n", "n")],
+    ).map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                (
+                    t.column("user_id").to_numpy(zero_copy_only=False) % 64
+                ).astype(np.int32)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_hours", pa.int64()),
+            ("sx", pa.int64()),
+            ("sxx", pa.int64()),
+            ("sxy", pa.int64()),
+        ]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        hr = g.column("hr").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hr, u))
+        u, hr, n = u[order], hr[order], n[order]
+        m = len(u)
+        seg = np.ones(m, dtype=bool)
+        seg[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(seg)[0]
+        sid = np.cumsum(seg) - 1
+        nseg = len(starts)
+        sx = np.zeros(nseg, dtype=np.int64)
+        sxx = np.zeros(nseg, dtype=np.int64)
+        np.add.at(sx, sid, n)
+        np.add.at(sxx, sid, n * n)
+        ends = np.append(starts[1:], m) - 1
+        span = hr[ends] - hr[starts] + 1
+        # adjacent occupied hours within a user: same segment AND hr+1
+        sxy = np.zeros(nseg, dtype=np.int64)
+        if m > 1:
+            adj = (~seg[1:]) & (hr[1:] == hr[:-1] + 1)
+            np.add.at(sxy, sid[:-1][adj], n[:-1][adj] * n[1:][adj])
+        return pa.table(
+            {
+                "user_id": pa.array(u[seg]),
+                "n_hours": pa.array(span),
+                "sx": pa.array(sx),
+                "sxx": pa.array(sxx),
+                "sxy": pa.array(sxy),
+            }
+        )
+
+    return grouped_map(
+        hourly,
+        "bucket",
+        fold,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("hr", pa.int64()),
+                ("n", pa.int64()),
+                ("bucket", pa.int32()),
+            ]
+        ),
+    ).sort("user_id")
+
+
+SQL_ACF_LAG1 = """
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.user_id, a.n * b.n AS xy
+  FROM h a JOIN h b ON b.user_id = a.user_id AND b.hr = a.hr + 1
+),
+s AS (
+  SELECT user_id, CAST(max(hr) - min(hr) + 1 AS BIGINT) AS n_hours,
+         CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM h GROUP BY 1
+),
+x AS (
+  SELECT user_id, CAST(sum(xy) AS BIGINT) AS sxy FROM p GROUP BY 1
+)
+SELECT s.user_id, s.n_hours, s.sx, s.sxx,
+       CAST(coalesce(x.sxy, 0) AS BIGINT) AS sxy
+FROM s LEFT JOIN x ON x.user_id = s.user_id
+ORDER BY s.user_id
+"""
+
+
 def q_gpkg_layer_counts(sf_dir):
     """Container round-trip proof (S6 as an oracle row): flagship export →
     REAL binary GeoPackage (sinks.Geopackage → functions/containers.py,
@@ -9290,6 +9483,8 @@ QUERIES = {
     "layer_fill_rates": q_layer_fill_rates,
     "audio_features": q_audio_features,
     "ann_recall_eval": q_ann_recall_eval,
+    "l_diversity": q_l_diversity,
+    "acf_lag1": q_acf_lag1,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -9518,6 +9713,8 @@ ORACLES = {
     "assoc_rules": SQL_ASSOC_RULES,
     "audio_features": SQL_AUDIO_FEATURES,
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
+    "l_diversity": SQL_L_DIVERSITY,
+    "acf_lag1": SQL_ACF_LAG1,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -706,3 +706,60 @@ class TestAnnRecallEval:
         assert (out["n_hits"] >= 1).all()  # query's own vector probes home
         assert (out["recall_ppm"] == out["n_hits"] * 1_000_000 // 5).all()
         assert ((out["rr_ppm"] >= 0) & (out["rr_ppm"] <= 1_000_000)).all()
+
+
+class TestLDiversityAcf:
+    def test_l_diversity_planted(self, ray_session, tmp_path):
+        # source 'mono' has one lang (violates l=3); 'tri' has three
+        texts = ["t%d" % i for i in range(60)]
+        srcs = ["mono"] * 30 + ["tri"] * 30
+        langs = ["en"] * 30 + [["en", "de", "fr"][i % 3] for i in range(30)]
+        tbl = _docs_table(texts, srcs)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("lang"),
+            "lang",
+            pa.array(langs, type=pa.string()),
+        )
+        d = tmp_path / "ldiv"
+        d.mkdir()
+        _write(d, "documents", tbl)
+        out = QUERIES["l_diversity"](str(d)).to_pandas().set_index("source")
+        assert out.loc["mono", "l"] == 1 and bool(out.loc["mono", "violates_l"])
+        assert out.loc["tri", "l"] == 3 and not bool(out.loc["tri", "violates_l"])
+
+    def test_acf_matches_brute(self, ray_session, tmp_path):
+        rng = np.random.RandomState(23)
+        n = 600
+        uids = rng.randint(0, 10, n).astype(np.int64)
+        base = 1_700_000_000_000_000
+        tss = base + rng.randint(0, 80 * 3600, n).astype(np.int64) * 1_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(tss.astype("datetime64[us]")),
+                "user_id": pa.array(uids),
+                "event_type": pa.array(["e"] * n),
+                "value": pa.array(np.ones(n)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "acf"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = QUERIES["acf_lag1"](str(d)).to_pandas().set_index("user_id")
+        hrs = tss // 3_600_000_000
+        for u in np.unique(uids):
+            m = uids == u
+            cnt = {}
+            for h in hrs[m]:
+                cnt[int(h)] = cnt.get(int(h), 0) + 1
+            sx = sum(cnt.values())
+            sxx = sum(v * v for v in cnt.values())
+            sxy = sum(
+                cnt[h] * cnt[h + 1] for h in cnt if h + 1 in cnt
+            )
+            span = max(cnt) - min(cnt) + 1
+            assert out.loc[u, "n_hours"] == span
+            assert out.loc[u, "sx"] == sx
+            assert out.loc[u, "sxx"] == sxx
+            assert out.loc[u, "sxy"] == sxy
