@@ -268,6 +268,7 @@ def run_query_suite(sf_dir):
         ("ann_recall_eval", Q.q_ann_recall_eval),
         ("l_diversity", Q.q_l_diversity),
         ("acf_lag1", Q.q_acf_lag1),
+        ("minhash_eval", Q.q_minhash_eval),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

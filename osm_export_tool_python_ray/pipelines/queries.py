@@ -7385,6 +7385,161 @@ ORDER BY s.user_id
 """
 
 
+def q_minhash_eval(sf_dir):
+    """Sketch-quality evaluation for the MinHash estimator (the dedup
+    twin of ann_recall_eval): for every pair the LSH pipeline reports,
+    the signature-estimated similarity vs the EXACT Jaccard of the two
+    documents' distinct 5-byte shingle-window sets, both in integer ppm,
+    plus the absolute estimator error — the report that calibrates an
+    LSH threshold before a corpus-wide dedup run. Scale shape: the pair
+    list is LSH-bounded; each doc's distinct window-hash set ships as a
+    list<uint64> payload through two bucket_joins (sets ride the rows —
+    no broadcast of the corpus); the per-pair sorted-array intersection
+    is numpy per candidate. Oracle: re-derives the pairs (the full
+    signature pipeline), the exact per-doc window sets AND the ppm
+    arithmetic in SQL — one row certifies estimator, sets and evaluator
+    together."""
+    from osm_export_tool_python_ray.functions.text import shingle_windows_batch
+    from osm_export_tool_python_ray.stages.dedup import minhash_lsh_pairs
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_buckets=16)
+
+    def sets(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        x, offs = shingle_windows_batch(t.column("text").to_pylist())
+        arrs = [
+            np.unique(x[offs[i] : offs[i + 1]]) for i in range(len(ids))
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        keep = lens > 0  # empty shingle sets have no defined Jaccard
+        arrs = [a for a, k_ in zip(arrs, keep) if k_]
+        flat = (
+            np.concatenate(arrs) if arrs else np.array([], dtype=np.uint64)
+        )
+        la = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate([[0], np.cumsum(lens[keep])]).astype(np.int32)
+            ),
+            pa.array(flat, type=pa.uint64()),
+        )
+        return pa.table({"doc_id": pa.array(ids[keep]), "sh": la})
+
+    shs = docs.map_batches(sets, batch_format="pyarrow")
+
+    def pair_prep(t: pa.Table) -> pa.Table:
+        sim = t.column("similarity").to_numpy(zero_copy_only=False)
+        nm = np.round(sim * 64.0).astype(np.int64)  # n/64 floats are exact
+        return pa.table(
+            {
+                "doc_id": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "nm": pa.array(nm),
+            }
+        )
+
+    sh_schema = pa.schema([("doc_id", pa.int64()), ("sh", pa.list_(pa.uint64()))])
+    p1 = bucket_join(
+        pairs.map_batches(pair_prep, batch_format="pyarrow"),
+        shs,
+        "doc_id",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("doc_b", pa.int64()), ("nm", pa.int64())]
+        ),
+        right_schema=sh_schema,
+    )
+
+    def flip(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t.column("doc_id"),
+                "doc_id": t.column("doc_b"),
+                "nm": t.column("nm"),
+                "sh_a": t.column("sh"),
+            }
+        )
+
+    p2 = bucket_join(
+        p1.map_batches(flip, batch_format="pyarrow"),
+        shs.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"), "sh_b": t.column("sh")}),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+        left_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("doc_a", pa.int64()),
+                ("nm", pa.int64()),
+                ("sh_a", pa.list_(pa.uint64())),
+            ]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("sh_b", pa.list_(pa.uint64()))]),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        da = t.column("doc_a").to_numpy(zero_copy_only=False)
+        db = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nm = t.column("nm").to_numpy(zero_copy_only=False)
+        sa = t.column("sh_a").to_pylist()
+        sb = t.column("sh_b").to_pylist()
+        est = nm * 1_000_000 // 64
+        ex = np.zeros(len(da), dtype=np.int64)
+        for i in range(len(da)):
+            a = np.asarray(sa[i], dtype=np.uint64)
+            b = np.asarray(sb[i], dtype=np.uint64)
+            ni = len(np.intersect1d(a, b, assume_unique=True))
+            ex[i] = ni * 1_000_000 // (len(a) + len(b) - ni)
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "est_ppm": pa.array(est),
+                "exact_ppm": pa.array(ex),
+                "err_ppm": pa.array(np.abs(est - ex)),
+            }
+        )
+
+    return p2.map_batches(score, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+def _build_minhash_eval_sql():
+    return (
+        "WITH "
+        + _build_minhash_pair_ctes()
+        + r""",
+pairs AS (
+  SELECT doc_a, doc_b, ({nm}) AS nm FROM mh_cand WHERE ({nm}) / 64.0 >= 0.5
+),
+szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS ni
+  FROM pairs p
+  JOIN shh a ON a.doc_id = p.doc_a
+  JOIN shh b ON b.doc_id = p.doc_b AND b.hv = a.hv
+  GROUP BY 1, 2
+),
+ev AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(p.nm * 1000000 // 64 AS BIGINT) AS est_ppm,
+         CAST(coalesce(i.ni, 0) * 1000000
+              // (sa.sz + sb.sz - coalesce(i.ni, 0)) AS BIGINT) AS exact_ppm
+  FROM pairs p
+  JOIN szs sa ON sa.doc_id = p.doc_a
+  JOIN szs sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+)
+SELECT doc_a, doc_b, est_ppm, exact_ppm,
+       CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+FROM ev ORDER BY doc_a, doc_b
+""".format(nm=_MH_MATCHES)
+    )
+
+
+SQL_MINHASH_EVAL = _build_minhash_eval_sql()
+
+
 def q_gpkg_layer_counts(sf_dir):
     """Container round-trip proof (S6 as an oracle row): flagship export →
     REAL binary GeoPackage (sinks.Geopackage → functions/containers.py,
@@ -9485,6 +9640,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "l_diversity": q_l_diversity,
     "acf_lag1": q_acf_lag1,
+    "minhash_eval": q_minhash_eval,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -9715,6 +9871,7 @@ ORACLES = {
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
     "l_diversity": SQL_L_DIVERSITY,
     "acf_lag1": SQL_ACF_LAG1,
+    "minhash_eval": SQL_MINHASH_EVAL,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -763,3 +763,21 @@ class TestLDiversityAcf:
             assert out.loc[u, "sx"] == sx
             assert out.loc[u, "sxx"] == sxx
             assert out.loc[u, "sxy"] == sxy
+
+
+class TestMinhashEval:
+    def test_estimator_error_on_planted_neardups(self, ray_session, tmp_path):
+        rng = np.random.RandomState(29)
+        base = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], 60))
+        texts = [base, base + " extra tail words here", "completely different content entirely unrelated"]
+        d = tmp_path / "mheval"
+        d.mkdir()
+        _write(d, "documents", _docs_table(texts, ["s"] * 3))
+        out = QUERIES["minhash_eval"](str(d)).to_pandas()
+        # docs 0 and 1 are near-dups and must be reported
+        assert {(0, 1)} <= set(zip(out["doc_a"], out["doc_b"]))
+        r = out.set_index(["doc_a", "doc_b"]).loc[(0, 1)]
+        # exact Jaccard of the two window sets is high; estimator close
+        assert r["exact_ppm"] > 600_000
+        assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+        assert r["err_ppm"] < 250_000  # 64-perm estimator tolerance
