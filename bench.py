@@ -269,6 +269,7 @@ def run_query_suite(sf_dir):
         ("l_diversity", Q.q_l_diversity),
         ("acf_lag1", Q.q_acf_lag1),
         ("minhash_eval", Q.q_minhash_eval),
+        ("link_scores", Q.q_link_scores),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -7540,6 +7540,289 @@ FROM ev ORDER BY doc_a, doc_b
 SQL_MINHASH_EVAL = _build_minhash_eval_sql()
 
 
+def q_link_scores(sf_dir):
+    """Link-prediction features per edge of the co-location graph
+    (common-neighbors and neighborhood Jaccard — the Liben-Nowell &
+    Kleinberg 2003 baselines): for every encounter edge (a, b), the
+    number of shared neighbors, both degrees, and
+    |N(a)∩N(b)| / |N(a)∪N(b)| in exact ppm. Unlike the triangle counter
+    (which enumerates each wedge once from its smallest node), common
+    neighbors need ALL wedges, so the full both-direction adjacency goes
+    through one center-keyed exchange with the same capped vectorized
+    pair expansion (cap counted via report_cap); per-(v,w) counts fold
+    through keyed_sum, rejoin the edge set via a tagged-union keyed
+    exchange, and degrees attach through two int64 bucket_joins. No
+    broadcast of the graph, no driver state."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, keyed_sum
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+    from osm_export_tool_python_ray.stages.journey import encounters
+    from osm_export_tool_python_ray.state.metrics import report_cap
+
+    MIN_SHARED = 2
+    CAP = 512
+    NB = 32
+
+    def efilter(t: pa.Table) -> pa.Table:
+        ns = t.column("n_shared").to_numpy(zero_copy_only=False)
+        keep = ns >= MIN_SHARED
+        return pa.table(
+            {
+                "a": pa.array(t.column("user_a").to_numpy(zero_copy_only=False)[keep]),
+                "b": pa.array(t.column("user_b").to_numpy(zero_copy_only=False)[keep]),
+            }
+        )
+
+    edges = (
+        encounters(_read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+        .map_batches(efilter, batch_format="pyarrow")
+        .materialize()  # feeds adjacency, degrees AND the final rejoin
+    )
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = np.concatenate([a, b])
+        nb = np.concatenate([b, a])
+        return pa.table(
+            {
+                "c": pa.array(c),
+                "nb": pa.array(nb),
+                "bucket": pa.array((c % NB).astype(np.int32)),
+            }
+        )
+
+    adjacency = edges.map_batches(adj_rows, batch_format="pyarrow")
+
+    deg = keyed_sum(
+        adjacency.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("c"),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        [("one", "deg")],
+    )
+
+    WEDGE = pa.schema([("v", pa.int64()), ("w", pa.int64()), ("nw", pa.int64())])
+
+    def wedge_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return WEDGE.empty_table()
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        nb = g.column("nb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, c))
+        c, nb = c[order], nb[order]
+        starts = np.nonzero(np.concatenate([[True], c[1:] != c[:-1]]))[0]
+        sizes = np.diff(np.append(starts, len(c)))
+        if (sizes > CAP).any():
+            rank = np.arange(len(c)) - np.repeat(starts, sizes)
+            keep = rank < CAP
+            report_cap("link_wedge_truncated", int((~keep).sum()))
+            c, nb = c[keep], nb[keep]
+            starts = np.nonzero(np.concatenate([[True], c[1:] != c[:-1]]))[0]
+            sizes = np.diff(np.append(starts, len(c)))
+        rank = np.arange(len(c)) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - rank
+        total = int(left_counts.sum())
+        if total == 0:
+            return WEDGE.empty_table()
+        L = np.repeat(np.arange(len(c)), left_counts)
+        offs = np.concatenate([[np.int64(0)], np.cumsum(left_counts)])[:-1]
+        R = np.arange(total) - np.repeat(offs, left_counts) + L + 1
+        v, w = nb[L], nb[R]  # nb sorted within center => v < w
+        key = np.stack([v, w], axis=1)
+        uq, inv = np.unique(key, axis=0, return_inverse=True)
+        nw = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"v": pa.array(uq[:, 0]), "w": pa.array(uq[:, 1]), "nw": pa.array(nw)}
+        )
+
+    wedge_partials = grouped_map(
+        adjacency,
+        "bucket",
+        wedge_counts,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [("c", pa.int64()), ("nb", pa.int64()), ("bucket", pa.int32())]
+        ),
+    )
+    nc = keyed_sum(wedge_partials, ["v", "w"], [("nw", "n_common")])
+
+    # tagged-union rejoin: edge rows (tag 0) + common-count rows (tag 1)
+    # co-located by a (v, w) bucket; a group emits iff it has an edge row
+    def tag_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": pa.array(a),
+                "w": pa.array(b),
+                "nw": pa.array(np.zeros(len(a), dtype=np.int64)),
+                "tag": pa.array(np.zeros(len(a), dtype=np.int8)),
+                "bucket": pa.array(
+                    ((a * np.int64(1_000_003) + b) % NB).astype(np.int32)
+                ),
+            }
+        )
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": pa.array(v),
+                "w": pa.array(w),
+                "nw": t.column("n_common"),
+                "tag": pa.array(np.ones(len(v), dtype=np.int8)),
+                "bucket": pa.array(
+                    ((v * np.int64(1_000_003) + w) % NB).astype(np.int32)
+                ),
+            }
+        )
+
+    from osm_export_tool_python_ray.stages.exchange import union_all
+
+    tagged = union_all(
+        edges.map_batches(tag_edges, batch_format="pyarrow"),
+        nc.map_batches(tag_counts, batch_format="pyarrow"),
+    )
+
+    EDGE_NC = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64())]
+    )
+
+    def closure(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return EDGE_NC.empty_table()
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        nw = g.column("nw").to_numpy(zero_copy_only=False)
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, w, v))
+        v, w, nw, tag = v[order], w[order], nw[order], tag[order]
+        seg = np.ones(len(v), dtype=bool)
+        seg[1:] = (v[1:] != v[:-1]) | (w[1:] != w[:-1])
+        sid = np.cumsum(seg) - 1
+        nseg = int(seg.sum())
+        has_edge = np.zeros(nseg, dtype=bool)
+        np.logical_or.at(has_edge, sid, tag == 0)
+        tot = np.zeros(nseg, dtype=np.int64)
+        np.add.at(tot, sid, nw)
+        m = has_edge
+        return pa.table(
+            {
+                "a": pa.array(v[seg][m]),
+                "b": pa.array(w[seg][m]),
+                "n_common": pa.array(tot[m]),
+            }
+        )
+
+    edge_nc = grouped_map(
+        tagged,
+        "bucket",
+        closure,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("v", pa.int64()),
+                ("w", pa.int64()),
+                ("nw", pa.int64()),
+                ("tag", pa.int8()),
+                ("bucket", pa.int32()),
+            ]
+        ),
+    )
+
+    deg_a = deg.map_batches(
+        lambda t: pa.table({"a": t.column("node"), "deg_a": t.column("deg")}),
+        batch_format="pyarrow",
+    )
+    deg_b = deg.map_batches(
+        lambda t: pa.table({"b": t.column("node"), "deg_b": t.column("deg")}),
+        batch_format="pyarrow",
+    )
+    j1 = bucket_join(
+        edge_nc,
+        deg_a,
+        "a",
+        left_schema=EDGE_NC,
+        right_schema=pa.schema([("a", pa.int64()), ("deg_a", pa.int64())]),
+    )
+    j2 = bucket_join(
+        j1,
+        deg_b,
+        "b",
+        left_schema=pa.schema(
+            [
+                ("a", pa.int64()),
+                ("b", pa.int64()),
+                ("n_common", pa.int64()),
+                ("deg_a", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("b", pa.int64()), ("deg_b", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ncm = t.column("n_common").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_a": t.column("a"),
+                "user_b": t.column("b"),
+                "n_common": pa.array(ncm),
+                "deg_a": pa.array(da),
+                "deg_b": pa.array(db),
+                "jaccard_ppm": pa.array(ncm * 1_000_000 // (da + db - ncm)),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_a", "user_b"]
+    )
+
+
+SQL_LINK_SCORES = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (event_id % 100) // 10 AS cx,
+         (CAST(floor(event_id / 7.0) AS BIGINT) % 100) // 10 AS cy,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events
+), e0 AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM p a JOIN p b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= 2
+), adj AS (
+  SELECT ua AS c, ub AS n FROM e0 UNION ALL SELECT ub, ua FROM e0
+), deg AS (
+  SELECT c AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY c
+), wp AS (
+  SELECT x.n AS v, y.n AS w
+  FROM adj x JOIN adj y ON y.c = x.c AND x.n < y.n
+), nc AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS n_common FROM wp GROUP BY v, w
+)
+SELECT e.ua AS user_a, e.ub AS user_b,
+       CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(coalesce(nc.n_common, 0) * 1000000
+            // (da.deg + db.deg - coalesce(nc.n_common, 0)) AS BIGINT) AS jaccard_ppm
+FROM e0 e
+LEFT JOIN nc ON nc.v = e.ua AND nc.w = e.ub
+JOIN deg da ON da.node = e.ua
+JOIN deg db ON db.node = e.ub
+ORDER BY 1, 2
+"""
+
+
 def q_gpkg_layer_counts(sf_dir):
     """Container round-trip proof (S6 as an oracle row): flagship export →
     REAL binary GeoPackage (sinks.Geopackage → functions/containers.py,
@@ -9641,6 +9924,7 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "acf_lag1": q_acf_lag1,
     "minhash_eval": q_minhash_eval,
+    "link_scores": q_link_scores,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -9872,6 +10156,7 @@ ORACLES = {
     "l_diversity": SQL_L_DIVERSITY,
     "acf_lag1": SQL_ACF_LAG1,
     "minhash_eval": SQL_MINHASH_EVAL,
+    "link_scores": SQL_LINK_SCORES,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

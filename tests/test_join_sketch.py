@@ -781,3 +781,24 @@ class TestMinhashEval:
         assert r["exact_ppm"] > 600_000
         assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
         assert r["err_ppm"] < 250_000  # 64-perm estimator tolerance
+
+
+class TestLinkScores:
+    def test_matches_brute_force(self, ray_session):
+        out = QUERIES["link_scores"]("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        # brute-force the graph from the returned edge set itself:
+        # degrees and common neighbors recomputed in pure Python
+        edges = set(zip(out["user_a"], out["user_b"]))
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        for r in out.itertuples():
+            na, nb_ = nbrs[r.user_a], nbrs[r.user_b]
+            common = len(na & nb_)
+            assert r.n_common == common
+            assert r.deg_a == len(na) and r.deg_b == len(nb_)
+            assert r.jaccard_ppm == common * 1_000_000 // (
+                len(na) + len(nb_) - common
+            )
