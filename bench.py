@@ -270,6 +270,7 @@ def run_query_suite(sf_dir):
         ("acf_lag1", Q.q_acf_lag1),
         ("minhash_eval", Q.q_minhash_eval),
         ("link_scores", Q.q_link_scores),
+        ("theme_polygon_area", Q.q_theme_polygon_area),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -7787,6 +7787,127 @@ def q_link_scores(sf_dir):
     )
 
 
+def q_theme_polygon_area(sf_dir):
+    """Geometry-CONTENT oracle over the export surface: per theme, the
+    number of way-polygons and the exact integer shoelace area sum of
+    their assembled rings (coords quantized to 1e-7 deg; area in
+    2·area·1e14 units). Every other export oracle checks counts/bboxes —
+    this one certifies the assembled ring COORDINATES end-to-end
+    (explode → node-location join → ring assembly → WKB encode →
+    decode), because the integer shoelace is translation-invariant
+    (the centering term telescopes to exactly zero over a closed cycle)
+    and cyclic-rotation/reversal-invariant under abs() — so it is
+    immune to where the stitcher started the ring, yet ANY moved vertex
+    changes it. Oracle: re-walks refs→lon/lat in SQL and computes the
+    identical integer cross-product sum."""
+    from osm_export_tool_python_ray.functions import wkb as wkbmod
+
+    _mapping, themed = _run_default_export()
+
+    def partial(t: pa.Table) -> pa.Table:
+        gt = t.column("geom_type").to_numpy(zero_copy_only=False)
+        osm = t.column("osm_id").to_numpy(zero_copy_only=False)
+        keep = (gt == 3) & (osm > 0)  # way polygons only
+        idx = np.nonzero(keep)[0]
+        themes, a2s = [], []
+        th = t.column("theme")
+        wk = t.column("wkb")
+        for i in idx:
+            code, rings = wkbmod.decode(wk[i].as_py())
+            ring = rings[0] if code == wkbmod.POLYGON else rings[0][0]
+            x = np.floor(ring[:, 0] * 1e7 + 0.5).astype(np.int64)
+            y = np.floor(ring[:, 1] * 1e7 + 0.5).astype(np.int64)
+            if x[0] != x[-1] or y[0] != y[-1]:
+                x = np.append(x, x[0])
+                y = np.append(y, y[0])
+            x = x - x[0]
+            y = y - y[0]
+            a2 = abs(int(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+            themes.append(th[i].as_py())
+            a2s.append(a2)
+        return pa.table(
+            {
+                "theme": pa.array(themes, type=pa.string()),
+                "a2": pa.array(np.asarray(a2s, dtype=np.int64)),
+                "one": pa.array(np.ones(len(a2s), dtype=np.int64)),
+            }
+        )
+
+    rows = (
+        themed.map_batches(partial, batch_format="pyarrow")
+        .groupby("theme")
+        .sum(["a2", "one"])
+        .take_all()
+    )  # ≤ |themes| rows
+    out = sorted((r["theme"], int(r["sum(one)"]), int(r["sum(a2)"])) for r in rows)
+    return pa.table(
+        {
+            "theme": pa.array([r[0] for r in out], type=pa.string()),
+            "n_polys": pa.array([r[1] for r in out], type=pa.int64()),
+            "area2_sum": pa.array([r[2] for r in out], type=pa.int64()),
+        }
+    )
+
+
+def sql_theme_polygon_area_branches(mapping):
+    """Per-theme way-polygon (theme, id, refs) branches — matcher and
+    routing conditions identical to _themed_feature_selects' polygon
+    branch, with refs re-extracted for the coordinate walk."""
+    from osm_export_tool_python_ray.pipelines.export_oracle import (
+        matcher_sql,
+        polygonish_sql,
+    )
+
+    poly = polygonish_sql()
+    branches = []
+    for t in mapping.themes:
+        if not t.polygons:
+            continue
+        m = matcher_sql(t.matcher.expr)
+        branches.append(
+            "SELECT '%s' AS theme, id, CAST(json_extract(txt, '$.refs') AS BIGINT[]) AS refs "
+            "FROM wstat WHERE tagged AND complete AND closed AND %s AND %s"
+            % (t.name.replace("'", "''"), poly, m)
+        )
+    return "wpoly AS (\n" + "\nUNION ALL\n".join(branches) + "\n)"
+
+
+def _build_theme_polygon_area_sql():
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export_oracle import _base_ctes
+
+    path = corpus_path(n_shards=4)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")
+    ) as f:
+        mapping = Mapping(f.read())
+    return """
+WITH {base},
+{wpoly},
+segs AS (
+  SELECT theme, id, refs[i+1] AS r1, refs[i+2] AS r2
+  FROM wpoly, UNNEST(range(0, len(refs) - 1)) r(i)
+),
+segc AS (
+  SELECT s.theme, s.id,
+         CAST(floor(n1.lon * 10000000 + 0.5) AS BIGINT) AS x1,
+         CAST(floor(n1.lat * 10000000 + 0.5) AS BIGINT) AS y1,
+         CAST(floor(n2.lon * 10000000 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(n2.lat * 10000000 + 0.5) AS BIGINT) AS y2
+  FROM segs s
+  JOIN nodes n1 ON n1.id = s.r1
+  JOIN nodes n2 ON n2.id = s.r2
+),
+area AS (
+  SELECT theme, id, abs(sum(x1 * y2 - x2 * y1)) AS a2
+  FROM segc GROUP BY theme, id
+)
+SELECT theme, CAST(count(*) AS BIGINT) AS n_polys,
+       CAST(sum(a2) AS BIGINT) AS area2_sum
+FROM area GROUP BY theme ORDER BY theme
+""".format(base=_base_ctes(path), wpoly=sql_theme_polygon_area_branches(mapping))
+
+
 SQL_LINK_SCORES = """
 WITH p AS (
   SELECT DISTINCT user_id,
@@ -9925,6 +10046,7 @@ QUERIES = {
     "acf_lag1": q_acf_lag1,
     "minhash_eval": q_minhash_eval,
     "link_scores": q_link_scores,
+    "theme_polygon_area": q_theme_polygon_area,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10006,6 +10128,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "tag_cooccurrence",
     "theme_cooccurrence",
     "layer_fill_rates",
+    "theme_polygon_area",
 )
 
 
@@ -10047,6 +10170,7 @@ def export_surface_oracles():
         "tag_cooccurrence": _sql_tag_cooccurrence(),
         "theme_cooccurrence": sql_theme_cooccurrence(path, Mapping(OVERLAP_MAPPING_YML)),
         "layer_fill_rates": sql_layer_fill_rates(path, mapping),
+        "theme_polygon_area": _build_theme_polygon_area_sql(),
     }
     assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
     return out

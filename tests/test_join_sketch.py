@@ -802,3 +802,70 @@ class TestLinkScores:
             assert r.jaccard_ppm == common * 1_000_000 // (
                 len(na) + len(nb_) - common
             )
+
+
+class TestThemePolygonArea:
+    def test_matches_pure_python_refs_walk(self, ray_session):
+        out = QUERIES["theme_polygon_area"]("unused").to_pandas()
+        assert len(out) > 0 and (out["area2_sum"] > 0).all()
+
+        # independent recompute: walk the raw corpus JSON in pure Python
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        from osm_export_tool_python_ray.pipelines.queries import corpus_path
+        from osm_export_tool_python_ray.stages.matcher_eval import (
+            CLOSED_WAY_KEYS,
+            CLOSED_WAY_KEYVALS,
+        )
+
+        tbl = _pq.read_table(corpus_path(n_shards=4))
+        nodes, ways = {}, {}
+        seen = set()
+        for spans in tbl.column("spans").to_pylist():
+            for s in spans:
+                if s["kind"] != "osm" or s["text"] in seen:
+                    continue
+                seen.add(s["text"])
+                e = _json.loads(s["text"])
+                if e["type"] == "node":
+                    nodes[e["id"]] = (e["lon"], e["lat"])
+                elif e["type"] == "way":
+                    ways[e["id"]] = e
+
+        def polygonish(tags):
+            return any(k in tags for k in CLOSED_WAY_KEYS) or any(
+                tags.get(k) == v for k, v in CLOSED_WAY_KEYVALS.items()
+            )
+
+        # buildings theme: building IS NOT NULL-ish -> 'building' key set
+        want = 0
+        n_polys = 0
+        for w in ways.values():
+            tags = w.get("tags") or {}
+            refs = w.get("refs") or []
+            if not tags or "building" not in tags:
+                continue
+            if len(refs) < 4 or refs[0] != refs[-1]:
+                continue
+            if not polygonish(tags):
+                continue
+            if not all(r in nodes for r in refs):
+                continue
+            x = [int(np.floor(nodes[r][0] * 1e7 + 0.5)) for r in refs]
+            y = [int(np.floor(nodes[r][1] * 1e7 + 0.5)) for r in refs]
+            a2 = abs(
+                sum(
+                    x[i] * y[i + 1] - x[i + 1] * y[i]
+                    for i in range(len(refs) - 1)
+                )
+            )
+            want += a2
+            n_polys += 1
+        got = out.set_index("theme")
+        if "buildings" in got.index:
+            assert got.loc["buildings", "area2_sum"] == want
+            assert got.loc["buildings", "n_polys"] == n_polys
+        else:
+            assert n_polys == 0
