@@ -271,6 +271,7 @@ def run_query_suite(sf_dir):
         ("minhash_eval", Q.q_minhash_eval),
         ("link_scores", Q.q_link_scores),
         ("theme_polygon_area", Q.q_theme_polygon_area),
+        ("theme_line_length", Q.q_theme_line_length),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -7849,6 +7849,112 @@ def q_theme_polygon_area(sf_dir):
     )
 
 
+def q_theme_line_length(sf_dir):
+    """Geometry-content oracle for the LINE branch (the polygon twin is
+    theme_polygon_area): per theme, way-linestring count and the exact
+    integer L1 length sum Σ(|Δlon|+|Δlat|) in 1e-7 deg units — sqrt-free
+    so it is integer-exact, and reversal-invariant (|Δ| symmetric) while
+    ANY moved/missing vertex changes it. Certifies the assembled
+    linestring coordinates end-to-end through explode → location join →
+    WKB encode → decode; SQL re-walks refs→lon/lat."""
+    from osm_export_tool_python_ray.functions import wkb as wkbmod
+
+    _mapping, themed = _run_default_export()
+
+    def partial(t: pa.Table) -> pa.Table:
+        gt = t.column("geom_type").to_numpy(zero_copy_only=False)
+        keep = gt == 2
+        idx = np.nonzero(keep)[0]
+        themes, lens_ = [], []
+        th = t.column("theme")
+        wk = t.column("wkb")
+        for i in idx:
+            code, geom = wkbmod.decode(wk[i].as_py())
+            lines = [geom] if code == wkbmod.LINESTRING else geom
+            tot = 0
+            for arr in lines:
+                x = np.floor(arr[:, 0] * 1e7 + 0.5).astype(np.int64)
+                y = np.floor(arr[:, 1] * 1e7 + 0.5).astype(np.int64)
+                tot += int(
+                    np.sum(np.abs(np.diff(x)) + np.abs(np.diff(y)))
+                )
+            themes.append(th[i].as_py())
+            lens_.append(tot)
+        return pa.table(
+            {
+                "theme": pa.array(themes, type=pa.string()),
+                "l1": pa.array(np.asarray(lens_, dtype=np.int64)),
+                "one": pa.array(np.ones(len(lens_), dtype=np.int64)),
+            }
+        )
+
+    rows = (
+        themed.map_batches(partial, batch_format="pyarrow")
+        .groupby("theme")
+        .sum(["l1", "one"])
+        .take_all()
+    )
+    out = sorted((r["theme"], int(r["sum(one)"]), int(r["sum(l1)"])) for r in rows)
+    return pa.table(
+        {
+            "theme": pa.array([r[0] for r in out], type=pa.string()),
+            "n_lines": pa.array([r[1] for r in out], type=pa.int64()),
+            "l1_len_sum": pa.array([r[2] for r in out], type=pa.int64()),
+        }
+    )
+
+
+def _build_theme_line_length_sql():
+    from osm_export_tool_python_ray.mapping import Mapping
+    from osm_export_tool_python_ray.pipelines.export_oracle import (
+        _base_ctes,
+        matcher_sql,
+        polygonish_sql,
+    )
+
+    path = corpus_path(n_shards=4)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")
+    ) as f:
+        mapping = Mapping(f.read())
+    poly = polygonish_sql()
+    branches = []
+    for t in mapping.themes:
+        if not t.lines:
+            continue
+        m = matcher_sql(t.matcher.expr)
+        branches.append(
+            "SELECT '%s' AS theme, id, CAST(json_extract(txt, '$.refs') AS BIGINT[]) AS refs "
+            "FROM wstat WHERE tagged AND complete AND n_pts >= 2 "
+            "AND NOT (closed AND %s) AND %s"
+            % (t.name.replace("'", "''"), poly, m)
+        )
+    return """
+WITH {base},
+wline AS (
+{branches}
+),
+segs AS (
+  SELECT theme, id, refs[i+1] AS r1, refs[i+2] AS r2
+  FROM wline, UNNEST(range(0, len(refs) - 1)) r(i)
+),
+segc AS (
+  SELECT s.theme, s.id,
+         abs(CAST(floor(n2.lon * 10000000 + 0.5) AS BIGINT)
+             - CAST(floor(n1.lon * 10000000 + 0.5) AS BIGINT))
+         + abs(CAST(floor(n2.lat * 10000000 + 0.5) AS BIGINT)
+               - CAST(floor(n1.lat * 10000000 + 0.5) AS BIGINT)) AS d
+  FROM segs s
+  JOIN nodes n1 ON n1.id = s.r1
+  JOIN nodes n2 ON n2.id = s.r2
+),
+ln AS (SELECT theme, id, CAST(sum(d) AS BIGINT) AS l1 FROM segc GROUP BY theme, id)
+SELECT theme, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(l1) AS BIGINT) AS l1_len_sum
+FROM ln GROUP BY theme ORDER BY theme
+""".format(base=_base_ctes(path), branches="\nUNION ALL\n".join(branches))
+
+
 def sql_theme_polygon_area_branches(mapping):
     """Per-theme way-polygon (theme, id, refs) branches — matcher and
     routing conditions identical to _themed_feature_selects' polygon
@@ -10047,6 +10153,7 @@ QUERIES = {
     "minhash_eval": q_minhash_eval,
     "link_scores": q_link_scores,
     "theme_polygon_area": q_theme_polygon_area,
+    "theme_line_length": q_theme_line_length,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10129,6 +10236,7 @@ EXPORT_SURFACE_ORACLE_KEYS = (
     "theme_cooccurrence",
     "layer_fill_rates",
     "theme_polygon_area",
+    "theme_line_length",
 )
 
 
@@ -10171,6 +10279,7 @@ def export_surface_oracles():
         "theme_cooccurrence": sql_theme_cooccurrence(path, Mapping(OVERLAP_MAPPING_YML)),
         "layer_fill_rates": sql_layer_fill_rates(path, mapping),
         "theme_polygon_area": _build_theme_polygon_area_sql(),
+        "theme_line_length": _build_theme_line_length_sql(),
     }
     assert set(out) == set(EXPORT_SURFACE_ORACLE_KEYS)
     return out

@@ -869,3 +869,10 @@ class TestThemePolygonArea:
             assert got.loc["buildings", "n_polys"] == n_polys
         else:
             assert n_polys == 0
+
+
+class TestThemeLineLength:
+    def test_nonempty_and_reversal_invariant_metric(self, ray_session):
+        out = QUERIES["theme_line_length"]("unused").to_pandas()
+        assert len(out) > 0
+        assert (out["l1_len_sum"] > 0).all() and (out["n_lines"] > 0).all()
