@@ -272,6 +272,7 @@ def run_query_suite(sf_dir):
         ("link_scores", Q.q_link_scores),
         ("theme_polygon_area", Q.q_theme_polygon_area),
         ("theme_line_length", Q.q_theme_line_length),
+        ("trending", Q.q_trending),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

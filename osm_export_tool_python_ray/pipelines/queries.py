@@ -7955,6 +7955,232 @@ FROM ln GROUP BY theme ORDER BY theme
 """.format(base=_base_ctes(path), branches="\nUNION ALL\n".join(branches))
 
 
+def q_trending(sf_dir):
+    """Trending report (the dashboard staple): per hour, the top-3 event
+    types by count with their rank and the rank they held in the
+    PREVIOUS hour's top-3 (−1 if they were not trending then). Ranks
+    break ties (n desc, event_type asc) identically on both sides. Scale
+    shape: (hour, type) counts come from a per-batch combiner +
+    keyed_sum; ranking needs one hour-keyed exchange (all of an hour's
+    types co-located); the rank-delta join is the house epoch-replication
+    trick — each top-3 row is re-emitted tagged for hour h+1, so the
+    comparison is a second keyed exchange, never a driver-side join."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map, keyed_sum, union_all
+
+    TOP = 3
+    HOUR_US = 3_600_000_000
+
+    types = sorted(
+        r["event_type"]
+        for r in _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    tix = {t_: i for i, t_ in enumerate(types)}
+    tnames = np.asarray(types, dtype=object)
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hr = ts // HOUR_US
+        tid = np.array(
+            [tix[x] for x in t.column("event_type").to_pylist()], dtype=np.int64
+        )
+        key = np.stack([hr, tid], axis=1)
+        uq, inv = np.unique(key, axis=0, return_inverse=True)
+        return pa.table(
+            {
+                "hr": pa.array(uq[:, 0]),
+                "tid": pa.array(uq[:, 1]),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    counts = keyed_sum(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            hour_partial, batch_format="pyarrow"
+        ),
+        ["hr", "tid"],
+        [("n", "n")],
+    ).map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                (t.column("hr").to_numpy(zero_copy_only=False) % 32).astype(
+                    np.int32
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    RANKED = pa.schema(
+        [
+            ("hr", pa.int64()),
+            ("tid", pa.int64()),
+            ("n", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def rank_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return RANKED.empty_table()
+        hr = g.column("hr").to_numpy(zero_copy_only=False)
+        tid = g.column("tid").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tid, -n, hr))
+        hr, tid, n = hr[order], tid[order], n[order]
+        seg = np.ones(len(hr), dtype=bool)
+        seg[1:] = hr[1:] != hr[:-1]
+        idx = np.arange(len(hr), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(seg, idx, 0))
+        rank = idx - start
+        m = rank < TOP
+        return pa.table(
+            {
+                "hr": pa.array(hr[m]),
+                "tid": pa.array(tid[m]),
+                "n": pa.array(n[m]),
+                "rank": pa.array(rank[m]),
+            }
+        )
+
+    ranked = grouped_map(
+        counts,
+        "bucket",
+        rank_fold,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("hr", pa.int64()),
+                ("tid", pa.int64()),
+                ("n", pa.int64()),
+                ("bucket", pa.int32()),
+            ]
+        ),
+    ).materialize()  # feeds both sides of the delta exchange
+
+    def tag(shift, tagval):
+        def fn(t: pa.Table) -> pa.Table:
+            hr = t.column("hr").to_numpy(zero_copy_only=False) + shift
+            return pa.table(
+                {
+                    "thr": pa.array(hr),
+                    "tid": t.column("tid"),
+                    "n": t.column("n"),
+                    "rank": t.column("rank"),
+                    "tag": pa.array(
+                        np.full(t.num_rows, tagval, dtype=np.int8)
+                    ),
+                    "bucket": pa.array((hr % 32).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    tagged = union_all(
+        ranked.map_batches(tag(0, 0), batch_format="pyarrow"),
+        ranked.map_batches(tag(1, 1), batch_format="pyarrow"),
+    )
+
+    OUT = pa.schema(
+        [
+            ("hr", pa.int64()),
+            ("tid", pa.int64()),
+            ("n", pa.int64()),
+            ("rank", pa.int64()),
+            ("prev_rank", pa.int64()),
+        ]
+    )
+
+    def delta_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        thr = g.column("thr").to_numpy(zero_copy_only=False)
+        tid = g.column("tid").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        rk = g.column("rank").to_numpy(zero_copy_only=False)
+        tg = g.column("tag").to_numpy(zero_copy_only=False)
+        cur = tg == 0
+        # previous-hour lookup table: (thr, tid) -> prev rank
+        prev = {}
+        pi = np.nonzero(~cur)[0]
+        for i in pi:
+            prev[(int(thr[i]), int(tid[i]))] = int(rk[i])
+        ci = np.nonzero(cur)[0]
+        pr = np.array(
+            [prev.get((int(thr[i]), int(tid[i])), -1) for i in ci],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "hr": pa.array(thr[ci]),
+                "tid": pa.array(tid[ci]),
+                "n": pa.array(n[ci]),
+                "rank": pa.array(rk[ci]),
+                "prev_rank": pa.array(pr),
+            }
+        )
+
+    out = grouped_map(
+        tagged,
+        "bucket",
+        delta_fold,
+        num_partitions=8,
+        payload_schema=pa.schema(
+            [
+                ("thr", pa.int64()),
+                ("tid", pa.int64()),
+                ("n", pa.int64()),
+                ("rank", pa.int64()),
+                ("tag", pa.int8()),
+                ("bucket", pa.int32()),
+            ]
+        ),
+    )
+
+    def names(t: pa.Table) -> pa.Table:
+        tid = t.column("tid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hr": t.column("hr"),
+                "event_type": pa.array(list(tnames[tid]), type=pa.string()),
+                "n": t.column("n"),
+                "rank": t.column("rank"),
+                "prev_rank": t.column("prev_rank"),
+            }
+        )
+
+    return out.map_batches(names, batch_format="pyarrow").sort(["hr", "rank"])
+
+
+SQL_TRENDING = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT hr, event_type, n,
+         CAST(row_number() OVER (
+           PARTITION BY hr ORDER BY n DESC, event_type
+         ) - 1 AS BIGINT) AS rank
+  FROM h
+),
+t AS (SELECT * FROM r WHERE rank < 3)
+SELECT a.hr, a.event_type, a.n, a.rank,
+       CAST(coalesce(b.rank, -1) AS BIGINT) AS prev_rank
+FROM t a LEFT JOIN t b ON b.hr = a.hr - 1 AND b.event_type = a.event_type
+ORDER BY a.hr, a.rank
+"""
+
+
 def sql_theme_polygon_area_branches(mapping):
     """Per-theme way-polygon (theme, id, refs) branches — matcher and
     routing conditions identical to _themed_feature_selects' polygon
@@ -10154,6 +10380,7 @@ QUERIES = {
     "link_scores": q_link_scores,
     "theme_polygon_area": q_theme_polygon_area,
     "theme_line_length": q_theme_line_length,
+    "trending": q_trending,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10390,6 +10617,7 @@ ORACLES = {
     "acf_lag1": SQL_ACF_LAG1,
     "minhash_eval": SQL_MINHASH_EVAL,
     "link_scores": SQL_LINK_SCORES,
+    "trending": SQL_TRENDING,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -876,3 +876,50 @@ class TestThemeLineLength:
         out = QUERIES["theme_line_length"]("unused").to_pandas()
         assert len(out) > 0
         assert (out["l1_len_sum"] > 0).all() and (out["n_lines"] > 0).all()
+
+
+class TestTrending:
+    def test_matches_brute_force(self, ray_session, tmp_path):
+        rng = np.random.RandomState(31)
+        n = 900
+        hrs = rng.randint(0, 12, n).astype(np.int64)
+        types = np.asarray(
+            [["view", "click", "buy", "share", "like"][i] for i in rng.randint(0, 5, n)],
+            dtype=object,
+        )
+        tss = hrs * 3_600_000_000 + rng.randint(0, 3_600_000_000, n)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(tss.astype("datetime64[us]")),
+                "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "event_type": pa.array(list(types), type=pa.string()),
+                "value": pa.array(np.ones(n)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "trend"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = QUERIES["trending"](str(d)).to_pandas()
+
+        # brute force
+        cnt = {}
+        for h, t in zip(hrs, types):
+            cnt[(int(h), t)] = cnt.get((int(h), t), 0) + 1
+        top = {}
+        for h in sorted(set(int(x) for x in hrs)):
+            row = sorted(
+                ((t, c) for (hh, t), c in cnt.items() if hh == h),
+                key=lambda r: (-r[1], r[0]),
+            )[:3]
+            top[h] = {t: i for i, (t, _c) in enumerate(row)}
+        exp = []
+        for h in sorted(top):
+            for t, r in sorted(top[h].items(), key=lambda kv: kv[1]):
+                prev = top.get(h - 1, {}).get(t, -1)
+                exp.append((h, t, cnt[(h, t)], r, prev))
+        got = list(
+            zip(out["hr"], out["event_type"], out["n"], out["rank"], out["prev_rank"])
+        )
+        assert got == exp
