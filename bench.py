@@ -273,6 +273,7 @@ def run_query_suite(sf_dir):
         ("theme_polygon_area", Q.q_theme_polygon_area),
         ("theme_line_length", Q.q_theme_line_length),
         ("trending", Q.q_trending),
+        ("order_recon", Q.q_order_recon),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -8181,6 +8181,120 @@ ORDER BY a.hr, a.rank
 """
 
 
+def q_order_recon(sf_dir):
+    """Double-entry reconciliation audit (the warehouse invoice check):
+    every order's header total vs the sum of its lineitems' gross
+    extended prices, both quantized to exact integer 1e-4 units. Output
+    is the top 20 largest absolute discrepancies (order, header, items,
+    n_items, diff) — tie-broken on orderkey — the report an ETL
+    validates after every load. One lineitem combiner + keyed_sum, one
+    bucketed header join, one distributed sort+limit; headers with ZERO
+    lineitems surface too (left join, items sum 0)."""
+    from osm_export_tool_python_ray.stages.exchange import keyed_sum
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "rev": pa.array(rev),
+                "one": pa.array(np.ones(len(ok), dtype=np.int64)),
+            }
+        )
+
+    items = keyed_sum(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+            li_partial, batch_format="pyarrow"
+        ),
+        ["orderkey"],
+        [("rev", "items_e4"), ("one", "n_items")],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        tot = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orderkey": t.column("o_orderkey"),
+                "header_e4": pa.array(
+                    np.floor(tot * 10000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        ord_prep, batch_format="pyarrow"
+    )
+    joined = bucket_join(
+        orders,
+        items,
+        "orderkey",
+        how="left",
+        left_schema=pa.schema([("orderkey", pa.int64()), ("header_e4", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("orderkey", pa.int64()),
+                ("items_e4", pa.int64()),
+                ("n_items", pa.int64()),
+            ]
+        ),
+    )
+
+    def diff(t: pa.Table) -> pa.Table:
+        hd = t.column("header_e4").to_numpy(zero_copy_only=False)
+        # left join: zero-lineitem orders carry null item payload
+        it = (
+            pc.fill_null(t.column("items_e4"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ni = (
+            pc.fill_null(t.column("n_items"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "orderkey": t.column("orderkey"),
+                "header_e4": pa.array(hd),
+                "items_e4": pa.array(it),
+                "n_items": pa.array(ni),
+                "abs_diff_e4": pa.array(np.abs(hd - it)),
+            }
+        )
+
+    return (
+        joined.map_batches(diff, batch_format="pyarrow")
+        .sort(["abs_diff_e4", "orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_ORDER_RECON = """
+WITH li AS (
+  SELECT l_orderkey AS orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS items_e4,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS header_e4
+  FROM orders
+),
+j AS (
+  SELECT o.orderkey, o.header_e4,
+         CAST(coalesce(li.items_e4, 0) AS BIGINT) AS items_e4,
+         CAST(coalesce(li.n_items, 0) AS BIGINT) AS n_items,
+         CAST(abs(o.header_e4 - coalesce(li.items_e4, 0)) AS BIGINT) AS abs_diff_e4
+  FROM o LEFT JOIN li ON li.orderkey = o.orderkey
+)
+SELECT * FROM j ORDER BY abs_diff_e4 DESC, orderkey LIMIT 20
+"""
+
+
 def sql_theme_polygon_area_branches(mapping):
     """Per-theme way-polygon (theme, id, refs) branches — matcher and
     routing conditions identical to _themed_feature_selects' polygon
@@ -10381,6 +10495,7 @@ QUERIES = {
     "theme_polygon_area": q_theme_polygon_area,
     "theme_line_length": q_theme_line_length,
     "trending": q_trending,
+    "order_recon": q_order_recon,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10618,6 +10733,7 @@ ORACLES = {
     "minhash_eval": SQL_MINHASH_EVAL,
     "link_scores": SQL_LINK_SCORES,
     "trending": SQL_TRENDING,
+    "order_recon": SQL_ORDER_RECON,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -923,3 +923,35 @@ class TestTrending:
             zip(out["hr"], out["event_type"], out["n"], out["rank"], out["prev_rank"])
         )
         assert got == exp
+
+
+class TestOrderRecon:
+    def test_planted_mismatch_and_zero_item_order(self, ray_session, tmp_path):
+        d = tmp_path / "recon"
+        d.mkdir()
+        _q5_fixture(d)  # reuse dims + lineitems
+        # orders: 100 header matches items; 200 has NO lineitems (header
+        # surfaces fully as diff); 101/102/103 from fixture keep their rows
+        tbl = pq.read_table(str(d / "orders.parquet"))
+        import pyarrow as _pa
+
+        extra = pa.table(
+            {
+                "o_orderkey": pa.array([200], type=pa.int64()),
+                "o_custkey": pa.array([10], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"]),
+                "o_totalprice": pa.array([77.77]),
+                "o_orderdate": pa.array([_ts("1996-06-01")]),
+                "o_orderpriority": pa.array(["1"]),
+            }
+        )
+        pq.write_table(pa.concat_tables([tbl, extra]), str(d / "orders.parquet"))
+        out = QUERIES["order_recon"](str(d)).to_pandas().set_index("orderkey")
+        assert out.loc[200, "n_items"] == 0
+        assert out.loc[200, "abs_diff_e4"] == 777_700
+        # order 100 has 3 lineitems (100.05 + 50.00 + 10.00) vs header 1.0
+        assert out.loc[100, "n_items"] == 3
+        assert (
+            out.loc[100, "abs_diff_e4"]
+            == abs(10_000 - (1_000_500 + 500_000 + 100_000))
+        )
