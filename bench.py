@@ -274,6 +274,7 @@ def run_query_suite(sf_dir):
         ("theme_line_length", Q.q_theme_line_length),
         ("trending", Q.q_trending),
         ("order_recon", Q.q_order_recon),
+        ("conversion_latency", Q.q_conversion_latency),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -8295,6 +8295,83 @@ SELECT * FROM j ORDER BY abs_diff_e4 DESC, orderkey LIMIT 20
 """
 
 
+def q_conversion_latency(sf_dir):
+    """Time-to-convert report (the product-analytics survival primitive):
+    per user, the timestamp of their first 'view', first 'purchase', and
+    the conversion latency in exact integer µs — −1 when the user never
+    viewed, never purchased, or purchased before ever viewing (not a
+    view-driven conversion). Map-side per-user min partials (sentinel
+    int64-max for absent) → one tiny user groupby — the exchange moves
+    two int64s per user, never events."""
+
+    SENT = np.int64(1) << np.int64(62)
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        uu, inv = np.unique(u, return_inverse=True)
+        tv = np.full(len(uu), SENT, dtype=np.int64)
+        tb = np.full(len(uu), SENT, dtype=np.int64)
+        vm = et == "view"
+        bm = et == "purchase"
+        np.minimum.at(tv, inv[vm], ts[vm])
+        np.minimum.at(tb, inv[bm], ts[bm])
+        return pa.table(
+            {"user_id": pa.array(uu), "tv": pa.array(tv), "tb": pa.array(tb)}
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .min(["tv", "tb"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tv = t.column("min(tv)").to_numpy(zero_copy_only=False)
+        tb = t.column("min(tb)").to_numpy(zero_copy_only=False)
+        no_v = tv >= SENT
+        no_b = tb >= SENT
+        conv = np.where(no_v | no_b | (tb < tv), -1, tb - tv)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "first_view_us": pa.array(np.where(no_v, -1, tv)),
+                "first_buy_us": pa.array(np.where(no_b, -1, tb)),
+                "convert_us": pa.array(conv),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+SQL_CONVERSION_LATENCY = """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT user_id, min(epoch_us(ts)) AS tb FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(coalesce(v.tv, -1) AS BIGINT) AS first_view_us,
+       CAST(coalesce(b.tb, -1) AS BIGINT) AS first_buy_us,
+       CAST(CASE WHEN v.tv IS NULL OR b.tb IS NULL OR b.tb < v.tv
+                 THEN -1 ELSE b.tb - v.tv END AS BIGINT) AS convert_us
+FROM u LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN b ON b.user_id = u.user_id
+ORDER BY u.user_id
+"""
+
+
 def sql_theme_polygon_area_branches(mapping):
     """Per-theme way-polygon (theme, id, refs) branches — matcher and
     routing conditions identical to _themed_feature_selects' polygon
@@ -10496,6 +10573,7 @@ QUERIES = {
     "theme_line_length": q_theme_line_length,
     "trending": q_trending,
     "order_recon": q_order_recon,
+    "conversion_latency": q_conversion_latency,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10734,6 +10812,7 @@ ORACLES = {
     "link_scores": SQL_LINK_SCORES,
     "trending": SQL_TRENDING,
     "order_recon": SQL_ORDER_RECON,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

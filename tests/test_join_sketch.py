@@ -955,3 +955,43 @@ class TestOrderRecon:
             out.loc[100, "abs_diff_e4"]
             == abs(10_000 - (1_000_500 + 500_000 + 100_000))
         )
+
+
+class TestConversionLatency:
+    def test_planted_cases(self, ray_session, tmp_path):
+        US = 1_000_000
+        # u0: view then purchase (latency 100s); u1: purchase BEFORE view
+        # (-1); u2: view only (-1); u3: purchase only (-1)
+        rows = [
+            (0, 0, 1000 * US, "view"),
+            (1, 0, 1100 * US, "purchase"),
+            (2, 1, 2000 * US, "purchase"),
+            (3, 1, 2100 * US, "view"),
+            (4, 2, 3000 * US, "view"),
+            (5, 3, 4000 * US, "purchase"),
+        ]
+        eid, uid, ts, et = zip(*rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(eid), type=pa.int64()),
+                "ts": pa.array(
+                    np.array(list(ts), dtype=np.int64).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(list(uid), type=pa.int64()),
+                "event_type": pa.array(list(et), type=pa.string()),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        d = tmp_path / "conv"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = (
+            QUERIES["conversion_latency"](str(d))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert out.loc[0, "convert_us"] == 100 * US
+        assert out.loc[1, "convert_us"] == -1  # bought before viewing
+        assert out.loc[2, "convert_us"] == -1 and out.loc[2, "first_buy_us"] == -1
+        assert out.loc[3, "convert_us"] == -1 and out.loc[3, "first_view_us"] == -1
