@@ -275,6 +275,7 @@ def run_query_suite(sf_dir):
         ("trending", Q.q_trending),
         ("order_recon", Q.q_order_recon),
         ("conversion_latency", Q.q_conversion_latency),
+        ("bounce_rate", Q.q_bounce_rate),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

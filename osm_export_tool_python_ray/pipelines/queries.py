@@ -8372,6 +8372,96 @@ ORDER BY u.user_id
 """
 
 
+def q_bounce_rate(sf_dir):
+    """Session bounce rate (the engagement KPI on top of the
+    sessionizer): per user, the session count, single-event ("bounce")
+    session count, and bounce share in exact ppm — same 30-minute-gap
+    session semantics as events_sessions, aggregated one level higher.
+    ONE user-keyed exchange; the fold is the vectorized boundary scan
+    (sorted (user, ts) → gap/new-user breaks → reduceat session sizes →
+    per-user bincounts) — integer-exact, no float."""
+    from osm_export_tool_python_ray.stages.exchange import grouped_map
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((u % 32).astype(np.int32)))
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_bounce", pa.int64()),
+            ("bounce_ppm", pa.int64()),
+        ]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        starts = np.nonzero(brk)[0]
+        sizes = np.diff(np.append(starts, n))
+        su = u[starts]  # session → user
+        uu, inv = np.unique(su, return_inverse=True)
+        nsess = np.bincount(inv).astype(np.int64)
+        nbounce = np.bincount(inv, weights=(sizes == 1)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n_sessions": pa.array(nsess),
+                "n_bounce": pa.array(nbounce),
+                "bounce_ppm": pa.array(nbounce * 1_000_000 // nsess),
+            }
+        )
+
+    return grouped_map(
+        ds.map_batches(bucketer, batch_format="pyarrow"),
+        "bucket",
+        fold,
+        num_partitions=8,
+    ).sort("user_id")
+
+
+SQL_BOUNCE_RATE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+), per_sess AS (
+  SELECT user_id, sid, count(*) AS ne FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
 def sql_theme_polygon_area_branches(mapping):
     """Per-theme way-polygon (theme, id, refs) branches — matcher and
     routing conditions identical to _themed_feature_selects' polygon
@@ -10574,6 +10664,7 @@ QUERIES = {
     "trending": q_trending,
     "order_recon": q_order_recon,
     "conversion_latency": q_conversion_latency,
+    "bounce_rate": q_bounce_rate,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10813,6 +10904,7 @@ ORACLES = {
     "trending": SQL_TRENDING,
     "order_recon": SQL_ORDER_RECON,
     "conversion_latency": SQL_CONVERSION_LATENCY,
+    "bounce_rate": SQL_BOUNCE_RATE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

@@ -995,3 +995,39 @@ class TestConversionLatency:
         assert out.loc[1, "convert_us"] == -1  # bought before viewing
         assert out.loc[2, "convert_us"] == -1 and out.loc[2, "first_buy_us"] == -1
         assert out.loc[3, "convert_us"] == -1 and out.loc[3, "first_view_us"] == -1
+
+
+class TestBounceRate:
+    def test_planted_sessions(self, ray_session, tmp_path):
+        US = 1_000_000
+        MIN = 60 * US
+        # u0: two sessions — [e0,e1] (5 min apart), [e2] alone after 2h
+        # → 2 sessions, 1 bounce; u1: one single-event session → bounce
+        rows = [
+            (0, 0, 0),
+            (1, 0, 5 * MIN),
+            (2, 0, 200 * MIN),
+            (3, 1, 0),
+        ]
+        eid, uid, ts = zip(*rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(eid), type=pa.int64()),
+                "ts": pa.array(
+                    np.array(list(ts), dtype=np.int64).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(list(uid), type=pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        d = tmp_path / "bounce"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = (
+            QUERIES["bounce_rate"](str(d)).to_pandas().set_index("user_id")
+        )
+        assert out.loc[0, "n_sessions"] == 2 and out.loc[0, "n_bounce"] == 1
+        assert out.loc[0, "bounce_ppm"] == 500_000
+        assert out.loc[1, "n_sessions"] == 1 and out.loc[1, "bounce_ppm"] == 1_000_000
