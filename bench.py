@@ -276,6 +276,7 @@ def run_query_suite(sf_dir):
         ("order_recon", Q.q_order_recon),
         ("conversion_latency", Q.q_conversion_latency),
         ("bounce_rate", Q.q_bounce_rate),
+        ("drift_chi2", Q.q_drift_chi2),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -8462,6 +8462,131 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_drift_chi2(sf_dir):
+    """Distribution-drift detector (the ML-ops data-drift audit): the
+    event-type mix of the EARLY half of the time range vs the LATE half,
+    scored per type by the chi-square contribution of its 2×2
+    (type vs half) table — the report that gates a model retrain. The
+    midpoint is the integer mean of observed min/max timestamps (exact
+    int64 arithmetic, identical both sides). Per-batch (type, half)
+    count combiner → one tiny groupby; the chi-square is the identical
+    IEEE double expression on both sides, ranked on the raw statistic
+    with a type tie-break."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    mm = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array(
+                    [
+                        int(
+                            t.column("ts")
+                            .to_numpy(zero_copy_only=False)
+                            .astype("datetime64[us]")
+                            .astype(np.int64)
+                            .min()
+                        )
+                    ],
+                    type=pa.int64(),
+                ),
+                "hi": pa.array(
+                    [
+                        int(
+                            t.column("ts")
+                            .to_numpy(zero_copy_only=False)
+                            .astype("datetime64[us]")
+                            .astype(np.int64)
+                            .max()
+                        )
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Min("lo"), Max("hi"))
+    lo, hi = int(mm["min(lo)"]), int(mm["max(hi)"])
+    mid = (lo + hi) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        late = ts > mid
+        types, inv = np.unique(et, return_inverse=True)
+        ne = np.bincount(inv, weights=~late).astype(np.int64)
+        nl = np.bincount(inv, weights=late).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(list(types), type=pa.string()),
+                "n_early": pa.array(ne),
+                "n_late": pa.array(nl),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n_early", "n_late"])
+        .take_all()
+    )  # ≤ |types| rows
+    types = [r["event_type"] for r in rows]
+    a = np.array([int(r["sum(n_early)"]) for r in rows], dtype=np.int64)
+    b = np.array([int(r["sum(n_late)"]) for r in rows], dtype=np.int64)
+    te, tl = int(a.sum()), int(b.sum())
+    n = te + tl
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    cf = (te - a).astype(np.float64)
+    df_ = (tl - b).astype(np.float64)
+    d2 = af * df_ - bf * cf
+    num = float(n) * d2 * d2
+    den = ((a + b).astype(np.float64) * (n - a - b).astype(np.float64)) * (
+        float(te) * float(tl)
+    )
+    chi = num / den
+    order = sorted(range(len(types)), key=lambda i: (-chi[i], types[i]))
+    return pa.table(
+        {
+            "event_type": pa.array([types[i] for i in order], type=pa.string()),
+            "n_early": pa.array([int(a[i]) for i in order], type=pa.int64()),
+            "n_late": pa.array([int(b[i]) for i in order], type=pa.int64()),
+            "chi2": pa.array([round(float(chi[i]), 6) for i in order]),
+        }
+    )
+
+
+SQL_DRIFT_CHI2 = """
+WITH mm AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_us(ts) > (lo + hi) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN epoch_us(ts) > (lo + hi) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM events, mm GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS te, CAST(sum(b) AS BIGINT) AS tl FROM g),
+sc AS (
+  SELECT event_type, a, b,
+         (CAST(te + tl AS DOUBLE)
+          * (CAST(a AS DOUBLE) * CAST(tl - b AS DOUBLE)
+             - CAST(b AS DOUBLE) * CAST(te - a AS DOUBLE))
+          * (CAST(a AS DOUBLE) * CAST(tl - b AS DOUBLE)
+             - CAST(b AS DOUBLE) * CAST(te - a AS DOUBLE)))
+         / ((CAST(a + b AS DOUBLE) * CAST((te + tl) - a - b AS DOUBLE))
+            * (CAST(te AS DOUBLE) * CAST(tl AS DOUBLE))) AS chi2_raw
+  FROM g, tot
+)
+SELECT event_type, a AS n_early, b AS n_late, round(chi2_raw, 6) AS chi2
+FROM sc ORDER BY chi2_raw DESC, event_type
+"""
+
+
 def sql_theme_polygon_area_branches(mapping):
     """Per-theme way-polygon (theme, id, refs) branches — matcher and
     routing conditions identical to _themed_feature_selects' polygon
@@ -10665,6 +10790,7 @@ QUERIES = {
     "order_recon": q_order_recon,
     "conversion_latency": q_conversion_latency,
     "bounce_rate": q_bounce_rate,
+    "drift_chi2": q_drift_chi2,
     "length_outliers": q_length_outliers,
     "k_anonymity": q_k_anonymity,
     "source_dup_rate": q_source_dup_rate,
@@ -10905,6 +11031,7 @@ ORACLES = {
     "order_recon": SQL_ORDER_RECON,
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "bounce_rate": SQL_BOUNCE_RATE,
+    "drift_chi2": SQL_DRIFT_CHI2,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "k_anonymity": SQL_K_ANONYMITY,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,

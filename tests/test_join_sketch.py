@@ -1031,3 +1031,39 @@ class TestBounceRate:
         assert out.loc[0, "n_sessions"] == 2 and out.loc[0, "n_bounce"] == 1
         assert out.loc[0, "bounce_ppm"] == 500_000
         assert out.loc[1, "n_sessions"] == 1 and out.loc[1, "bounce_ppm"] == 1_000_000
+
+
+class TestDriftChi2:
+    def test_planted_drift(self, ray_session, tmp_path):
+        US = 1_000_000
+        # 'stable' is uniform across halves; 'drifted' appears only late
+        rows = []
+        eid = 0
+        for i in range(40):
+            rows.append((eid, 0, i * 100 * US, "stable"))
+            eid += 1
+        for i in range(30):
+            rows.append((eid, 0, (40 * 100 + i) * US + 3000 * US, "drifted"))
+            eid += 1
+        e, u, ts, et = zip(*rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(e), type=pa.int64()),
+                "ts": pa.array(
+                    np.array(list(ts), dtype=np.int64).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(list(u), type=pa.int64()),
+                "event_type": pa.array(list(et), type=pa.string()),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        d = tmp_path / "drift"
+        d.mkdir()
+        _write(d, "events", tbl)
+        out = QUERIES["drift_chi2"](str(d)).to_pandas().set_index("event_type")
+        assert out.loc["drifted", "n_early"] == 0
+        assert out.loc["drifted", "n_late"] == 30
+        # both rows of a 2-type table carry the same chi2; counts differ
+        assert out.loc["drifted", "chi2"] == out.loc["stable", "chi2"]
+        assert out.loc["drifted", "chi2"] > 10  # strongly significant
