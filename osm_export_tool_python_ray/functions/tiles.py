@@ -7,16 +7,26 @@ drive the raster↔vector assignment join (SURVEY.md J5)."""
 
 import numpy as np
 
+from osm_export_tool_python_ray.functions.quantize import qfloor
+
 
 def lonlat_to_tile(lon, lat, z):
-    """Vectorized lon/lat → (x, y) tile indices at zoom z (WebMercator)."""
+    """Vectorized lon/lat → (x, y) tile indices at zoom z (WebMercator).
+
+    The y row uses arcsinh(tan(lat)) while the DuckDB oracle twin uses
+    the ln(tan+sec) identity — DIFFERENT libm chains, so the bin floor
+    goes through the boundary-safe qfloor (functions/quantize.py): a
+    point within 1e-9 of a tile edge lands in the upper tile on both
+    sides instead of flipping with the libm version. x is rational
+    arithmetic (correctly-rounded IEEE on both sides, bit-identical) and
+    keeps the plain floor."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)
     n = float(1 << z)
     x = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, (1 << z) - 1)
     lat_r = np.radians(lat)
     y = np.clip(
-        ((1.0 - np.arcsinh(np.tan(lat_r)) / np.pi) / 2.0 * n).astype(np.int64),
+        qfloor((1.0 - np.arcsinh(np.tan(lat_r)) / np.pi) / 2.0 * n, "tile_y"),
         0,
         (1 << z) - 1,
     )

@@ -32,6 +32,7 @@ import numpy as np
 
 from osm_export_tool_python_ray.functions.cells import DEFAULT_RES, cover_polygon
 from osm_export_tool_python_ray.functions.kernels import PreparedPolygon
+from osm_export_tool_python_ray.functions.quantize import sql_qfloor
 from osm_export_tool_python_ray.stages.matcher_eval import (
     CLOSED_WAY_KEYS,
     CLOSED_WAY_KEYVALS,
@@ -330,7 +331,10 @@ def sql_tile_assignment(corpus_path, mapping, zoom=12):
     n = 1 << zoom
     tile_math = (
         "CAST(floor((%(lon)s + 180.0) / 360.0 * {n}) AS BIGINT)",
-        "CAST(floor((1.0 - ln(tan(radians(%(lat)s)) + 1.0 / cos(radians(%(lat)s))) / pi()) / 2.0 * {n}) AS BIGINT)",
+        sql_qfloor(
+            "(1.0 - ln(tan(radians(%(lat)s)) + 1.0"
+            " / cos(radians(%(lat)s))) / pi()) / 2.0 * {n}"
+        ),
     )
     tx = tile_math[0].format(n=n)
     ty = tile_math[1].format(n=n)
@@ -372,8 +376,9 @@ def sql_tile_theme_counts(corpus_path, mapping, zoom=12):
     stages/tiling.py tile_theme_counts inner semantics)."""
     n = 1 << zoom
     tx = "CAST(floor((%(lon)s + 180.0) / 360.0 * {n}) AS BIGINT)".format(n=n)
-    ty = (
-        "CAST(floor((1.0 - ln(tan(radians(%(lat)s)) + 1.0 / cos(radians(%(lat)s))) / pi()) / 2.0 * {n}) AS BIGINT)"
+    ty = sql_qfloor(
+        "(1.0 - ln(tan(radians(%(lat)s)) + 1.0"
+        " / cos(radians(%(lat)s))) / pi()) / 2.0 * {n}"
     ).format(n=n)
     return (
         "WITH %s,\n%s,\n"

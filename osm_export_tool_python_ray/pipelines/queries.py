@@ -26,6 +26,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from osm_export_tool_python_ray.functions.cells import cell_of
+from osm_export_tool_python_ray.functions.quantize import (
+    qround,
+    qround6,
+    sql_qfloor,
+    sql_qround,
+    sql_qround6,
+)
 from osm_export_tool_python_ray.functions.tiles import lonlat_to_tile
 
 _CORPUS_CACHE = "/tmp/graft_corpus"
@@ -281,9 +288,11 @@ def q_vocab_topk(sf_dir):
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.column("sum(df)")
-        idf = pc.round(
-            pa.array(np.log((n_docs + 1) / (np.asarray(df).astype(np.float64) + 1.0))),
-            6,
+        idf = pa.array(
+            qround6(
+                np.log((n_docs + 1) / (np.asarray(df).astype(np.float64) + 1.0)),
+                "vocab_idf",
+            )
         )
         return pa.table(
             {
@@ -312,9 +321,13 @@ WITH toks AS (
 w AS (SELECT doc_id, unnest(t) AS term FROM toks),
 agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf FROM w GROUP BY term)
 SELECT term, df, tf,
-       round(ln(((SELECT count(*) FROM documents) + 1) / (df + 1.0)), 6) AS idf
+       {QR_IDF} AS idf
 FROM agg ORDER BY df DESC, term LIMIT 100
-"""
+""".format(
+    QR_IDF=sql_qround6(
+        "ln(((SELECT count(*) FROM documents) + 1) / (df + 1.0))"
+    )
+)
 
 
 def q_postings(sf_dir):
@@ -406,7 +419,7 @@ def q_unigram_logprob(sf_dir):
             # independent — a float mean here is a latent flake, because
             # DuckDB's parallel avg() sums in nondeterministic order and
             # can flip the 6th decimal at a rounding boundary between runs
-            q = np.round(np.log(cnt / tot) * 1e6).astype(np.int64)
+            q = qround(np.log(cnt / tot) * 1e6, "unigram_lp")
             starts = np.concatenate(([0], np.cumsum(ntoks)[:-1]))
             # reduceat over NON-EMPTY segment starts only. Never "clip"
             # out-of-range starts of trailing empty docs to len(q)-1: that
@@ -444,8 +457,7 @@ scored AS (
   -- per-token micro-nat quantization BEFORE the sum: integer-exact and
   -- summation-order independent (parallel float avg() is not)
   SELECT w.doc_id,
-         CAST(round(ln(coalesce(CAST(topv.tf AS DOUBLE), 0.5)
-                       / (SELECT total FROM tot)) * 1e6) AS BIGINT) AS q
+         {QR_LP} AS q
   FROM w LEFT JOIN topv USING (term)
 ),
 al AS (
@@ -463,7 +475,12 @@ SELECT d.doc_id,
        coalesce(al.n, 0) AS n_alnum_tokens,
        coalesce(al.m, 0) AS lp_micro
 FROM documents d LEFT JOIN al USING (doc_id)
-"""
+""".format(
+    QR_LP=sql_qround(
+        "ln(coalesce(CAST(topv.tf AS DOUBLE), 0.5)"
+        " / (SELECT total FROM tot)) * 1e6"
+    )
+)
 
 
 def q_decontaminate(sf_dir):
@@ -888,10 +905,14 @@ def q_naive_bayes_lang(sf_dir):
     tot = np.array([lang_tok.get(l, 0) for l in langs_arr], dtype=np.float64)
     # each (term, lang) cell quantized ONCE to int64 micro-nats; per-doc
     # sums are then integer-exact and summation-order independent
-    lp = np.round(np.log((cntm + 1.0) / (tot + v_eff)) * 1e6).astype(np.int64)
-    pri = np.round(
-        np.log(np.array([nd[l] for l in langs_arr], dtype=np.float64) / nd_total) * 1e6
-    ).astype(np.int64)
+    lp = qround(
+        np.log((cntm + 1.0) / (tot + v_eff)) * 1e6, "nb_lp"
+    ).reshape(cntm.shape)
+    pri = qround(
+        np.log(np.array([nd[l] for l in langs_arr], dtype=np.float64) / nd_total)
+        * 1e6,
+        "nb_prior",
+    )
     model_ref = ray.put((vterms, lp, pri, langs_arr))
 
     SCORE_OUT = pa.schema(
@@ -957,8 +978,7 @@ doc_n AS (SELECT lang, count(*) AS ndocs FROM train GROUP BY lang),
 lang_tot AS (SELECT lang, sum(tf) AS tot FROM counts GROUP BY lang),
 priors AS (
   SELECT lang,
-         CAST(round(ln(CAST(ndocs AS DOUBLE)
-                       / (SELECT sum(ndocs) FROM doc_n)) * 1e6) AS BIGINT) AS p
+         {QR_PRIOR} AS p
   FROM doc_n
 ),
 -- one quantization per (term, lang) cell, BEFORE any per-doc sum (the
@@ -966,9 +986,7 @@ priors AS (
 -- independent, parallel float sums are not)
 lp AS (
   SELECT d.lang, v.term,
-         CAST(round(ln((coalesce(c.tf, 0) + 1.0)
-                       / (coalesce(t.tot, 0) + (SELECT v FROM veff))) * 1e6)
-              AS BIGINT) AS lp
+         {QR_LP} AS lp
   FROM doc_n d
   CROSS JOIN vocab v
   LEFT JOIN lang_tot t ON t.lang = d.lang
@@ -998,7 +1016,15 @@ best AS (
 )
 SELECT t.doc_id, t.lang, b.lang_pred, CAST(b.score AS BIGINT) AS score_micro
 FROM test t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
-"""
+""".format(
+    QR_PRIOR=sql_qround(
+        "ln(CAST(ndocs AS DOUBLE) / (SELECT sum(ndocs) FROM doc_n)) * 1e6"
+    ),
+    QR_LP=sql_qround(
+        "ln((coalesce(c.tf, 0) + 1.0)"
+        " / (coalesce(t.tot, 0) + (SELECT v FROM veff))) * 1e6"
+    ),
+)
 
 
 def q_minhash_pairs(sf_dir):
@@ -2000,7 +2026,7 @@ def q_weighted_sample(sf_dir):
             count=len(ids),
         )
         u = ((h % M).astype(np.float64) + 1.0) / float(M + 1)
-        lnq = np.round(np.log(u) * 1e6).astype(np.int64)
+        lnq = qround(np.log(u) * 1e6, "wsample_lnq")
         w = np.maximum(
             t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
         )
@@ -2028,8 +2054,7 @@ def q_weighted_sample(sf_dir):
 SQL_WEIGHTED_SAMPLE = """
 WITH k AS (
   SELECT doc_id, lang, greatest(n_chars, 1) AS w,
-         CAST(round(ln((({le}) % 2147483648 + 1) / 2147483649.0) * 1e6)
-              AS BIGINT) AS lnq
+         {QR_LNQ} AS lnq
   FROM documents
 ), r AS (
   SELECT doc_id, lang,
@@ -2041,7 +2066,13 @@ WITH k AS (
 SELECT doc_id, lang, akey,
        row_number() OVER (ORDER BY akey DESC, doc_id ASC) AS rank
 FROM r QUALIFY rank <= 100
-""".format(le=_le64_expr("md5(CAST(doc_id AS VARCHAR))"))
+""".format(
+    QR_LNQ=sql_qround(
+        "ln((("
+        + _le64_expr("md5(CAST(doc_id AS VARCHAR))")
+        + ") % 2147483648 + 1) / 2147483649.0) * 1e6"
+    )
+)
 
 
 # full SimHash re-derivation in SQL (oracle for q_simhash_pairs): per-doc
@@ -2840,12 +2871,13 @@ sc AS (
   WHERE {anyhit}
 )
 SELECT doc_id,
-       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro,
+       {qr} AS score_micro,
        row_number() OVER (
-         ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC, doc_id
+         ORDER BY {qr} DESC, doc_id
        ) AS rank
 FROM sc QUALIFY rank <= 10
-""".format(tf_cols=tf_cols, dfs=dfs, score=score, anyhit=anyhit)
+""".format(tf_cols=tf_cols, dfs=dfs, score=score, anyhit=anyhit,
+           qr=sql_qround("score * 1000000"))
 
 
 DP_TOL2 = 9  # Douglas–Peucker tolerance² in grid units (tol = 3)
@@ -2983,14 +3015,17 @@ tot AS (
   FROM tk
 )
 SELECT topb.bigram, topb.n,
-       CAST(floor(ln((CAST(topb.n AS DOUBLE) * t_tot * t_tot)
-                     / (CAST(b_tot AS DOUBLE) * c1.c * c2.c))
-                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+       {QR_PMI} AS pmi_micro
 FROM topb, tot
 JOIN uni c1 ON c1.w = split_part(topb.bigram, ' ', 1)
 JOIN uni c2 ON c2.w = split_part(topb.bigram, ' ', 2)
 ORDER BY topb.n DESC, topb.bigram ASC
-"""
+""".format(
+    QR_PMI=sql_qround(
+        "ln((CAST(topb.n AS DOUBLE) * t_tot * t_tot)"
+        " / (CAST(b_tot AS DOUBLE) * c1.c * c2.c)) * 1000000.0"
+    )
+)
 
 
 # ------------------------------------------------------------ user journeys
@@ -5100,7 +5135,7 @@ def q_type_entropy(sf_dir):
 
     def terms(t: pa.Table) -> pa.Table:
         c = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
-        q = np.round(np.log(c.astype(np.float64)) * 1e6).astype(np.int64)
+        q = qround(np.log(c.astype(np.float64)) * 1e6, "entropy_lnc")
         return pa.table(
             {
                 "user_id": t.column("user_id"),
@@ -5118,7 +5153,7 @@ def q_type_entropy(sf_dir):
     def finish(t: pa.Table) -> pa.Table:
         s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.round(np.log(n.astype(np.float64)) * 1e6).astype(np.int64) - s // n
+        h = qround(np.log(n.astype(np.float64)) * 1e6, "entropy_lnn") - s // n
         return pa.table(
             {
                 "user_id": t.column("user_id"),
@@ -5137,16 +5172,15 @@ WITH c AS (
 ),
 s AS (
   SELECT user_id,
-         CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
-              AS BIGINT) AS s,
+         CAST(sum(n * {QR_LN}) AS BIGINT) AS s,
          CAST(sum(n) AS BIGINT) AS n
   FROM c GROUP BY user_id
 )
 SELECT user_id,
-       CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s // n AS h_micro,
+       {QR_LN} - s // n AS h_micro,
        n AS n_events
 FROM s
-"""
+""".format(QR_LN=sql_qround("ln(CAST(n AS DOUBLE)) * 1e6"))
 
 
 def q_user_paths(sf_dir):
@@ -6733,11 +6767,16 @@ WITH pts AS (
   FROM customer
 ), tiles AS (
   SELECT CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
-         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS tile_y
+         {QF_Y} AS tile_y
   FROM pts
 )
 SELECT tile_x, tile_y, count(*) AS n FROM tiles GROUP BY tile_x, tile_y
-"""
+""".format(
+    QF_Y=sql_qfloor(
+        "(1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())"
+        " / 2.0 * 4096"
+    )
+)
 
 
 def q_knn(sf_dir):
@@ -8475,37 +8514,42 @@ def q_drift_chi2(sf_dir):
     from ray.data.aggregate import Max, Min
 
     ds = _read(sf_dir, "events", ["ts", "event_type"])
-    mm = ds.map_batches(
-        lambda t: pa.table(
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        # empty-batch guard: .min()/.max() on a zero-length array raises
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], type=pa.int64()),
+                    "hi": pa.array([], type=pa.int64()),
+                }
+            )
+        us = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
             {
-                "lo": pa.array(
-                    [
-                        int(
-                            t.column("ts")
-                            .to_numpy(zero_copy_only=False)
-                            .astype("datetime64[us]")
-                            .astype(np.int64)
-                            .min()
-                        )
-                    ],
-                    type=pa.int64(),
-                ),
-                "hi": pa.array(
-                    [
-                        int(
-                            t.column("ts")
-                            .to_numpy(zero_copy_only=False)
-                            .astype("datetime64[us]")
-                            .astype(np.int64)
-                            .max()
-                        )
-                    ],
-                    type=pa.int64(),
-                ),
+                "lo": pa.array([int(us.min())], type=pa.int64()),
+                "hi": pa.array([int(us.max())], type=pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).aggregate(Min("lo"), Max("hi"))
+        )
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").aggregate(
+        Min("lo"), Max("hi")
+    )
+    if mm is None or mm.get("min(lo)") is None:
+        # zero-row events table: empty result with the stable schema
+        return pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "n_early": pa.array([], type=pa.int64()),
+                "n_late": pa.array([], type=pa.int64()),
+                "chi2": pa.array([], type=pa.float64()),
+            }
+        )
     lo, hi = int(mm["min(lo)"]), int(mm["max(hi)"])
     mid = (lo + hi) // 2
 
@@ -8555,7 +8599,11 @@ def q_drift_chi2(sf_dir):
             "event_type": pa.array([types[i] for i in order], type=pa.string()),
             "n_early": pa.array([int(a[i]) for i in order], type=pa.int64()),
             "n_late": pa.array([int(b[i]) for i in order], type=pa.int64()),
-            "chi2": pa.array([round(float(chi[i]), 6) for i in order]),
+            "chi2": pa.array(
+                qround6(chi, "drift_chi2")[order]
+                if len(order)
+                else np.array([], dtype=np.float64)
+            ),
         }
     )
 
@@ -8582,9 +8630,9 @@ sc AS (
             * (CAST(te AS DOUBLE) * CAST(tl AS DOUBLE))) AS chi2_raw
   FROM g, tot
 )
-SELECT event_type, a AS n_early, b AS n_late, round(chi2_raw, 6) AS chi2
+SELECT event_type, a AS n_early, b AS n_late, {QR} AS chi2
 FROM sc ORDER BY chi2_raw DESC, event_type
-"""
+""".format(QR=sql_qround6("chi2_raw"))
 
 
 def sql_theme_polygon_area_branches(mapping):
@@ -9248,10 +9296,10 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS nd FROM documents),
 w AS (
+  -- idf milli-units via the boundary-safe quantizer (mirrors
+  -- functions/quantize.py qround — the round-4 hash divergence fix)
   SELECT t.doc_id, t.term,
-         t.tf * CAST(floor(ln((CAST(nd AS DOUBLE) + 1.0)
-                              / (CAST(df AS DOUBLE) + 1.0)) * 1000.0 + 0.5)
-                     AS BIGINT) AS w
+         t.tf * {QR_IDF} AS w
   FROM tf t JOIN df USING (term), n
 ),
 ssq0 AS (SELECT doc_id, sum(w * w) AS s0 FROM w GROUP BY 1),
@@ -9277,7 +9325,11 @@ JOIN s2 sa ON sa.doc_id = doc_a
 JOIN s2 sb ON sb.doc_id = doc_b
 WHERE 25 * dot * dot >= 16 * sa.ssq * sb.ssq
 ORDER BY doc_a, doc_b
-"""
+""".format(
+    QR_IDF=sql_qround(
+        "ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1000.0"
+    )
+)
 
 
 def q_kcore(sf_dir):
@@ -9933,7 +9985,11 @@ def q_chi2_terms(sf_dir):
             "df_pos": pa.array([r["df_pos"] for r in top], type=pa.int64()),
             "df_neg": pa.array([r["df_neg"] for r in top], type=pa.int64()),
             "chi2": pa.array(
-                [round(r["chi2_raw"], 6) for r in top], type=pa.float64()
+                qround6(
+                    np.array([r["chi2_raw"] for r in top], dtype=np.float64),
+                    "chi2_terms",
+                ),
+                type=pa.float64(),
             ),
         }
     )
@@ -9970,9 +10026,9 @@ sc AS (
   FROM agg, tot
   WHERE df_pos + df_neg < n
 )
-SELECT term, df_pos, df_neg, round(chi2_raw, 6) AS chi2
+SELECT term, df_pos, df_neg, {QR} AS chi2
 FROM sc ORDER BY chi2_raw DESC, term LIMIT 50
-"""
+""".format(QR=sql_qround6("chi2_raw"))
 
 
 def q_decision_stump(sf_dir):

@@ -27,6 +27,8 @@ No reference analog — engine mandate (text-analysis family).
 """
 
 import numpy as np
+
+from osm_export_tool_python_ray.functions.quantize import qround
 import pyarrow as pa
 
 from osm_export_tool_python_ray.functions.text import _TOKEN_RE
@@ -218,7 +220,7 @@ def pmi_top(docs_ds, k=20, num_buckets=64, num_partitions=8):
         # expression shape mirrored by SQL_PMI_TOP: left-assoc products,
         # one ln, floor-micro quantization
         x = (float(n_big[bg]) * T * T) / (B * uni[a] * uni[b])
-        pmis.append(int(np.floor(np.log(x) * 1e6 + 0.5)))
+        pmis.append(int(qround(np.log(x) * 1e6, "pmi")))
     return pa.table(
         {
             "bigram": pa.array(bigrams, type=pa.string()),

@@ -28,6 +28,8 @@ No reference analog — engine mandate (retrieval family next to ANN).
 """
 
 import numpy as np
+
+from osm_export_tool_python_ray.functions.quantize import qround
 import pyarrow as pa
 
 from osm_export_tool_python_ray.functions.text import _TOKEN_RE
@@ -87,7 +89,7 @@ def bm25_topk(docs_ds, terms, k=10):
         hit = np.zeros(len(dl), dtype=bool)
         for j in range(nt):
             hit |= tfs[j] > 0
-        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        micro = qround(s * 1e6, "bm25_score")
         out = pa.table(
             {
                 "doc_id": t.column("doc_id").filter(pa.array(hit)),

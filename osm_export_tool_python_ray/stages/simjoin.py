@@ -14,7 +14,10 @@ filter lossless — the output equals the brute-force answer below the
 group cap.
 
 Everything the threshold decision touches is INTEGER: tf and df are
-counts, idf is milli-quantized (floor(ln((N+1)/(df+1))*1000 + 0.5)),
+counts, idf is milli-quantized through the boundary-safe quantizer
+(functions/quantize.py qround of ln((N+1)/(df+1))*1000 — the mirrored
+nudge makes the one transcendental libm-independent; the round-4
+driver observed a raw-floor ULP flip here),
 weights are L2-normalized into milli-units via the one documented
 deterministic float chain (w*1000.0/sqrt(ssq) + 0.5, identical
 operation order in numpy and DuckDB), and the threshold t = tnum/tden
@@ -47,6 +50,7 @@ family — this one is threshold-exact rather than probabilistic.
 import numpy as np
 import pyarrow as pa
 
+from osm_export_tool_python_ray.functions.quantize import qround
 from osm_export_tool_python_ray.functions.text import alnum_tokens_batch
 from osm_export_tool_python_ray.stages.exchange import grouped_map, hash_bucket
 from osm_export_tool_python_ray.state.metrics import report_cap
@@ -140,9 +144,11 @@ def tfidf_cosine_pairs(
         # consistent order the prefix-filter guarantee requires
         order = np.lexsort((terms, df, d))
         d, terms, tf, df = d[order], terms[order], tf[order], df[order]
-        # milli-quantized idf; the ONE float op shared verbatim with SQL
-        idf = np.floor(np.log(nf / (df.astype(np.float64) + 1.0)) * 1000.0 + 0.5).astype(
-            np.int64
+        # milli-quantized idf: the ONE transcendental in the pipeline —
+        # boundary-safe (mirrored nudge, functions/quantize.py) so a
+        # numpy-vs-DuckDB libm ULP difference can never flip a unit
+        idf = qround(
+            np.log(nf / (df.astype(np.float64) + 1.0)) * 1000.0, "tfidf_idf"
         )
         w = tf.astype(np.int64) * idf
         starts = np.nonzero(
