@@ -45,9 +45,28 @@ def _esc(s):
     return str(s).replace("'", "''")
 
 
+def _safe_key(k):
+    """Reject tag keys the DuckDB JSON path cannot address.
+
+    A key rides into BOTH a SQL string literal (escapable) and a
+    ``$.tags."<key>"`` JSON path (a double quote, or a single quote
+    escaped for the literal but not the path, silently redirects the
+    extraction) — and the divergence would be oracle-vs-engine, not
+    shared, so the oracle would undercount while the engine's
+    extract_tag_columns handles the key fine (ADVICE r4). OSM keys never
+    legitimately contain quotes; fail loudly at SQL-build time."""
+    k = str(k)
+    if "'" in k or '"' in k:
+        raise ValueError(
+            "mapping tag key %r contains a quote character; the DuckDB "
+            "oracle cannot address it in a JSON path — rename the key" % k
+        )
+    return k
+
+
 def _tag(k):
     # JSON path with a quoted key survives ':' in OSM keys
-    return "json_extract_string(txt, '$.tags.\"%s\"')" % k
+    return "json_extract_string(txt, '$.tags.\"%s\"')" % _safe_key(k)
 
 
 def matcher_sql(expr):
@@ -271,7 +290,7 @@ def sql_layer_fill_rates(corpus_path, mapping):
     cols = []
     for t in mapping.themes:
         for k in sorted(t.keys):
-            cols.append("('%s', '%s')" % (_esc(t.name), _esc(k)))
+            cols.append("('%s', '%s')" % (_esc(t.name), _esc(_safe_key(k))))
     return (
         "WITH %s,\n%s,\n"
         "cols(theme, col) AS (VALUES %s),\n"

@@ -7153,7 +7153,14 @@ def q_ann_recall_eval(sf_dir):
     |queries|×k rows. Oracle: re-derives BOTH retrievals in SQL (the
     ann_topk / ivf_topk derivations inlined as subqueries) and the same
     integer metrics — so this row certifies the evaluator AND re-certifies
-    both retrieval paths in one check."""
+    both retrieval paths in one check.
+
+    Determinism assumption (audited, not lucky): top-k SET membership
+    feeds integer metrics, so a numpy-vs-DuckDB summation-order near-tie
+    at the rank-4/5 boundary could flip a member. The deterministic
+    corpus carries a >=1e-3 cosine gap at that boundary at both oracle
+    scales — eleven orders above summation noise — proven by
+    tests/test_quantize.py::test_ann_topk_boundary_margin."""
     from osm_export_tool_python_ray.stages.ann import ann_topk, ivf_topk
 
     K = 5

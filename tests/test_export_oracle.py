@@ -191,3 +191,33 @@ class TestMatcherSqlHypothesis:
             assert got == m.matches(tags), (sql, tags)
 
         check()
+
+
+class TestSafeKeyGuard:
+    """Tag keys with quote characters cannot be addressed by the DuckDB
+    JSON path — the oracle must REFUSE to build rather than silently
+    undercount while the engine handles the key fine (ADVICE r4)."""
+
+    def test_tag_rejects_quote_keys(self):
+        from osm_export_tool_python_ray.pipelines.export_oracle import _tag
+
+        assert "addr:housenumber" in _tag("addr:housenumber")
+        for bad in ('he said "hi"', "it's", 'mix"\'ed'):
+            with pytest.raises(ValueError, match="quote character"):
+                _tag(bad)
+
+    def test_layer_fill_rates_rejects_quote_select_key(self):
+        from osm_export_tool_python_ray.mapping import Mapping
+        from osm_export_tool_python_ray.pipelines.export_oracle import (
+            sql_layer_fill_rates,
+        )
+
+        y = (
+            "buildings:\n"
+            "  types:\n    - polygons\n"
+            "  select:\n    - building\n    - \"odd'key\"\n"
+            "  where: building IS NOT NULL\n"
+        )
+        m = Mapping(y)
+        with pytest.raises(ValueError, match="quote character"):
+            sql_layer_fill_rates("/tmp/nonexistent.parquet", m)

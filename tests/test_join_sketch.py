@@ -573,8 +573,16 @@ class TestEmptyInputs:
                 }
             ),
         )
-        for name in ("ewma_users", "assoc_rules"):
-            out = QUERIES[name](str(d)).to_pandas()
+        for name in (
+            "ewma_users",
+            "assoc_rules",
+            "drift_chi2",
+            "trending",
+            "conversion_latency",
+            "bounce_rate",
+        ):
+            res = QUERIES[name](str(d))
+            out = res.to_pandas() if hasattr(res, "to_pandas") else res
             assert len(out) == 0, name
 
 

@@ -201,3 +201,27 @@ def test_no_ambiguous_boundaries_on_test_data(ray_session):
     caps = snapshot_caps(reset=True)
     amb = {k: v for k, v in caps.items() if k.startswith("quant_ambiguous_")}
     assert amb == {}, "values inside the quantization guard annulus: %r" % amb
+
+
+def test_ann_topk_boundary_margin():
+    """ADVICE r4: ann_recall_eval's integer metrics depend on exact top-k
+    SET membership, which numpy-vs-DuckDB summation order could flip only
+    at a near-tie on the rank-(k-1)/k boundary. Prove the deterministic
+    corpus carries a macroscopic margin there (>=1e-6 cosine, eleven
+    orders above summation noise ~1e-14) for both k=5 (recall eval) and
+    k=10 (ann_topk) at both oracle scales."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq_.read_table(os.path.join("/root/testdata", sf, "embeddings.parquet"))
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        q = m[:4]
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (q @ m.T) / np.maximum(qn * mn.T, 1e-300)
+        srt = -np.sort(-sims, axis=1)
+        for k in (5, 10):
+            gap = srt[:, k - 1] - srt[:, k]
+            assert gap.min() > 1e-6, (sf, k, gap.min())
