@@ -4,7 +4,9 @@
         [-m MAPPING.yml] [-f gpkg shp kml geojsonl mgpkg] [--clip AOI] [-v] \
         [--omit-osm-ids] [--centroid] [--workdir DIR] [--num-cpus N]
 
-CORPUS is a parquet file/dir of interleaved documents (input_hint shape).
+CORPUS is a parquet file/dir of interleaved documents (input_hint
+shape), or a native ``.osm.pbf`` file (sources/pbf.py pure-numpy decode —
+the reference's only input format, cmd.py:58).
 This module owns a Ray session (scripts do; library code does not).
 """
 
@@ -16,7 +18,9 @@ import time
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Ray-Data OSM export engine")
-    parser.add_argument("corpus", help="interleaved-document parquet path")
+    parser.add_argument(
+        "corpus", help="interleaved-document parquet path or .osm.pbf file"
+    )
     parser.add_argument("output_name", help="output path base name")
     parser.add_argument("-m", "--mapping", help="YAML mapping file")
     parser.add_argument(
@@ -131,10 +135,18 @@ def main(argv=None):
             files.extend(sink.write_from(themed))
             sink.finalize()
     else:
-        docs = ray.data.read_parquet(args.corpus)
+        if args.corpus.endswith(".pbf"):
+            # native OSM input (reference cmd.py:58): pure-numpy PBF
+            # decode fans out per blob; same dedup + pipeline after
+            from osm_export_tool_python_ray.sources.pbf import read_osm_pbf
+
+            docs, elements_ds = None, read_osm_pbf(args.corpus)
+        else:
+            docs, elements_ds = ray.data.read_parquet(args.corpus), None
         run_export(
             docs,
             mapping,
+            elements_ds=elements_ds,
             aoi_polygons=aoi,
             polygon_centroid=args.centroid,
             workdir=workdir,

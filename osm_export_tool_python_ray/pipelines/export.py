@@ -109,6 +109,7 @@ def run_export(
     include_tiles=False,
     return_parts=False,
     broadcast_limit_bytes=0,
+    elements_ds=None,
 ):
     """→ themed feature Dataset (FEATURE_SCHEMA + theme column), checkpointed
     at ``workdir/features`` when a workdir is given.
@@ -119,12 +120,26 @@ def run_export(
     concurrency=N)``) are reserved for stages with genuinely heavy state:
     with four light pools plus two hash-join aggregator groups the pools'
     CPU reservations can deadlock a small cluster, and rebuilding this
-    state costs ~ms per task anyway."""
-    elements = materialize_or_checkpoint(
-        parse_elements(docs_ds, num_buckets=num_buckets, include_tiles=include_tiles),
-        workdir,
-        "elements",
-    )
+    state costs ~ms per task anyway.
+
+    ``elements_ds``: pre-exploded element Dataset (ELEMENT_SCHEMA + ekey,
+    e.g. from sources/pbf.py read_osm_pbf) — replaces the corpus
+    explode; the same D4 exact dedup still runs (a .pbf extract can
+    carry an element once per overlapping bbox)."""
+    if elements_ds is not None:
+        from osm_export_tool_python_ray.stages.explode import dedup_elements
+
+        elements = materialize_or_checkpoint(
+            dedup_elements(elements_ds, num_buckets=num_buckets),
+            workdir,
+            "elements",
+        )
+    else:
+        elements = materialize_or_checkpoint(
+            parse_elements(docs_ds, num_buckets=num_buckets, include_tiles=include_tiles),
+            workdir,
+            "elements",
+        )
 
     nodes_loc = elements.map_batches(
         _kind_filter("node", ["element_id", "lon", "lat"]), batch_format="pyarrow"

@@ -1,0 +1,297 @@
+"""Pure-numpy .osm.pbf source: codec round-trips + export equivalence.
+
+The reference tool's only input format (reference sources.py:24-32,
+cmd.py:58). Coverage:
+
+* varint / zigzag primitives on adversarial values (0, 1, boundaries,
+  int64 extremes, random);
+* write→read golden round-trip of every element kind, tags, roles,
+  multi-blob chunking, uncompressed blobs, non-default granularity /
+  offsets (hand-built block — the writer always emits the default);
+* bit-exact coordinate round-trip on the 1e-7 grid (OSM native
+  precision);
+* malformed inputs raise, never silently truncate;
+* THE capstone: a full export over the pbf encoding of the synthetic
+  corpus's elements equals the export over the parquet corpus,
+  feature-for-feature (wkb bytes, bboxes, tags) — proving a user can
+  point the CLI at a .pbf and get the identical product.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_export_tool_python_ray.sources.pbf import (
+    _blob_payload,
+    _enc_bytes,
+    _enc_packed,
+    _enc_varint,
+    _enc_vint_field,
+    _wrap_blob,
+    _zigzag,
+    decode_file,
+    decode_primitive_block,
+    decode_varints,
+    iter_fields,
+    scan_blob_ranges,
+    unzigzag,
+    write_osm_pbf,
+)
+
+
+class TestVarints:
+    def test_roundtrip_adversarial(self):
+        vals = [0, 1, 127, 128, 129, 16383, 16384, 2**32 - 1, 2**63 - 1, 2**64 - 1]
+        buf = b"".join(_enc_varint(v) for v in vals)
+        got = decode_varints(buf)
+        assert [int(v) for v in got] == vals
+
+    def test_roundtrip_random(self):
+        rng = np.random.default_rng(3)
+        vals = [int(v) for v in rng.integers(0, 2**62, 5000)]
+        buf = b"".join(_enc_varint(v) for v in vals)
+        assert [int(v) for v in decode_varints(buf)] == vals
+
+    def test_zigzag_extremes(self):
+        vals = [0, -1, 1, -2, 2, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+        enc = np.array([_zigzag(v) for v in vals], dtype=np.uint64)
+        assert [int(v) for v in unzigzag(enc)] == vals
+
+    def test_truncated_varint_raises(self):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_varints(b"\xff\xff")  # continuation bits never end
+
+    def test_empty(self):
+        assert len(decode_varints(b"")) == 0
+
+
+def _els():
+    return [
+        {"type": "node", "id": 1, "lon": 0.01, "lat": 0.02,
+         "tags": {"amenity": "bank", "name": "First Bank"}},
+        {"type": "node", "id": 2, "lon": 0.0123456, "lat": -0.54321, "tags": {}},
+        {"type": "node", "id": 7, "lon": 179.9999999, "lat": -85.0511287,
+         "tags": {"addr:housenumber": "12"}},
+        {"type": "node", "id": 5, "lon": -179.9999999, "lat": 85.0511287,
+         "tags": {}},  # descending id after 7 → negative delta
+        {"type": "way", "id": 10, "refs": [1, 2, 7, 5, 1],
+         "tags": {"highway": "primary", "name": "Rd"}},
+        {"type": "way", "id": 11, "refs": [7, 2], "tags": {}},
+        {"type": "relation", "id": 20,
+         "tags": {"type": "multipolygon", "landuse": "forest"},
+         "members": [{"type": "way", "ref": 10, "role": "outer"},
+                     {"type": "way", "ref": 11, "role": "inner"},
+                     {"type": "node", "ref": 1, "role": ""}]},
+    ]
+
+
+class TestRoundTrip:
+    def _check(self, t):
+        els = _els()
+        assert t.num_rows == len(els)
+        assert t.column("element_id").to_pylist() == [e["id"] for e in els]
+        assert t.column("kind").to_pylist() == [e["type"] for e in els]
+        got_tags = [dict(x) for x in t.column("tags").to_pylist()]
+        assert got_tags == [dict(e.get("tags") or {}) for e in els]
+        # bit-exact coordinates (inputs on the 1e-7 grid)
+        for i, e in enumerate(els):
+            if e["type"] == "node":
+                assert t.column("lon").to_pylist()[i] == e["lon"]
+                assert t.column("lat").to_pylist()[i] == e["lat"]
+        assert t.column("refs").to_pylist()[4] == [1, 2, 7, 5, 1]
+        assert t.column("members").to_pylist()[6] == _els()[6]["members"]
+        # explode-parity conventions
+        assert t.column("refs").to_pylist()[0] is None
+        assert np.isnan(t.column("lon").to_pylist()[4])
+        assert t.column("offset").to_pylist() == list(range(len(els)))
+        assert "ekey" in t.column_names
+
+    def test_compressed(self, tmp_path):
+        p = str(tmp_path / "a.pbf")
+        write_osm_pbf(p, _els())
+        self._check(decode_file(p))
+
+    def test_uncompressed_raw_blob(self, tmp_path):
+        p = str(tmp_path / "b.pbf")
+        write_osm_pbf(p, _els(), compress=False)
+        self._check(decode_file(p))
+
+    def test_multi_blob_chunking(self, tmp_path):
+        p = str(tmp_path / "c.pbf")
+        write_osm_pbf(p, _els(), max_group=2)  # forces 4 OSMData blobs
+        kinds = [b[0] for b in scan_blob_ranges(p)]
+        assert kinds[0] == "OSMHeader" and kinds.count("OSMData") == 4
+        t = decode_file(p)
+        assert t.column("element_id").to_pylist() == [e["id"] for e in _els()]
+        # doc_id tracks the source blob; offset restarts per blob
+        assert len(set(t.column("doc_id").to_pylist())) == 4
+        assert t.column("offset").to_pylist() == [0, 1, 0, 1, 0, 1, 0]
+
+    def test_table_input(self, tmp_path):
+        p1 = str(tmp_path / "d1.pbf")
+        p2 = str(tmp_path / "d2.pbf")
+        write_osm_pbf(p1, _els())
+        write_osm_pbf(p2, decode_file(p1))  # table → identical bytes
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_many_nodes_bitexact_grid(self, tmp_path):
+        rng = np.random.default_rng(9)
+        k = rng.integers(-1_800_000_000, 1_800_000_000, 20000)
+        lon = k / 1e7  # nearest-double of the 1e-7 grid
+        lat = rng.integers(-850_000_000, 850_000_000, 20000) / 1e7
+        els = [
+            {"type": "node", "id": i + 1, "lon": lon[i], "lat": lat[i], "tags": {}}
+            for i in range(20000)
+        ]
+        p = str(tmp_path / "grid.pbf")
+        write_osm_pbf(p, els)
+        t = decode_file(p)
+        assert np.array_equal(
+            t.column("lon").to_numpy(zero_copy_only=False), lon
+        )
+        assert np.array_equal(
+            t.column("lat").to_numpy(zero_copy_only=False), lat
+        )
+
+
+class TestNonDefaultEncodings:
+    def test_granularity_and_offsets(self):
+        """Hand-built PrimitiveBlock with granularity=1000 and nonzero
+        offsets — the writer never emits these, the reader must honor
+        them (real planet files sometimes do)."""
+        st = _enc_bytes(1, _enc_bytes(1, b""))
+        dense = _enc_packed(1, [42], zigzag=True, delta=True)
+        dense += _enc_packed(8, [123456], zigzag=True, delta=True)  # lat units
+        dense += _enc_packed(9, [-654321], zigzag=True, delta=True)
+        group = _enc_bytes(2, dense)
+        block = (
+            st
+            + _enc_bytes(2, group)
+            + _enc_vint_field(17, 1000)  # granularity
+            + _enc_vint_field(19, 5_000_000)  # lat_offset nano
+            + _enc_vint_field(20, 7_000_000)
+        )
+        t = decode_primitive_block(block, "pbf:000000")
+        assert t.column("element_id").to_pylist() == [42]
+        assert t.column("lat").to_pylist()[0] == (5_000_000 + 1000 * 123456) / 1e9
+        assert t.column("lon").to_pylist()[0] == (7_000_000 + 1000 * -654321) / 1e9
+
+    def test_plain_nongroup_nodes(self):
+        """Non-dense Node messages (field 1 of PrimitiveGroup, sint64
+        id/lat/lon) — rare but legal."""
+        st = _enc_bytes(1, _enc_bytes(1, b"") + _enc_bytes(1, b"k") + _enc_bytes(1, b"v"))
+        node = (
+            _enc_varint(1 << 3) + _enc_varint(_zigzag(-99))
+            + _enc_packed(2, [1]) + _enc_packed(3, [2])
+            + _enc_varint(8 << 3) + _enc_varint(_zigzag(20_000_000))
+            + _enc_varint(9 << 3) + _enc_varint(_zigzag(-10_000_000))
+        )
+        group = _enc_bytes(1, node)
+        block = st + _enc_bytes(2, group)
+        t = decode_primitive_block(block, "pbf:000000")
+        assert t.column("element_id").to_pylist() == [-99]
+        assert dict(t.column("tags").to_pylist()[0]) == {"k": "v"}
+        assert t.column("lat").to_pylist()[0] == 2.0
+        assert t.column("lon").to_pylist()[0] == -1.0
+
+
+class TestMalformed:
+    def test_truncated_file(self, tmp_path):
+        p = str(tmp_path / "t.pbf")
+        write_osm_pbf(p, _els())
+        data = open(p, "rb").read()
+        bad = str(tmp_path / "bad.pbf")
+        open(bad, "wb").write(data[: len(data) - 7])
+        with pytest.raises((ValueError, zlib.error, IndexError)):
+            decode_file(bad)
+
+    def test_garbage_header(self, tmp_path):
+        bad = str(tmp_path / "g.pbf")
+        open(bad, "wb").write(struct.pack(">I", 10) + b"\x00" * 10)
+        with pytest.raises(ValueError):
+            scan_blob_ranges(bad)
+
+
+class TestRayDataset:
+    def test_read_osm_pbf_parallel_blobs(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.sources.pbf import read_osm_pbf
+
+        els = []
+        for i in range(50):
+            els.append({"type": "node", "id": i + 1, "lon": (i % 10) * 0.01,
+                        "lat": (i // 10) * 0.01, "tags": {"n": str(i)}})
+        p = str(tmp_path / "r.pbf")
+        write_osm_pbf(p, els, max_group=8)  # 7 blobs
+        ds = read_osm_pbf(p, blobs_per_task=2)
+        t = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        assert sorted(t.column("element_id").to_pylist()) == list(range(1, 51))
+        # doc_id carries the GLOBAL blob index (header blob = 0), a
+        # stable file coordinate shared with decode_file
+        assert sorted(set(t.column("doc_id").to_pylist())) == [
+            "pbf:%06d" % i for i in range(1, 8)
+        ]
+
+
+class TestExportEquivalence:
+    def test_pbf_export_equals_parquet_export(self, ray_session, tmp_path):
+        """Capstone: export over .pbf == export over the parquet corpus,
+        feature-for-feature (wkb/tags/bbox bit-exact; provenance columns
+        excluded — they name the source container)."""
+        import ray.data
+
+        from osm_export_tool_python_ray.mapping import Mapping
+        from osm_export_tool_python_ray.pipelines.export import (
+            parse_elements,
+            run_export,
+        )
+        from osm_export_tool_python_ray.sources.corpus import write_corpus_parquet
+        from osm_export_tool_python_ray.sources.pbf import read_osm_pbf
+
+        corpus = str(tmp_path / "corpus.parquet")
+        write_corpus_parquet(corpus, n_shards=2)
+        with open(
+            "/root/reference/osm_export_tool/mappings/default.yml"
+        ) as f:
+            mapping = Mapping(f.read())
+
+        docs = ray.data.read_parquet(corpus)
+        elements = parse_elements(docs).materialize()
+        etab = pa.concat_tables(
+            list(elements.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        # stable input order for the writer
+        etab = etab.sort_by([("ekey", "ascending")])
+        pbf_path = str(tmp_path / "corpus.pbf")
+        write_osm_pbf(pbf_path, etab, max_group=500)
+
+        a = run_export(docs, mapping).to_pandas()
+        b = run_export(
+            None, mapping, elements_ds=read_osm_pbf(pbf_path)
+        ).to_pandas()
+
+        drop = ["doc_id", "offset", "source_kind"]
+        a = a.drop(columns=drop).sort_values(
+            ["theme", "osm_id", "geom_type"], kind="mergesort"
+        ).reset_index(drop=True)
+        b = b.drop(columns=drop).sort_values(
+            ["theme", "osm_id", "geom_type"], kind="mergesort"
+        ).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        assert list(a.columns) == list(b.columns)
+        for col in a.columns:
+            if col == "tags":
+                assert [list(x) for x in a[col]] == [list(x) for x in b[col]]
+            elif a[col].dtype == np.float64:
+                # bit-exact up to NaN placement (ways/relations carry NaN
+                # lon/lat by convention)
+                assert np.array_equal(
+                    a[col].to_numpy(), b[col].to_numpy(), equal_nan=True
+                ), col
+            else:
+                av, bv = list(a[col]), list(b[col])
+                assert av == bv, col
