@@ -42,6 +42,190 @@ from osm_export_tool_python_ray.functions.cells import cell_of
 
 _IX = np.int64(1) << np.int64(29)  # +1 in packed ix space
 
+# driver-reduced-graph budget: the cell table is ≪ points by construction,
+# but a fine grid over a planetary extent can still outgrow one node —
+# above this many cells the labeling / relaxation leaves the driver for
+# the distributed path (cap-counted, identical results; the
+# dedup_clusters driver_limit pattern).
+DRIVER_CELL_LIMIT = 2_000_000
+
+
+def _adjacency_pairs(cells_ds, num_buckets=32):
+    """Unique-'cell' Dataset → 4-adjacency pair Dataset (doc_a < doc_b)
+    plus (c, c) self rows so singleton cells keep a label. One bucketed
+    semi-join (candidate neighbor keys against the cell set); nothing
+    lands on the driver."""
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    def cand(t: pa.Table) -> pa.Table:
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        # +1 / +IX only: each undirected pair once, src < neighbor
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate([c + np.int64(1), c + _IX])),
+                "src": pa.array(np.concatenate([c, c])),
+            }
+        )
+
+    right = cells_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "cell": t.column("cell"),
+                "hit": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        cells_ds.map_batches(cand, batch_format="pyarrow"),
+        right,
+        "cell",
+        num_buckets=num_buckets,
+        how="inner",
+        left_schema=pa.schema([("cell", pa.int64()), ("src", pa.int64())]),
+        right_schema=pa.schema([("cell", pa.int64()), ("hit", pa.int8())]),
+    )
+    pairs = joined.map_batches(
+        lambda t: pa.table({"doc_a": t.column("src"), "doc_b": t.column("cell")}),
+        batch_format="pyarrow",
+    )
+    selfp = cells_ds.map_batches(
+        lambda t: pa.table({"doc_a": t.column("cell"), "doc_b": t.column("cell")}),
+        batch_format="pyarrow",
+    )
+    return pairs.union(selfp)
+
+
+def _relax_distributed(occ, seeds_cells_ds, max_rounds, hot_threshold=None,
+                       num_buckets=32):
+    """Distributed multi-source shortest path over the occupied-cell
+    Dataset (4-adjacency; entry cost 1, or 3 for congested cells when
+    ``hot_threshold`` is set): → Dataset (cell, dist). Per round ONE
+    bucketed join ships frontier labels onto directed edges and ONE
+    groupby folds the min — label state never visits the driver.
+    ``max_rounds`` bounds work; with all costs >= 1 every distance
+    <= max_rounds is exact after max_rounds rounds (the driver
+    Dijkstra's equality window)."""
+    import ray.data
+    from ray.data.aggregate import Min
+    from osm_export_tool_python_ray.stages.joins import bucket_join
+
+    cell_n = pa.schema([("cell", pa.int64()), ("n", pa.int64())])
+
+    # directed 4-adjacency edges with DESTINATION entry cost
+    def cand4(t: pa.Table) -> pa.Table:
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        src = np.concatenate([c, c, c, c])
+        dst = np.concatenate(
+            [c + np.int64(1), c - np.int64(1), c + _IX, c - _IX]
+        )
+        return pa.table({"cell": pa.array(dst), "src": pa.array(src)})
+
+    def dst_cost(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cost = (
+            np.where(n >= hot_threshold, np.int64(3), np.int64(1))
+            if hot_threshold is not None
+            else np.ones(t.num_rows, dtype=np.int64)
+        )
+        return pa.table({"cell": t.column("cell"), "cost": pa.array(cost)})
+
+    edges = bucket_join(
+        occ.map_batches(cand4, batch_format="pyarrow"),
+        occ.map_batches(dst_cost, batch_format="pyarrow"),
+        "cell",
+        num_buckets=num_buckets,
+        how="inner",
+        left_schema=pa.schema([("cell", pa.int64()), ("src", pa.int64())]),
+        right_schema=pa.schema([("cell", pa.int64()), ("cost", pa.int64())]),
+    ).materialize()  # (cell=dst, src, cost) — reused every round
+
+    # seeds = occupied ∩ seed cells, dist 0
+    labels = bucket_join(
+        seeds_cells_ds,
+        occ.map_batches(
+            lambda t: pa.table(
+                {
+                    "cell": t.column("cell"),
+                    "occ": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "cell",
+        num_buckets=num_buckets,
+        how="inner",
+        left_schema=pa.schema([("cell", pa.int64())]),
+        right_schema=pa.schema([("cell", pa.int64()), ("occ", pa.int8())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "cell": t.column("cell"),
+                "dist": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    lbl_schema = pa.schema([("cell", pa.int64()), ("dist", pa.int64())])
+    edge_schema = pa.schema(
+        [("cell", pa.int64()), ("src", pa.int64()), ("cost", pa.int64())]
+    )
+    prev_sig = None
+    for _round in range(max_rounds):
+        # labels keyed by src onto edges → proposals for dst
+        props = bucket_join(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {
+                        "cell": t.column("src"),
+                        "dst": t.column("cell"),
+                        "cost": t.column("cost"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            labels,
+            "cell",
+            num_buckets=num_buckets,
+            how="inner",
+            left_schema=pa.schema(
+                [("cell", pa.int64()), ("dst", pa.int64()), ("cost", pa.int64())]
+            ),
+            right_schema=lbl_schema,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "cell": t.column("dst"),
+                    "dist": pa.array(
+                        t.column("dist").to_numpy(zero_copy_only=False)
+                        + t.column("cost").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(props)
+            .groupby("cell")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+        # tiny convergence probe: (count, sum) is monotone under min-fold
+        from ray.data.aggregate import Count, Sum
+
+        agg = labels.aggregate(Count(alias_name="c"), Sum("dist", alias_name="s"))
+        sig = (int(agg["c"]), int(agg["s"] or 0))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def cap(t: pa.Table) -> pa.Table:
+        d = t.column("dist").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d <= max_rounds))
+
+    return labels.map_batches(cap, batch_format="pyarrow")
+
 
 def count_cells_partial(t: pa.Table, res=8) -> pa.Table:
     """Per-batch combiner: (lon, lat) points -> (cell, n_partial) rows."""
@@ -136,7 +320,8 @@ def cc_labels(cells):
     return cells[roots]
 
 
-def grid_clusters(points_ds, res=8, min_pts=3):
+def grid_clusters(points_ds, res=8, min_pts=3,
+                  driver_limit=DRIVER_CELL_LIMIT, num_buckets=32):
     """DBSCAN-lite hotspot clusters: cells holding >= min_pts points are
     CORE; 4-connected core cells form a cluster. Returns one row per
     cluster: (cluster_id = min packed core-cell id, n_cells, n_points
@@ -145,7 +330,13 @@ def grid_clusters(points_ds, res=8, min_pts=3):
     Point data is touched once (the combiner); the core-cell aggregate
     is materialized once and reused for both the label build and the
     distributed stats fold; the cell -> label map is broadcast via
-    ``ray.put`` (never re-shipped per batch)."""
+    ``ray.put`` (never re-shipped per batch).
+
+    Above ``driver_limit`` core cells the labeling never visits the
+    driver: 4-adjacency edges come from one bucketed semi-join and
+    components from dedup_clusters' distributed min-label propagation
+    (identical labels — min packed cell id; cap-counted via
+    ``hotspot_cells_over_driver_limit``)."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -161,6 +352,40 @@ def grid_clusters(points_ds, res=8, min_pts=3):
         )
         .materialize()
     )
+    n_core = core.count()
+    if n_core > driver_limit:
+        from osm_export_tool_python_ray.state.metrics import report_cap
+        from osm_export_tool_python_ray.stages.dedup import dedup_clusters
+        from osm_export_tool_python_ray.stages.joins import bucket_join
+
+        report_cap("hotspot_cells_over_driver_limit", n_core - driver_limit)
+        cells_only = core.map_batches(
+            lambda t: t.select(["cell"]), batch_format="pyarrow"
+        )
+        comp = dedup_clusters(
+            _adjacency_pairs(cells_only, num_buckets=num_buckets),
+            num_buckets=num_buckets,
+            driver_limit=driver_limit,
+        ).map_batches(
+            lambda t: pa.table(
+                {"cell": t.column("doc_id"), "cluster_id": t.column("cluster_id")}
+            ),
+            batch_format="pyarrow",
+        )
+        withlbl = bucket_join(
+            core,
+            comp,
+            "cell",
+            num_buckets=num_buckets,
+            how="inner",
+            left_schema=pa.schema([("cell", pa.int64()), ("n", pa.int64())]),
+            right_schema=pa.schema(
+                [("cell", pa.int64()), ("cluster_id", pa.int64())]
+            ),
+        )
+        return withlbl.groupby("cluster_id").aggregate(
+            Count(alias_name="n_cells"), Sum("n", alias_name="n_points")
+        )
     agg = core.to_pandas()  # |core cells| rows — the reduced graph only
     order = np.argsort(agg["cell"].to_numpy())
     cells = agg["cell"].to_numpy()[order]
@@ -178,6 +403,21 @@ def grid_clusters(points_ds, res=8, min_pts=3):
         core.map_batches(attach, batch_format="pyarrow")
         .groupby("cluster_id")
         .aggregate(Count(alias_name="n_cells"), Sum("n", alias_name="n_points"))
+    )
+
+
+def _seed_cells_ds(seeds_ds, res, num_buckets=32):
+    """seeds points → unique seed-cell Dataset (column 'cell') — the
+    distributed twin of the driver's np.unique collect."""
+    from ray.data.aggregate import Count
+
+    return (
+        seeds_ds.map_batches(
+            lambda t: count_cells_partial(t, res), batch_format="pyarrow"
+        )
+        .groupby("cell")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["cell"]), batch_format="pyarrow")
     )
 
 
@@ -204,7 +444,8 @@ def bfs_distances(cells, seed_mask, max_hops):
     return dist
 
 
-def grid_bfs_distance(points_ds, seeds_ds, res=8, max_hops=6):
+def grid_bfs_distance(points_ds, seeds_ds, res=8, max_hops=6,
+                      driver_limit=DRIVER_CELL_LIMIT, num_buckets=32):
     """Isochrone-style reachability: hop distance (4-adjacency BFS,
     walkable = cells OCCUPIED by ``points_ds``) from the nearest seed
     cell (cells of ``seeds_ds`` that are themselves occupied) -> one row
@@ -226,6 +467,16 @@ def grid_bfs_distance(points_ds, seeds_ds, res=8, max_hops=6):
         .aggregate(Sum("n_partial", alias_name="n"))
         .materialize()
     )
+    n_occ = occ.count()
+    if n_occ > driver_limit:
+        from osm_export_tool_python_ray.state.metrics import report_cap
+
+        report_cap("hotspot_cells_over_driver_limit", n_occ - driver_limit)
+        seeds_cells = _seed_cells_ds(seeds_ds, res, num_buckets)
+        return _relax_distributed(
+            occ, seeds_cells, max_hops, hot_threshold=None,
+            num_buckets=num_buckets,
+        )
     occ_cells = np.sort(occ.to_pandas()["cell"].to_numpy())
     seed_cells = np.unique(
         np.concatenate(
@@ -383,7 +634,8 @@ def dijkstra_distances(cells, counts, seed_mask, max_cost, hot_threshold):
 
 
 def grid_weighted_distance(
-    points_ds, seeds_ds, res=8, max_cost=8, hot_threshold=2
+    points_ds, seeds_ds, res=8, max_cost=8, hot_threshold=2,
+    driver_limit=DRIVER_CELL_LIMIT, num_buckets=32,
 ):
     """Congestion-aware isochrone: cheapest entry-cost path (1 per cell,
     3 per congested cell) from the nearest seed over occupied cells —
@@ -401,6 +653,16 @@ def grid_weighted_distance(
         .aggregate(Sum("n_partial", alias_name="n"))
         .materialize()
     )
+    n_occ = occ.count()
+    if n_occ > driver_limit:
+        from osm_export_tool_python_ray.state.metrics import report_cap
+
+        report_cap("hotspot_cells_over_driver_limit", n_occ - driver_limit)
+        seeds_cells = _seed_cells_ds(seeds_ds, res, num_buckets)
+        return _relax_distributed(
+            occ, seeds_cells, max_cost, hot_threshold=hot_threshold,
+            num_buckets=num_buckets,
+        )
     df = occ.to_pandas()
     order = np.argsort(df["cell"].to_numpy())
     occ_cells = df["cell"].to_numpy()[order]

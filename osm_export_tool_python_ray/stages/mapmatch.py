@@ -172,9 +172,69 @@ def build_cell_index(segs):
     return cells, np.append(starts, len(key)).astype(np.int64), flat
 
 
-def map_match(events_ds, num_partitions=8):
-    """(event_id, seg_id, d2q) for every matched probe point."""
-    seg_rows = build_segments(events_ds).take_all()
+def _score_select(eid, fx, fy, ax, ay, bx, by, sid, cnt, pstart):
+    """Rank each probe's candidate segments and select the (d2q, seg_id)
+    minimum — the EXACT integer scoring shared by the broadcast and the
+    distributed paths. Inputs are flattened candidate rows: probe i owns
+    rows pstart[i] .. pstart[i]+cnt[i]; returns the matched-rows table."""
+    fxr, fyr = np.repeat(fx, cnt), np.repeat(fy, cnt)
+    inb = (
+        (fxr >= np.minimum(ax, bx) - RADIUS)
+        & (fxr <= np.maximum(ax, bx) + RADIUS)
+        & (fyr >= np.minimum(ay, by) - RADIUS)
+        & (fyr <= np.maximum(ay, by) + RADIUS)
+    )
+    dx, dy = bx - ax, by - ay
+    pxa, pya = fxr - ax, fyr - ay
+    len2 = dx * dx + dy * dy
+    dot = dx * pxa + dy * pya
+    d_a = (pxa * pxa + pya * pya) * SCALE
+    pxb, pyb = fxr - bx, fyr - by
+    d_b = (pxb * pxb + pyb * pyb) * SCALE
+    cross = dx * pya - dy * pxa
+    interior = (len2 > 0) & (dot > 0) & (dot < len2)
+    den = np.where(interior, len2, 1)
+    num = np.where(interior, cross * cross * SCALE, np.where(dot >= len2, d_b, d_a))
+    num = np.where(len2 == 0, d_a, num)
+    d2q = num // den
+    d2q = np.where(inb, d2q, _I64_MAX)
+    sidm = np.where(inb, sid, _I64_MAX)
+    best = np.minimum.reduceat(d2q, pstart)
+    tie = d2q == np.repeat(best, cnt)
+    best_sid = np.minimum.reduceat(np.where(tie, sidm, _I64_MAX), pstart)
+    ok = best != _I64_MAX
+    return pa.table(
+        {
+            "event_id": pa.array(eid[ok]),
+            "seg_id": pa.array(best_sid[ok]),
+            "d2q": pa.array(best[ok]),
+        }
+    )
+
+
+# driver-broadcast budget for the segment index; at ~40 B/segment this is
+# ~2 GB of index — above it the join leaves the driver for the
+# cell-cogrouped exchange (identical output, cap-counted).
+DRIVER_SEG_LIMIT = 50_000_000
+
+
+def map_match(events_ds, num_partitions=8, driver_limit=DRIVER_SEG_LIMIT,
+              num_buckets=16):
+    """(event_id, seg_id, d2q) for every matched probe point.
+
+    Above ``driver_limit`` segments the broadcast index is replaced by a
+    cell-cogrouped exchange: segment cell replicas and probe rows meet in
+    ONE bucketed grouped_map and score with the same `_score_select`
+    kernel — results identical (each probe's candidate set is exactly the
+    segments replicated into its cell, as in the CSR index)."""
+    segs_ds = build_segments(events_ds).materialize()
+    n_segs = segs_ds.count()
+    if n_segs > driver_limit:
+        from osm_export_tool_python_ray.state.metrics import report_cap
+
+        report_cap("mapmatch_segments_over_driver_limit", n_segs - driver_limit)
+        return _map_match_distributed(events_ds, segs_ds, num_buckets)
+    seg_rows = segs_ds.take_all()
     segs = {
         c: np.array([r[c] for r in seg_rows], dtype=np.int64)
         for c in ("seg_id", "ax", "ay", "bx", "by")
@@ -203,46 +263,136 @@ def map_match(events_ds, num_partitions=8):
         pstart = np.cumsum(cnt) - cnt
         flat_ord = np.arange(int(cnt.sum())) - np.repeat(pstart, cnt)
         cand = np.repeat(s0, cnt) + flat_ord
-        ax, ay = flat["ax"][cand], flat["ay"][cand]
-        bx, by = flat["bx"][cand], flat["by"][cand]
-        sid = flat["seg_id"][cand]
-        fx, fy = np.repeat(px, cnt), np.repeat(py, cnt)
-        # bbox corridor test (the index cell is coarser than the bbox)
-        inb = (
-            (fx >= np.minimum(ax, bx) - RADIUS)
-            & (fx <= np.maximum(ax, bx) + RADIUS)
-            & (fy >= np.minimum(ay, by) - RADIUS)
-            & (fy <= np.maximum(ay, by) + RADIUS)
-        )
-        dx, dy = bx - ax, by - ay
-        pxa, pya = fx - ax, fy - ay
-        len2 = dx * dx + dy * dy
-        dot = dx * pxa + dy * pya
-        d_a = (pxa * pxa + pya * pya) * SCALE
-        pxb, pyb = fx - bx, fy - by
-        d_b = (pxb * pxb + pyb * pyb) * SCALE
-        cross = dx * pya - dy * pxa
-        interior = (len2 > 0) & (dot > 0) & (dot < len2)
-        den = np.where(interior, len2, 1)
-        num = np.where(interior, cross * cross * SCALE, np.where(dot >= len2, d_b, d_a))
-        num = np.where(len2 == 0, d_a, num)
-        d2q = num // den
-        d2q = np.where(inb, d2q, _I64_MAX)
-        sidm = np.where(inb, sid, _I64_MAX)
-        # rank (d2q, seg_id) per point: two masked reduceat passes
-        best = np.minimum.reduceat(d2q, pstart)
-        tie = d2q == np.repeat(best, cnt)
-        best_sid = np.minimum.reduceat(np.where(tie, sidm, _I64_MAX), pstart)
-        ok = best != _I64_MAX
-        return pa.table(
-            {
-                "event_id": pa.array(eid[ok]),
-                "seg_id": pa.array(best_sid[ok]),
-                "d2q": pa.array(best[ok]),
-            }
+        return _score_select(
+            eid, px, py,
+            flat["ax"][cand], flat["ay"][cand],
+            flat["bx"][cand], flat["by"][cand],
+            flat["seg_id"][cand], cnt, pstart,
         )
 
     return events_ds.map_batches(match, batch_format="pyarrow")
+
+
+def _map_match_distributed(events_ds, segs_ds, num_buckets=16):
+    """Cell-cogrouped map matching: segment cell REPLICAS (same expanded-
+    bbox coverage as build_cell_index) and probe rows meet in one bucketed
+    exchange; per group, probes of each cell score against that cell's
+    segments with `_score_select`. Each probe belongs to exactly one cell,
+    so output rows are emitted once — identical to the broadcast path."""
+
+    def seg_replicas(t: pa.Table) -> pa.Table:
+        cols = {
+            c: t.column(c).to_numpy(zero_copy_only=False)
+            for c in ("seg_id", "ax", "ay", "bx", "by")
+        }
+        ax, ay, bx, by = cols["ax"], cols["ay"], cols["bx"], cols["by"]
+        xlo = (np.minimum(ax, bx) - RADIUS) // CELL
+        xhi = (np.maximum(ax, bx) + RADIUS) // CELL
+        ylo = (np.minimum(ay, by) - RADIUS) // CELL
+        yhi = (np.maximum(ay, by) + RADIUS) // CELL
+        nx = (xhi - xlo + 1).astype(np.int64)
+        ny = (yhi - ylo + 1).astype(np.int64)
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(ax)), reps)
+        total = int(reps.sum())
+        ords = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        nyr = np.repeat(ny, reps)
+        cx = np.repeat(xlo, reps) + ords // nyr
+        cy = np.repeat(ylo, reps) + ords % nyr
+        ckey = cx * 1024 + cy
+        return pa.table(
+            {
+                "ckey": pa.array(ckey),
+                "side": pa.array(np.ones(total, dtype=np.int8)),
+                "event_id": pa.array(cols["seg_id"][idx]),  # seg_id rides here
+                "x": pa.array(ax[idx]),
+                "y": pa.array(ay[idx]),
+                "bx": pa.array(bx[idx]),
+                "by": pa.array(by[idx]),
+                "bucket": pa.array((ckey % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        probe = (u % ROAD_MOD) != 0
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)[probe]
+        px, py = _grid_xy(eid)
+        ckey = (px // CELL) * 1024 + (py // CELL)
+        n = len(eid)
+        return pa.table(
+            {
+                "ckey": pa.array(ckey),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_id": pa.array(eid),
+                "x": pa.array(px),
+                "y": pa.array(py),
+                "bx": pa.array(np.zeros(n, dtype=np.int64)),
+                "by": pa.array(np.zeros(n, dtype=np.int64)),
+                "bucket": pa.array((ckey % num_buckets).astype(np.int32)),
+            }
+        )
+
+    unioned = segs_ds.map_batches(seg_replicas, batch_format="pyarrow").union(
+        events_ds.map_batches(probe_rows, batch_format="pyarrow")
+    )
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ck = g.column("ckey").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        x = g.column("x").to_numpy(zero_copy_only=False)
+        y = g.column("y").to_numpy(zero_copy_only=False)
+        bx = g.column("bx").to_numpy(zero_copy_only=False)
+        by = g.column("by").to_numpy(zero_copy_only=False)
+        sm = side == 1
+        # segment rows sorted by (ckey, seg_id) for a deterministic layout
+        sck, ssid = ck[sm], ev[sm]
+        sorder = np.lexsort((ssid, sck))
+        sck = sck[sorder]
+        sax, say = x[sm][sorder], y[sm][sorder]
+        sbx, sby = bx[sm][sorder], by[sm][sorder]
+        ssid = ssid[sorder]
+        pm = ~sm
+        pck, peid, ppx, ppy = ck[pm], ev[pm], x[pm], y[pm]
+        if not len(peid) or not len(ssid):
+            return _OUT.empty_table()
+        lo = np.searchsorted(sck, pck, side="left")
+        hi = np.searchsorted(sck, pck, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        peid, ppx, ppy, lo, cnt = (
+            peid[keep], ppx[keep], ppy[keep], lo[keep], cnt[keep],
+        )
+        if not len(peid):
+            return _OUT.empty_table()
+        pstart = np.cumsum(cnt) - cnt
+        flat_ord = np.arange(int(cnt.sum())) - np.repeat(pstart, cnt)
+        cand = np.repeat(lo, cnt) + flat_ord
+        return _score_select(
+            peid, ppx, ppy,
+            sax[cand], say[cand], sbx[cand], sby[cand],
+            ssid[cand], cnt, pstart,
+        )
+
+    payload = pa.schema(
+        [
+            ("ckey", pa.int64()),
+            ("side", pa.int8()),
+            ("event_id", pa.int64()),
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("bx", pa.int64()),
+            ("by", pa.int64()),
+        ]
+    )
+    return grouped_map(
+        unioned,
+        "bucket",
+        group_fn,
+        num_partitions=num_buckets,
+        payload_schema=payload,
+    )
 
 
 _OUT = pa.schema(

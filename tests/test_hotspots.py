@@ -872,3 +872,121 @@ class TestConvoys:
         a = self._run(rows, bucket_us=2_000, num_buckets=2, num_partitions=1)
         b = self._run(rows, bucket_us=2_000, num_buckets=8, num_partitions=4)
         assert a == b
+
+
+class TestDistributedFallback:
+    """VERDICT r4 item 4: the driver-reduced-graph finishes must have a
+    cap-or-fallback. Force driver_limit=0 so the distributed path
+    (bucketed adjacency semi-join + label propagation / frontier
+    relaxation) runs, and assert results identical to the driver path."""
+
+    def _pts(self, rng, n=400):
+        # clustered point field with congested pockets
+        cx = rng.choice([0.11, 0.13, 0.31, 0.52], n)
+        cy = rng.choice([0.12, 0.33, 0.54], n)
+        lon = cx + rng.integers(0, 4, n) * 0.0005
+        lat = cy + rng.integers(0, 4, n) * 0.0005
+        return lon, lat
+
+    def test_grid_clusters_paths_agree(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.hotspots import grid_clusters
+
+        rng = np.random.default_rng(5)
+        lon, lat = self._pts(rng)
+        ds = ray.data.from_arrow(_points_table(lon, lat))
+        a = (
+            grid_clusters(ds, res=8, min_pts=2)
+            .to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            grid_clusters(
+                ray.data.from_arrow(_points_table(lon, lat)),
+                res=8,
+                min_pts=2,
+                driver_limit=0,
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True)
+        )
+        assert len(a) > 1
+        assert a.equals(b)
+
+    def test_bfs_paths_agree(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.hotspots import grid_bfs_distance
+
+        rng = np.random.default_rng(6)
+        lon, lat = self._pts(rng)
+        slon, slat = lon[:5], lat[:5]
+        a = (
+            grid_bfs_distance(
+                ray.data.from_arrow(_points_table(lon, lat)),
+                ray.data.from_arrow(_points_table(slon, slat)),
+                res=8,
+                max_hops=4,
+            )
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        b = (
+            grid_bfs_distance(
+                ray.data.from_arrow(_points_table(lon, lat)),
+                ray.data.from_arrow(_points_table(slon, slat)),
+                res=8,
+                max_hops=4,
+                driver_limit=0,
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        assert a.equals(b)
+
+    def test_weighted_paths_agree(self, ray_session):
+        import ray.data
+
+        from osm_export_tool_python_ray.stages.hotspots import (
+            grid_weighted_distance,
+        )
+
+        rng = np.random.default_rng(7)
+        lon, lat = self._pts(rng)
+        slon, slat = lon[:3], lat[:3]
+        a = (
+            grid_weighted_distance(
+                ray.data.from_arrow(_points_table(lon, lat)),
+                ray.data.from_arrow(_points_table(slon, slat)),
+                res=8,
+                max_cost=5,
+                hot_threshold=2,
+            )
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        b = (
+            grid_weighted_distance(
+                ray.data.from_arrow(_points_table(lon, lat)),
+                ray.data.from_arrow(_points_table(slon, slat)),
+                res=8,
+                max_cost=5,
+                hot_threshold=2,
+                driver_limit=0,
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        assert a.equals(b)

@@ -144,3 +144,39 @@ class TestMapMatch:
             1, "user_id", pa.array(np.where(u % ROAD_MOD == 0, u + 1, u))
         )
         assert map_match(ray.data.from_arrow(t)).take_all() == []
+
+
+class TestDistributedFallback:
+    """driver_limit=0 forces the cell-cogrouped exchange path; results
+    must be identical to the broadcast-index path (and therefore to the
+    brute force) — VERDICT r4 item 4."""
+
+    def test_paths_agree(self, ray_session):
+        import ray.data
+
+        t = _events_table(np.random.default_rng(21))
+        a = {
+            r["event_id"]: (r["seg_id"], r["d2q"])
+            for r in map_match(ray.data.from_arrow(t)).take_all()
+        }
+        b = {
+            r["event_id"]: (r["seg_id"], r["d2q"])
+            for r in map_match(
+                ray.data.from_arrow(t), driver_limit=0, num_buckets=4
+            ).take_all()
+        }
+        assert len(a) > 0
+        assert a == b
+        assert b == _brute_match(t)
+
+    def test_no_roads_distributed(self, ray_session):
+        import ray.data
+
+        t = _events_table(np.random.default_rng(23))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        t = t.set_column(
+            1, "user_id", pa.array(np.where(u % ROAD_MOD == 0, u + 1, u))
+        )
+        assert (
+            map_match(ray.data.from_arrow(t), driver_limit=0).take_all() == []
+        )
