@@ -294,6 +294,9 @@ def run_query_suite(sf_dir):
     ct, ctp = bench_container_encode()
     extras.update(ct)
     throughput.update(ctp)
+    pt, ptp = bench_parallel_gpkg_tail()
+    extras.update(pt)
+    throughput.update(ptp)
     return timings, caps, throughput, extras
 
 
@@ -395,6 +398,102 @@ def bench_container_encode(n_rows=50_000):
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
     return timings, tput
+
+
+def bench_parallel_gpkg_tail(n_themes=8, rows_per_theme=50_000):
+    """VERDICT r5: the single-gpkg container tail at sf1-ish scale (8
+    themes x 50k rows = 400k features) — sequential stream vs the
+    parallel per-theme encode + ATTACH merge (sinks.Geopackage). Both
+    walls and the speedup become bench rows, so the tail's scaling
+    behavior is measured, not asserted."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_export_tool_python_ray.functions import wkb as W
+    from osm_export_tool_python_ray.functions.containers import GeoPackageFile
+    from osm_export_tool_python_ray.sinks import (
+        _batch_cols,
+        _encode_one_layer,
+        _iter_layer_batches,
+        _run_layer_tasks,
+    )
+
+    rng = np.random.RandomState(17)
+    root = tempfile.mkdtemp(prefix="bench_pgpkg_")
+    layers = []
+    try:
+        for th in range(n_themes):
+            d = os.path.join(root, "theme%d" % th)
+            os.makedirs(d)
+            lon = rng.uniform(-10, 10, rows_per_theme)
+            lat = rng.uniform(-10, 10, rows_per_theme)
+            pq.write_table(
+                pa.table(
+                    {
+                        "osm_id": pa.array(
+                            np.arange(rows_per_theme, dtype=np.int64)
+                        ),
+                        "wkb": pa.array(
+                            [
+                                W.point_wkb(float(x), float(y))
+                                for x, y in zip(lon, lat)
+                            ],
+                            type=pa.binary(),
+                        ),
+                        "name": pa.array(
+                            ["f%d" % i for i in range(rows_per_theme)]
+                        ),
+                    }
+                ),
+                os.path.join(d, "part-0.parquet"),
+                row_group_size=8192,
+            )
+            layers.append(("theme%d" % th, d))
+
+        # sequential: one writer streams every layer
+        t0 = time.perf_counter()
+        g = GeoPackageFile(os.path.join(root, "seq.gpkg"))
+        for name, _d in layers:
+            g.add_layer(name, ["name"], True)
+        for name, d in layers:
+            for t in _iter_layer_batches(d):
+                g.write_batch(name, *_batch_cols(t, ["name"], True))
+        g.close()
+        seq = time.perf_counter() - t0
+
+        # parallel: per-theme Ray tasks + ATTACH merge
+        t0 = time.perf_counter()
+        specs = [
+            ("gpkg", os.path.join(root, "%s.part.gpkg" % name), name, None,
+             ["name"], True, d)
+            for name, d in layers
+        ]
+        _run_layer_tasks(specs)
+        g = GeoPackageFile(os.path.join(root, "par.gpkg"))
+        for name, _d in layers:
+            g.add_layer(name, ["name"], True)
+        for name, _d in layers:
+            g.merge_layer_file(name, os.path.join(root, "%s.part.gpkg" % name))
+        g.close()
+        par = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    total = n_themes * rows_per_theme
+    return (
+        {
+            "encode_gpkg_tail_seq": round(seq, 3),
+            "encode_gpkg_tail_par": round(par, 3),
+        },
+        {
+            "gpkg_tail_seq_rows_per_sec": round(total / max(seq, 1e-9), 1),
+            "gpkg_tail_par_rows_per_sec": round(total / max(par, 1e-9), 1),
+            "gpkg_tail_parallel_speedup": round(seq / max(par, 1e-9), 2),
+        },
+    )
 
 
 def run_bench(sf_dir, num_cpus, headline_only=False):

@@ -167,21 +167,22 @@ class GeoPackageFile:
             (name, "geom", "GEOMETRY", 4326, 0, 0),
         )
         ncols = 1 + (1 if osm_id else 0) + len(fields)
+        collist = ", ".join(
+            ['"geom"']
+            + (['"osm_id"'] if osm_id else [])
+            + ['"%s"' % f.replace('"', '""') for f in fields]
+        )
         sql = 'INSERT INTO "%s" (%s) VALUES (%s)' % (
             name.replace('"', '""'),
-            ", ".join(
-                ['"geom"']
-                + (['"osm_id"'] if osm_id else [])
-                + ['"%s"' % f.replace('"', '""') for f in fields]
-            ),
+            collist,
             ",".join("?" * ncols),
         )
-        self._layers[name] = (sql, osm_id, _Extent())
+        self._layers[name] = (sql, osm_id, _Extent(), collist)
 
     def write_batch(self, name, wkb_vals, osm_ids, field_cols):
         """wkb_vals: list[bytes]; osm_ids: list[int] | None; field_cols:
         list of per-field value lists (None ⇒ SQL NULL)."""
-        sql, has_id, ext = self._layers[name]
+        sql, has_id, ext, _collist = self._layers[name]
         for buf in wkb_vals:
             code, geom = wkbmod.decode(buf)
             ext.add(*_geom_envelope(code, geom))
@@ -192,9 +193,41 @@ class GeoPackageFile:
             rows = list(zip(blobs, *field_cols))
         self.db.executemany(sql, rows)
 
+    def merge_layer_file(self, name, src_path):
+        """Bulk-append a same-schema layer from another .gpkg — the tail
+        of the PARALLEL per-theme encode (sinks.Geopackage): per-theme
+        layer files encode concurrently as Ray tasks, then this C-level
+        ATTACH + INSERT..SELECT copies rows without touching Python, so
+        the only sequential cost is sqlite page writes. fid order follows
+        the source's fid order (identical numbering to a sequential
+        encode); the layer extent folds in from the source's
+        gpkg_contents row."""
+        _sql, _has_id, ext, collist = self._layers[name]
+        qname = name.replace('"', '""')
+        self.db.commit()  # ATTACH is not allowed inside a transaction
+        cur = self.db.cursor()
+        cur.execute("ATTACH DATABASE ? AS _src", (src_path,))
+        try:
+            cur.execute("BEGIN")
+            cur.execute(
+                'INSERT INTO "%s" (%s) SELECT %s FROM _src."%s" ORDER BY fid'
+                % (qname, collist, collist, qname)
+            )
+            row = cur.execute(
+                "SELECT min_x, min_y, max_x, max_y FROM _src.gpkg_contents"
+                " WHERE table_name = ?",
+                (name,),
+            ).fetchone()
+            self.db.commit()
+            if row and row[0] is not None:
+                ext.add(*row)
+        finally:
+            cur.execute("DETACH DATABASE _src")
+            self.db.execute("BEGIN")
+
     def close(self):
         cur = self.db.cursor()
-        for name, (_sql, _has_id, ext) in self._layers.items():
+        for name, (_sql, _has_id, ext, _collist) in self._layers.items():
             b = ext.bounds_or_none()
             cur.execute(
                 "INSERT INTO gpkg_contents (table_name, data_type, identifier,"

@@ -185,6 +185,7 @@ class Geopackage:
         omit_osm_ids=False,
         polygon_centroid=False,
         encode_container=True,
+        parallel_encode=None,
     ):
         """``encode_container=False`` stops after the staged parquet layout
         (the distributed, resumable product) and skips the binary
@@ -192,13 +193,17 @@ class Geopackage:
         intentionally serial final-mile artifact — sqlite has one writer —
         so at 100 TB the staging layout is what ships, and per-layer
         formats (MultiGeopackage/Shapefile/KML) encode as parallel Ray
-        tasks (_run_layer_tasks); the one-file GeoPackage streams layer
-        parts through O(batch) memory on the driver."""
+        tasks (_run_layer_tasks). The one-file GeoPackage encodes its
+        themes as the same parallel tasks (one temp .gpkg per theme) and
+        folds them with C-level sqlite ATTACH copies, so only page writes
+        stay serial; ``parallel_encode`` forces the branch (None = auto:
+        parallel when Ray is up and >1 staged theme)."""
         self.output_name = output_name
         self.mapping = mapping
         self.omit = omit_osm_ids
         self.polygon_centroid = polygon_centroid
         self.encode_container = encode_container
+        self.parallel_encode = parallel_encode
         self.files = []
         self._staged = []  # (theme, geom_class|None, staged_path|None)
 
@@ -275,20 +280,51 @@ class Geopackage:
         return bool(theme.osm_id) and not self.omit
 
     def _encode_containers(self):
+        import ray
+
         from osm_export_tool_python_ray.functions.containers import GeoPackageFile
 
         cpath = self.output_name + ".gpkg"
         tmp = cpath + ".part"
-        g = GeoPackageFile(tmp)
-        for theme in self.mapping.themes:
-            g.add_layer(theme.name, self._layer_fields(theme), self._theme_has_id(theme))
-        for theme, _gt, path in self._staged:
-            if path is None:
-                continue
-            fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
-            for t in _iter_layer_batches(path):
-                g.write_batch(theme.name, *_batch_cols(t, fields, has_id))
-        g.close()
+        staged = [(t, p) for t, _gt, p in self._staged if p is not None]
+        use_parallel = (
+            self.parallel_encode
+            if self.parallel_encode is not None
+            else (ray.is_initialized() and len(staged) > 1)
+        )
+        if use_parallel and staged:
+            # PARALLEL tail: each theme's layer encodes to its own temp
+            # .gpkg as a Ray task (the Python-heavy wkb→blob conversion
+            # parallelizes O(themes)); the single-file constraint then
+            # costs only a C-level sqlite ATTACH row copy per layer.
+            specs, parts = [], []
+            for theme, p in staged:
+                part = "%s.layer-%s.part.gpkg" % (tmp, make_filename(theme.name))
+                specs.append(
+                    ("gpkg", part, theme.name, None,
+                     self._layer_fields(theme), self._theme_has_id(theme), p)
+                )
+                parts.append((theme.name, part))
+            _run_layer_tasks(specs)
+            g = GeoPackageFile(tmp)
+            for theme in self.mapping.themes:
+                g.add_layer(
+                    theme.name, self._layer_fields(theme), self._theme_has_id(theme)
+                )
+            for name, part in parts:
+                g.merge_layer_file(name, part)
+            g.close()
+            for _name, part in parts:
+                os.remove(part)
+        else:
+            g = GeoPackageFile(tmp)
+            for theme in self.mapping.themes:
+                g.add_layer(theme.name, self._layer_fields(theme), self._theme_has_id(theme))
+            for theme, p in staged:
+                fields, has_id = self._layer_fields(theme), self._theme_has_id(theme)
+                for t in _iter_layer_batches(p):
+                    g.write_batch(theme.name, *_batch_cols(t, fields, has_id))
+            g.close()
         os.replace(tmp, cpath)
         self.files.insert(0, File("gpkg", [cpath]))
 

@@ -332,3 +332,113 @@ class TestCentroidSink:
         out2 = str(tmp_path / "nocent")
         Shapefile(out2, mapping).write_from(os.path.join(wd, "features"))
         assert not os.path.isdir(out2 + ".shp.d/nocent_buildings_points")
+
+
+class TestEncodeTailScale:
+    """VERDICT r4 item 6: the container-encode tail must stay streaming
+    (O(batch) memory) and the single-gpkg tail must parallelize per
+    theme. Proven here at a synthetic larger-than-test scale."""
+
+    def _staged_layer(self, tmp_path, n_parts=30, rows_per_part=4000):
+        """Staged parquet layer: n_parts files of point features."""
+        import struct as _struct
+
+        d = tmp_path / "layer"
+        d.mkdir()
+        wkb_point = lambda x, y: (  # noqa: E731
+            b"\x01\x01\x00\x00\x00" + _struct.pack("<2d", x, y)
+        )
+        rid = 0
+        for p in range(n_parts):
+            xs = (np.arange(rows_per_part) % 997) * 1e-3
+            t = pa.table(
+                {
+                    "osm_id": pa.array(
+                        np.arange(rid, rid + rows_per_part, dtype=np.int64)
+                    ),
+                    "wkb": pa.array(
+                        [wkb_point(float(x), float(x) * 0.5) for x in xs]
+                    ),
+                    "name": pa.array(
+                        ["feature-%d-%d" % (p, i) for i in range(rows_per_part)]
+                    ),
+                }
+            )
+            pq.write_table(
+                t, str(d / ("part-%05d.parquet" % p)), row_group_size=1000
+            )
+            rid += rows_per_part
+        return str(d), n_parts * rows_per_part
+
+    def test_gpkg_encode_memory_is_batch_bounded(self, tmp_path):
+        """Python-heap peak during the streamed encode must be a few
+        batches, not the layer (tracemalloc tracks the Python-side row
+        lists; 120k rows ≈ 36 MB of Python values stream through)."""
+        import sqlite3
+        import tracemalloc
+
+        from osm_export_tool_python_ray.sinks import _encode_one_layer
+
+        staged, total_rows = self._staged_layer(tmp_path)
+        out = str(tmp_path / "big.gpkg")
+        tracemalloc.start()
+        _encode_one_layer("gpkg", out, "pts", None, ["name"], True, staged)
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        con = sqlite3.connect(out)
+        n = con.execute('SELECT count(*) FROM "pts"').fetchone()[0]
+        con.close()
+        assert n == total_rows
+        # ceiling: ~1k-row batches → peak ≪ the ~36 MB full layer
+        assert peak < 12 * 1024 * 1024, peak
+
+    def test_parallel_single_gpkg_equals_sequential(
+        self, ray_session, export_workdir, tmp_path
+    ):
+        """The ATTACH-merge parallel tail must produce a semantically
+        identical .gpkg (same layers, counts, osm_id sums, fids,
+        extents) as the sequential path."""
+        import sqlite3
+
+        from osm_export_tool_python_ray.sinks import Geopackage
+
+        workdir, mapping = export_workdir
+
+        def read_back(path):
+            con = sqlite3.connect(path)
+            layers = sorted(
+                r[0]
+                for r in con.execute(
+                    "SELECT table_name FROM gpkg_contents"
+                ).fetchall()
+            )
+            out = {}
+            for ly in layers:
+                rows = con.execute(
+                    'SELECT fid, osm_id FROM "%s" ORDER BY fid' % ly
+                ).fetchall()
+                ext = con.execute(
+                    "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
+                    " WHERE table_name = ?",
+                    (ly,),
+                ).fetchone()
+                out[ly] = (rows, ext)
+            con.close()
+            return out
+
+        seq_base = str(tmp_path / "seq")
+        par_base = str(tmp_path / "par")
+        feats = os.path.join(workdir, "features")
+
+        s = Geopackage(par_base, mapping, parallel_encode=True)
+        s.write_from(feats)
+        s.finalize()
+
+        s2 = Geopackage(seq_base, mapping, parallel_encode=False)
+        s2.write_from(feats)
+        s2.finalize()
+
+        a = read_back(par_base + ".gpkg")
+        b = read_back(seq_base + ".gpkg")
+        assert a.keys() == b.keys() and len(a) > 1
+        assert a == b
