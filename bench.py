@@ -277,6 +277,7 @@ def run_query_suite(sf_dir):
         ("conversion_latency", Q.q_conversion_latency),
         ("bounce_rate", Q.q_bounce_rate),
         ("drift_chi2", Q.q_drift_chi2),
+        ("pbf_element_stats", Q.q_pbf_element_stats),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -342,6 +342,45 @@ def sql_geojson_layer_counts(corpus_path, mapping):
     return sql_gpkg_layer_counts(corpus_path, mapping)
 
 
+def sql_pbf_element_stats(corpus_path):
+    """Independent SQL derivation certifying the .osm.pbf codec
+    (sources/pbf.py): per-kind element count, id sum, tag/ref/member
+    totals and the 1e-7-grid coordinate checksum, derived straight from
+    the corpus JSON spans (DISTINCT-payload dedup ≡ the engine's ekey
+    dedup for this corpus — identical (kind,id) spans carry identical
+    JSON). The engine side answers from the pbf ROUND-TRIP (elements →
+    write_osm_pbf → read_osm_pbf), so a writer or reader bug in varint /
+    zigzag / delta / string-table / coordinate handling breaks the
+    hash."""
+    return """
+WITH raw AS (
+  SELECT DISTINCT s.text AS txt
+  FROM (SELECT UNNEST(spans) AS s FROM read_parquet('%s'))
+  WHERE s.kind = 'osm' AND json_valid(s.text)
+),
+el AS (
+  SELECT json_extract_string(txt, '$.type') AS kind,
+         CAST(json_extract(txt, '$.id') AS BIGINT) AS id,
+         coalesce(json_array_length(json_keys(json_extract(txt, '$.tags'))), 0) AS ntags,
+         coalesce(json_array_length(json_extract(txt, '$.refs')), 0) AS nrefs,
+         coalesce(json_array_length(json_extract(txt, '$.members')), 0) AS nmem,
+         CASE WHEN json_extract_string(txt, '$.type') = 'node'
+              THEN CAST(round(CAST(json_extract(txt, '$.lon') AS DOUBLE) * 1e7) AS BIGINT)
+                 + CAST(round(CAST(json_extract(txt, '$.lat') AS DOUBLE) * 1e7) AS BIGINT)
+              ELSE 0 END AS coord
+  FROM raw
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(sum(ntags) AS BIGINT) AS tag_sum,
+       CAST(sum(nrefs) AS BIGINT) AS ref_sum,
+       CAST(sum(nmem) AS BIGINT) AS member_sum,
+       CAST(sum(coord) AS BIGINT) AS coord_sum
+FROM el GROUP BY kind ORDER BY kind
+""" % corpus_path
+
+
 def sql_tile_assignment(corpus_path, mapping, zoom=12):
     """One row per deduped tile payload with the count of themed-feature
     bbox overlaps (stages/tiling.py assign_features_to_tiles, zooms=[{z}]).

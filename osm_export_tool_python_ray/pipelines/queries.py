@@ -6847,6 +6847,103 @@ FROM ranked WHERE rank < 3
 
 # -------------------------------------------------------------- OSM export
 
+def _pbf_path(n_shards=4):
+    """Deterministic cached .osm.pbf of the corpus's deduped elements
+    (built once: corpus parquet → explode+dedup → write_osm_pbf)."""
+    os.makedirs(_CORPUS_CACHE, exist_ok=True)
+    path = os.path.join(_CORPUS_CACHE, "corpus_s%d.osm.pbf" % n_shards)
+    if not os.path.exists(path):
+        import ray.data
+
+        from osm_export_tool_python_ray.pipelines.export import parse_elements
+        from osm_export_tool_python_ray.sources.pbf import write_osm_pbf
+
+        etab = pa.concat_tables(
+            list(
+                parse_elements(
+                    ray.data.read_parquet(corpus_path(n_shards))
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        tmp = path + ".tmp"
+        write_osm_pbf(tmp, etab.sort_by([("ekey", "ascending")]))
+        os.replace(tmp, path)
+    return path
+
+
+def q_pbf_element_stats(sf_dir):
+    """Native .osm.pbf codec (sources/pbf.py; the reference's only input
+    format, sources.py:24-32) certified against an independent SQL
+    derivation: the corpus's deduped elements round-trip engine-side
+    through write_osm_pbf → read_osm_pbf (vectorized varint / zigzag /
+    delta / string-table decode, parallel per-blob Dataset read), and the
+    per-kind count, id sum, tag/ref/member totals and 1e-7-grid
+    coordinate checksum must equal what DuckDB re-derives straight from
+    the corpus JSON spans (export_oracle.sql_pbf_element_stats). One row
+    per kind — any codec bit-slip moves a sum."""
+    from ray.data.aggregate import Sum
+
+    from osm_export_tool_python_ray.sources.pbf import read_osm_pbf
+
+    ds = read_osm_pbf(_pbf_path())
+
+    def partial(t: pa.Table) -> pa.Table:
+        kinds = np.asarray(t.column("kind").to_pylist(), dtype=object)
+        ids = t.column("element_id").to_numpy(zero_copy_only=False)
+        ntags = np.array(
+            [len(x) if x else 0 for x in t.column("tags").to_pylist()],
+            dtype=np.int64,
+        )
+        nrefs = np.array(
+            [len(x) if x else 0 for x in t.column("refs").to_pylist()],
+            dtype=np.int64,
+        )
+        nmem = np.array(
+            [len(x) if x else 0 for x in t.column("members").to_pylist()],
+            dtype=np.int64,
+        )
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        coord = np.zeros(len(ids), dtype=np.int64)
+        isnode = kinds == "node"
+        if isnode.any():
+            coord[isnode] = (
+                np.rint(lon[isnode] * 1e7) + np.rint(lat[isnode] * 1e7)
+            ).astype(np.int64)
+        uk, inv = np.unique(kinds, return_inverse=True)
+
+        def fold(v):
+            out = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(out, inv, v)
+            return pa.array(out)
+
+        return pa.table(
+            {
+                "kind": pa.array(list(uk), type=pa.string()),
+                "n": fold(np.ones(len(ids), dtype=np.int64)),
+                "id_sum": fold(ids),
+                "tag_sum": fold(ntags),
+                "ref_sum": fold(nrefs),
+                "member_sum": fold(nmem),
+                "coord_sum": fold(coord),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("id_sum", alias_name="id_sum"),
+            Sum("tag_sum", alias_name="tag_sum"),
+            Sum("ref_sum", alias_name="ref_sum"),
+            Sum("member_sum", alias_name="member_sum"),
+            Sum("coord_sum", alias_name="coord_sum"),
+        )
+    )
+    return agg.sort("kind")
+
+
 def q_export_theme_counts(sf_dir):
     """Flagship export over the deterministic interleaved corpus (the
     input_hint shape) with the reference's default.yml: per-theme counts.
@@ -10906,6 +11003,7 @@ QUERIES = {
     "cell_pyramid": q_cell_pyramid,
     "tile_counts": q_tile_counts,
     "knn": q_knn,
+    "pbf_element_stats": q_pbf_element_stats,
     "export_theme_counts": q_export_theme_counts,
     "tile_assignment": q_tile_assignment,
     "tile_theme_counts": q_tile_theme_counts,
@@ -10922,6 +11020,7 @@ QUERIES = {
 # static constant in ORACLES) — introspection surface for oracle_sql()
 # consumers and the COVERAGE.md generator
 EXPORT_SURFACE_ORACLE_KEYS = (
+    "pbf_element_stats",
     "export_theme_counts",
     "tile_assignment",
     "tile_theme_counts",
@@ -10949,6 +11048,7 @@ def export_surface_oracles():
     from osm_export_tool_python_ray.mapping import Mapping
     from osm_export_tool_python_ray.pipelines.export_oracle import (
         sql_aoi_extract,
+        sql_pbf_element_stats,
         sql_export_theme_counts,
         sql_geojson_layer_counts,
         sql_gpkg_layer_counts,
@@ -10965,6 +11065,7 @@ def export_surface_oracles():
     with open(os.path.join(os.path.dirname(__file__), "..", "mappings", "default.yml")) as f:
         mapping = Mapping(f.read())
     out = {
+        "pbf_element_stats": sql_pbf_element_stats(path),
         "export_theme_counts": sql_export_theme_counts(path, mapping),
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
         "tile_theme_counts": sql_tile_theme_counts(path, mapping, zoom=12),
