@@ -51,6 +51,8 @@ The writer exists for fixtures and as the export-side complement
 fixture-scale, not the 100 TB path.
 """
 
+import bz2
+import lzma
 import struct
 import zlib
 
@@ -171,15 +173,55 @@ def scan_blob_ranges(path):
 
 
 def _blob_payload(blob_bytes):
+    """Blob → decompressed payload. raw/zlib/lzma/bzip2 are supported
+    (all stdlib); lz4/zstd blobs raise a clear error naming the codec
+    instead of mis-parsing."""
     raw = None
     for fno, _wt, v in iter_fields(blob_bytes):
         if fno == 1:
             raw = bytes(v)
         elif fno == 3:
             raw = zlib.decompress(bytes(v))
+        elif fno == 4:
+            raw = lzma.decompress(bytes(v))
+        elif fno == 5:
+            raw = bz2.decompress(bytes(v))
+        elif fno in (6, 7):
+            raise ValueError(
+                "unsupported Blob compression (%s); re-encode with zlib"
+                % {6: "lz4", 7: "zstd"}[fno]
+            )
     if raw is None:
-        raise ValueError("Blob carries neither raw nor zlib_data")
+        raise ValueError("Blob carries no payload field")
     return raw
+
+
+_SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes"}
+
+
+def check_header(path):
+    """Parse the OSMHeader blob and raise on required_features this
+    reader does not implement (the PBF spec's mandated rejection rule —
+    e.g. HistoricalInformation files carry deleted-element semantics a
+    plain reader would silently miscount)."""
+    with open(path, "rb") as f:
+        for btype, off, size in scan_blob_ranges(path):
+            if btype != "OSMHeader":
+                continue
+            f.seek(off)
+            payload = _blob_payload(f.read(size))
+            required = [
+                bytes(v).decode("utf-8")
+                for fno, _wt, v in iter_fields(payload)
+                if fno == 4
+            ]
+            unsupported = [r for r in required if r not in _SUPPORTED_FEATURES]
+            if unsupported:
+                raise ValueError(
+                    "pbf requires unsupported features: %s" % unsupported
+                )
+            return required
+    return []
 
 
 def _kv_tags(kv, strings, n_nodes):
@@ -363,6 +405,7 @@ def decode_primitive_block(payload, doc_id):
 def decode_file(path):
     """Whole-file decode on the calling process (tests/small extracts):
     concatenated element table across all OSMData blobs."""
+    check_header(path)
     tables = []
     with open(path, "rb") as f:
         for i, (btype, off, size) in enumerate(scan_blob_ranges(path)):
@@ -387,6 +430,7 @@ def read_osm_pbf(path, blobs_per_task=4):
     Feed the result to ``pipelines.export.run_export(elements_ds=...)``."""
     import ray.data
 
+    check_header(path)
     metas = [
         {"path": path, "offset": off, "datasize": size, "blob_idx": i}
         for i, (btype, off, size) in enumerate(scan_blob_ranges(path))

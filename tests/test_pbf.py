@@ -17,6 +17,7 @@ cmd.py:58). Coverage:
   point the CLI at a .pbf and get the identical product.
 """
 
+import bz2
 import struct
 import zlib
 
@@ -295,3 +296,90 @@ class TestExportEquivalence:
             else:
                 av, bv = list(a[col]), list(b[col])
                 assert av == bv, col
+
+
+class TestCodecsAndHeader:
+    def test_lzma_and_bzip2_blobs(self, tmp_path):
+        """Spec-legal alternative Blob codecs (stdlib): rewrap the
+        writer's zlib blobs as lzma / bzip2 and decode."""
+        import lzma as _lzma
+
+        from osm_export_tool_python_ray.sources.pbf import (
+            _enc_bytes as eb,
+            _enc_vint_field as ev,
+        )
+
+        src = str(tmp_path / "z.pbf")
+        write_osm_pbf(src, _els())
+        out = bytearray()
+        with open(src, "rb") as f:
+            for btype, off, size in scan_blob_ranges(src):
+                f.seek(off)
+                payload = _blob_payload(f.read(size))
+                z = _lzma.compress(payload)
+                blob = ev(2, len(payload)) + eb(4, z)
+                hdr = eb(1, btype.encode()) + ev(3, len(blob))
+                out += struct.pack(">I", len(hdr)) + hdr + blob
+        dst = str(tmp_path / "l.pbf")
+        open(dst, "wb").write(bytes(out))
+        t = decode_file(dst)
+        assert t.column("element_id").to_pylist() == [e["id"] for e in _els()]
+
+        out = bytearray()
+        with open(src, "rb") as f:
+            for btype, off, size in scan_blob_ranges(src):
+                f.seek(off)
+                payload = _blob_payload(f.read(size))
+                z = bz2.compress(payload)
+                blob = ev(2, len(payload)) + eb(5, z)
+                hdr = eb(1, btype.encode()) + ev(3, len(blob))
+                out += struct.pack(">I", len(hdr)) + hdr + blob
+        dst2 = str(tmp_path / "b.pbf")
+        open(dst2, "wb").write(bytes(out))
+        t = decode_file(dst2)
+        assert t.column("element_id").to_pylist() == [e["id"] for e in _els()]
+
+    def test_unsupported_codec_names_itself(self, tmp_path):
+        from osm_export_tool_python_ray.sources.pbf import (
+            _enc_bytes as eb,
+            _enc_vint_field as ev,
+        )
+
+        blob = ev(2, 4) + eb(7, b"\x00\x01")  # pretend-zstd
+        hdr = eb(1, b"OSMData") + ev(3, len(blob))
+        p = str(tmp_path / "z.pbf")
+        with open(p, "wb") as f:
+            # minimal valid header blob first
+            hpay = eb(4, b"OsmSchema-V0.6")
+            hblob = eb(1, hpay)
+            hh = eb(1, b"OSMHeader") + ev(3, len(hblob))
+            f.write(struct.pack(">I", len(hh)) + hh + hblob)
+            f.write(struct.pack(">I", len(hdr)) + hdr + blob)
+        with pytest.raises(ValueError, match="zstd"):
+            decode_file(p)
+
+    def test_required_feature_rejection(self, tmp_path):
+        """The spec's rejection rule: a file REQUIRING a feature this
+        reader does not implement must raise, not silently miscount."""
+        from osm_export_tool_python_ray.sources.pbf import (
+            _enc_bytes as eb,
+            _enc_vint_field as ev,
+            check_header,
+        )
+
+        hpay = eb(4, b"OsmSchema-V0.6") + eb(4, b"HistoricalInformation")
+        hblob = eb(1, hpay)
+        hh = eb(1, b"OSMHeader") + ev(3, len(hblob))
+        p = str(tmp_path / "h.pbf")
+        open(p, "wb").write(struct.pack(">I", len(hh)) + hh + hblob)
+        with pytest.raises(ValueError, match="HistoricalInformation"):
+            check_header(p)
+        with pytest.raises(ValueError, match="HistoricalInformation"):
+            decode_file(p)
+
+    def test_writer_features_accepted(self, tmp_path):
+        from osm_export_tool_python_ray.sources.pbf import check_header
+
+        p = str(tmp_path / "ok.pbf")
+        write_osm_pbf(p, _els())
+        assert sorted(check_header(p)) == ["DenseNodes", "OsmSchema-V0.6"]
