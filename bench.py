@@ -298,6 +298,9 @@ def run_query_suite(sf_dir):
     pt, ptp = bench_parallel_gpkg_tail()
     extras.update(pt)
     throughput.update(ptp)
+    bt, btp = bench_pbf_decode()
+    extras.update(bt)
+    throughput.update(btp)
     return timings, caps, throughput, extras
 
 
@@ -494,6 +497,50 @@ def bench_parallel_gpkg_tail(n_themes=8, rows_per_theme=50_000):
             "gpkg_tail_par_rows_per_sec": round(total / max(par, 1e-9), 1),
             "gpkg_tail_parallel_speedup": round(seq / max(par, 1e-9), 2),
         },
+    )
+
+
+def bench_pbf_decode(n_nodes=400_000, n_ways=40_000):
+    """Native .osm.pbf ingest throughput (sources/pbf.py): decode a
+    cached ~440k-element file through the parallel Dataset reader —
+    elements/s is the number a planet-ingest estimate scales from."""
+    import numpy as np
+
+    from osm_export_tool_python_ray.sources.pbf import read_osm_pbf, write_osm_pbf
+
+    path = "/tmp/graft_corpus/bench_decode_%dk.osm.pbf" % (n_nodes // 1000)
+    if not os.path.exists(path):
+        os.makedirs("/tmp/graft_corpus", exist_ok=True)
+        rng = np.random.RandomState(23)
+        els = [
+            {
+                "type": "node",
+                "id": i + 1,
+                "lon": int(rng.randint(-1800000000, 1800000000)) / 1e7,
+                "lat": int(rng.randint(-850000000, 850000000)) / 1e7,
+                "tags": {"name": "n%d" % i} if i % 5 == 0 else {},
+            }
+            for i in range(n_nodes)
+        ]
+        els += [
+            {
+                "type": "way",
+                "id": n_nodes + i + 1,
+                "refs": [int(r) for r in rng.randint(1, n_nodes, 8)],
+                "tags": {"highway": "residential"},
+            }
+            for i in range(n_ways)
+        ]
+        write_osm_pbf(path + ".tmp", els)
+        os.replace(path + ".tmp", path)
+    total = n_nodes + n_ways
+    t0 = time.perf_counter()
+    n = read_osm_pbf(path).count()
+    w = time.perf_counter() - t0
+    assert n == total, (n, total)
+    return (
+        {"pbf_decode": round(w, 3)},
+        {"pbf_decode_elements_per_sec": round(total / max(w, 1e-9), 1)},
     )
 
 

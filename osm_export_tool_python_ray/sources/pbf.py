@@ -91,6 +91,52 @@ def decode_varints(buf):
     return np.add.reduceat(vals, starts)
 
 
+def _decode_varints_multi(payloads):
+    """Decode MANY packed-varint payloads in ONE numpy pass (the per-way
+    refs/keys/vals fields are tiny — per-call numpy overhead dominated
+    the decode profile at 120k calls/blob-set). Returns (values, counts):
+    all varints concatenated, and how many came from each payload."""
+    if not payloads:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    bufs = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+    lens = np.array([len(x) for x in bufs], dtype=np.int64)
+    b = np.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+    if len(b) == 0:
+        return np.array([], dtype=np.uint64), np.zeros(len(bufs), np.int64)
+    ends = np.nonzero(b < 0x80)[0]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    nz = lens > 0
+    if len(ends) == 0 or not np.array_equal(
+        np.isin(offs[1:][nz] - 1, ends), np.ones(int(nz.sum()), dtype=bool)
+    ):
+        raise ValueError("truncated varint in packed field")
+    starts = np.concatenate([[0], ends[:-1] + 1]).astype(np.int64)
+    vlens = ends - starts + 1
+    if vlens.max() > 10:
+        raise ValueError("varint longer than 10 bytes")
+    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, vlens)
+    vals = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    values = np.add.reduceat(vals, starts)
+    counts = np.searchsorted(ends, offs[1:], side="left") - np.searchsorted(
+        ends, offs[:-1], side="left"
+    )
+    return values, counts
+
+
+def _segmented_cumsum(v, counts):
+    """Per-segment cumulative sum (delta decode across many elements)."""
+    if not len(v):
+        return v
+    cs = np.cumsum(v)
+    starts = np.cumsum(counts) - counts
+    nzs = counts > 0
+    base = np.zeros(len(counts), dtype=cs.dtype)
+    base[nzs & (starts > 0)] = cs[starts[nzs & (starts > 0)] - 1]
+    return cs - np.repeat(base, counts)
+
+
 def unzigzag(u):
     """Packed sint64 zigzag → int64 (vectorized)."""
     u = np.asarray(u, dtype=np.uint64)
@@ -269,6 +315,20 @@ def decode_primitive_block(payload, doc_id):
         [], [], [], [], [], [], [],
     )
 
+    way_msgs = []  # (id, keys_payload, vals_payload, refs_payload)
+    rel_msgs = []  # (id, keys, vals, roles, memids, types)
+
+    def _extend_dense(nid, lon_v, lat_v, ntags):
+        # vectorized bulk append — the dense path carries ~8k nodes per
+        # group; per-node Python appends were the decode hot spot
+        ids.extend(nid.tolist())
+        kinds.extend(["node"] * len(nid))
+        tags_col.extend(ntags)
+        lons.extend(lon_v.tolist())
+        lats.extend(lat_v.tolist())
+        refs_col.extend([None] * len(nid))
+        members_col.extend([None] * len(nid))
+
     for g in groups:
         for fno, _wt, v in iter_fields(g):
             if fno == 2:  # DenseNodes
@@ -288,15 +348,7 @@ def decode_primitive_block(payload, doc_id):
                 # ONE correctly-rounded division: nanodegree int → float64
                 lat_v = (lat_off + gran * lat_q) / 1e9
                 lon_v = (lon_off + gran * lon_q) / 1e9
-                ntags = _kv_tags(kv, strings, len(nid))
-                for j in range(len(nid)):
-                    ids.append(int(nid[j]))
-                    kinds.append("node")
-                    tags_col.append(ntags[j])
-                    lons.append(lon_v[j])
-                    lats.append(lat_v[j])
-                    refs_col.append(None)
-                    members_col.append(None)
+                _extend_dense(nid, lon_v, lat_v, _kv_tags(kv, strings, len(nid)))
             elif fno == 1:  # plain (non-dense) Node
                 nid = latg = long_ = None
                 keys = vals = np.array([], dtype=np.uint64)
@@ -320,63 +372,99 @@ def decode_primitive_block(payload, doc_id):
                 lons.append((lon_off + gran * long_) / 1e9)
                 refs_col.append(None)
                 members_col.append(None)
-            elif fno == 3:  # Way
+            elif fno == 3:  # Way — collect payloads, bulk-decode below
                 wid = None
-                keys = vals = np.array([], dtype=np.uint64)
-                refs = np.array([], dtype=np.int64)
+                kp = vp = rp = b""
                 for f2, _w2, v2 in iter_fields(v):
                     if f2 == 1:
                         wid = v2
                     elif f2 == 2:
-                        keys = decode_varints(v2)
+                        kp = v2
                     elif f2 == 3:
-                        vals = decode_varints(v2)
+                        vp = v2
                     elif f2 == 8:
-                        refs = np.cumsum(unzigzag(decode_varints(v2)))
-                ids.append(wid)
-                kinds.append("way")
-                tags_col.append(
-                    [(strings[int(k)], strings[int(x)]) for k, x in zip(keys, vals)]
-                )
-                lons.append(np.nan)
-                lats.append(np.nan)
-                refs_col.append([int(r) for r in refs])
-                members_col.append(None)
-            elif fno == 4:  # Relation
+                        rp = v2
+                way_msgs.append((wid, kp, vp, rp))
+            elif fno == 4:  # Relation — collect payloads, bulk-decode below
                 rid = None
-                keys = vals = roles = types = np.array([], dtype=np.uint64)
-                mids = np.array([], dtype=np.int64)
+                kp = vp = rlp = mp = tp = b""
                 for f2, _w2, v2 in iter_fields(v):
                     if f2 == 1:
                         rid = v2
                     elif f2 == 2:
-                        keys = decode_varints(v2)
+                        kp = v2
                     elif f2 == 3:
-                        vals = decode_varints(v2)
+                        vp = v2
                     elif f2 == 8:
-                        roles = decode_varints(v2)
+                        rlp = v2
                     elif f2 == 9:
-                        mids = np.cumsum(unzigzag(decode_varints(v2)))
+                        mp = v2
                     elif f2 == 10:
-                        types = decode_varints(v2)
-                ids.append(rid)
-                kinds.append("relation")
-                tags_col.append(
-                    [(strings[int(k)], strings[int(x)]) for k, x in zip(keys, vals)]
-                )
-                lons.append(np.nan)
-                lats.append(np.nan)
-                refs_col.append(None)
-                members_col.append(
-                    [
-                        {
-                            "type": _MEMBER_TYPE_NAMES[int(t)],
-                            "ref": int(m),
-                            "role": strings[int(r)],
-                        }
-                        for t, m, r in zip(types, mids, roles)
-                    ]
-                )
+                        tp = v2
+                rel_msgs.append((rid, kp, vp, rlp, mp, tp))
+
+    if way_msgs:
+        wkeys, wkc = _decode_varints_multi([m[1] for m in way_msgs])
+        wvals, _wvc = _decode_varints_multi([m[2] for m in way_msgs])
+        wrefs_z, wrc = _decode_varints_multi([m[3] for m in way_msgs])
+        wrefs = _segmented_cumsum(unzigzag(wrefs_z), wrc)
+        ko = np.cumsum(wkc) - wkc
+        ro = np.cumsum(wrc) - wrc
+        wk_l = wkeys.astype(np.int64).tolist()
+        wv_l = wvals.astype(np.int64).tolist()
+        wr_l = wrefs.tolist()
+        for j, (wid, _kp, _vp, _rp) in enumerate(way_msgs):
+            ids.append(wid)
+            kinds.append("way")
+            k0, k1 = int(ko[j]), int(ko[j] + wkc[j])
+            tags_col.append(
+                [
+                    (strings[wk_l[i]], strings[wv_l[i]])
+                    for i in range(k0, k1)
+                ]
+            )
+            lons.append(np.nan)
+            lats.append(np.nan)
+            refs_col.append(wr_l[int(ro[j]) : int(ro[j] + wrc[j])])
+            members_col.append(None)
+    if rel_msgs:
+        rkeys, rkc = _decode_varints_multi([m[1] for m in rel_msgs])
+        rvals, _rvc = _decode_varints_multi([m[2] for m in rel_msgs])
+        rroles, rrc = _decode_varints_multi([m[3] for m in rel_msgs])
+        rmids_z, rmc = _decode_varints_multi([m[4] for m in rel_msgs])
+        rtypes, _rtc = _decode_varints_multi([m[5] for m in rel_msgs])
+        rmids = _segmented_cumsum(unzigzag(rmids_z), rmc)
+        ko = np.cumsum(rkc) - rkc
+        mo = np.cumsum(rmc) - rmc
+        rk_l = rkeys.astype(np.int64).tolist()
+        rv_l = rvals.astype(np.int64).tolist()
+        rr_l = rroles.astype(np.int64).tolist()
+        rm_l = rmids.tolist()
+        rt_l = rtypes.astype(np.int64).tolist()
+        for j, (rid, _kp, _vp, _rlp, _mp, _tp) in enumerate(rel_msgs):
+            ids.append(rid)
+            kinds.append("relation")
+            k0, k1 = int(ko[j]), int(ko[j] + rkc[j])
+            tags_col.append(
+                [
+                    (strings[rk_l[i]], strings[rv_l[i]])
+                    for i in range(k0, k1)
+                ]
+            )
+            lons.append(np.nan)
+            lats.append(np.nan)
+            refs_col.append(None)
+            m0, m1 = int(mo[j]), int(mo[j] + rmc[j])
+            members_col.append(
+                [
+                    {
+                        "type": _MEMBER_TYPE_NAMES[rt_l[i]],
+                        "ref": rm_l[i],
+                        "role": strings[rr_l[i]],
+                    }
+                    for i in range(m0, m1)
+                ]
+            )
 
     n = len(ids)
     from osm_export_tool_python_ray.stages.explode import element_key
