@@ -7,6 +7,7 @@ and a box resize.
 """
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -120,10 +121,143 @@ def decode_wav(buf):
 
 
 def sniff_media(buf):
-    """Payload magic → 'ppm' | 'wav' | 'opaque'."""
+    """Payload magic → 'ppm' | 'wav' | 'png' | 'opaque'."""
     head = bytes(buf[:4])
     if head[:2] in (b"P6", b"P5"):
         return "ppm"
     if head == b"RIFF" and bytes(buf[8:12]) == b"WAVE":
         return "wav"
+    if bytes(buf[:8]) == _PNG_SIG:
+        return "png"
     return "opaque"
+
+
+# --------------------------------------------------------------------------
+# PNG (pure numpy + stdlib zlib) — RFC 2083
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype, data):
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr):
+    """uint8 array → PNG bytes. (h,w) → grayscale, (h,w,3) → RGB,
+    (h,w,4) → RGBA; filter 0 scanlines, one zlib IDAT. Deterministic
+    bytes for a given array."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        ctype, c = 0, 1
+        flat = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        ctype = {3: 2, 4: 6}[arr.shape[2]]
+        c = arr.shape[2]
+        flat = arr
+    else:
+        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8 array")
+    h, w = arr.shape[:2]
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = flat.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    p = int(a) + int(b) - int(c)
+    pa_ = abs(p - a)
+    pb = abs(p - b)
+    pc = abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf):
+    """PNG bytes → uint8 ndarray ((h,w) gray, (h,w,2) gray+alpha,
+    (h,w,3) RGB, (h,w,4) RGBA). Supports 8-bit depth, color types
+    0/2/4/6, all five scanline filters, no interlace. Filters 0/2 are
+    vectorized, Sub is a mod-256 cumsum; Average/Paeth fall back to a
+    per-pixel walk (correctness-first — the writer emits filter 0, so
+    round-trips stay on the fast path); CRCs are verified."""
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = []
+    n = len(buf)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        ct = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+        if zlib.crc32(ct + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch (%r)" % ct)
+        if ct == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ct == b"IDAT":
+            idat.append(data)
+        elif ct == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            "unsupported PNG (depth=%s colortype=%s); 8-bit 0/2/4/6 only"
+            % (depth, ctype)
+        )
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    c = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * c
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = raw.reshape(h, stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    bpp = c
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * c, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 1:  # Sub: mod-256 prefix sum with stride bpp
+            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(w * c)
+        elif f == 3:  # Average
+            rec = np.empty(w * c, dtype=np.int32)
+            for x in range(w * c):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] = cur[x] + ((left + prev[x]) >> 1)
+        elif f == 4:  # Paeth
+            rec = np.empty(w * c, dtype=np.int32)
+            for x in range(w * c):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                ul = prev[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] = cur[x] + _paeth(left, prev[x] & 0xFF, ul)
+        else:
+            raise ValueError("unknown PNG filter %d" % f)
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    img = out.reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img

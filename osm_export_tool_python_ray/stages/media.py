@@ -82,9 +82,10 @@ def make_real_media_table(refs, media_type="image"):
 class DecodeStage:
     """Actor-pool decode: ``map_batches(DecodeStage, concurrency=N,
     batch_size=small, num_cpus=1)``. Codec dispatch by payload magic:
-    PPM/PGM and WAV decode for real (functions/codecs.py); opaque payloads
-    fall back to the fake-header stub (or raise under strict=True — the
-    slot a JPEG/PNG decoder would fill)."""
+    PPM/PGM, PNG (pure-numpy zlib codec) and WAV decode for real
+    (functions/codecs.py); opaque payloads (JPEG/MP4) fall back to the
+    fake-header stub (or raise under strict=True — the slot an external
+    JPEG decoder would fill)."""
 
     def __init__(self, strict=False):
         self.strict = strict
@@ -106,6 +107,10 @@ class DecodeStage:
                 img = self.codec.decode_ppm(p)
                 h[i], w[i] = img.shape[:2]
                 fmt.append("ppm")
+            elif kind == "png":
+                img = self.codec.decode_png(p)
+                h[i], w[i] = img.shape[:2]
+                fmt.append("png")
             elif kind == "wav":
                 r, _ch, samples = self.codec.decode_wav(p)
                 rate[i] = r
@@ -203,11 +208,21 @@ class ResizeStage:
         out = []
         resized = []
         for p in payloads:
-            if codecs.sniff_media(p) == "ppm":
-                img = codecs.decode_ppm(p)
+            kind = codecs.sniff_media(p)
+            if kind in ("ppm", "png"):
+                img = (
+                    codecs.decode_ppm(p)
+                    if kind == "ppm"
+                    else codecs.decode_png(p)
+                )
                 th = min(self.target, img.shape[0])
                 tw = min(self.target, img.shape[1])
-                out.append(codecs.encode_ppm(codecs.resize_box(img, tw, th)))
+                small = codecs.resize_box(img, tw, th)
+                out.append(
+                    codecs.encode_ppm(small)
+                    if kind == "ppm"
+                    else codecs.encode_png(small)
+                )
                 resized.append(True)
             elif self.strict:
                 raise NotImplementedError("resize of this container needs an external codec")

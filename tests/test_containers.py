@@ -318,3 +318,133 @@ class TestKml:
         # empty layer parses and has zero placemarks
         root = ET.parse(out + "_empty_theme_points.kml").getroot()
         assert root.findall(".//k:Placemark", self.NS) == []
+
+
+class TestPngCodec:
+    """Pure-numpy PNG codec (functions/codecs.py): round-trips, all five
+    scanline filters, CRC verification, and the media stages decoding
+    PNG for real under strict=True (the slot was a NotImplementedError
+    for every non-PPM image container before round 5)."""
+
+    def test_roundtrip_shapes(self):
+        import numpy as np
+
+        from osm_export_tool_python_ray.functions import codecs as C
+
+        rng = np.random.default_rng(3)
+        for shape in [(1, 1), (13, 17), (8, 9, 3), (5, 6, 4), (64, 64, 3)]:
+            a = rng.integers(0, 256, shape).astype(np.uint8)
+            assert np.array_equal(C.decode_png(C.encode_png(a)), a), shape
+
+    def test_all_filters_decode(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from osm_export_tool_python_ray.functions import codecs as C
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 256, (6, 7, 3)).astype(np.uint8)
+        h, w, c = a.shape
+        bpp = c
+        flat = a.reshape(h, w * c).astype(np.int32)
+        rows = []
+        for y, f in zip(range(h), [0, 1, 2, 3, 4, 1]):
+            prev = flat[y - 1] if y else np.zeros(w * c, np.int32)
+            cur = flat[y]
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur.copy()
+                filt[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+            elif f == 2:
+                filt = (cur - prev) % 256
+            elif f == 3:
+                filt = np.empty(w * c, np.int32)
+                for x in range(w * c):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    filt[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+            else:
+                filt = np.empty(w * c, np.int32)
+                for x in range(w * c):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    filt[x] = (cur[x] - C._paeth(left, prev[x], ul)) % 256
+            rows.append(np.concatenate([[f], filt]).astype(np.uint8))
+        raw = np.concatenate(rows).tobytes()
+        png = (
+            C._PNG_SIG
+            + C._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + C._png_chunk(b"IDAT", zlib.compress(raw))
+            + C._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(C.decode_png(png), a)
+
+    def test_crc_and_bad_inputs(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from osm_export_tool_python_ray.functions import codecs as C
+
+        a = np.zeros((4, 4, 3), dtype=np.uint8)
+        png = bytearray(C.encode_png(a))
+        png[40] ^= 0xFF  # corrupt inside IDAT
+        with _pytest.raises(ValueError, match="CRC"):
+            C.decode_png(bytes(png))
+        with _pytest.raises(ValueError, match="not a PNG"):
+            C.decode_png(b"JFIF....")
+
+    def test_media_stages_decode_png_strict(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from osm_export_tool_python_ray.functions import codecs as C
+        from osm_export_tool_python_ray.stages.media import (
+            DecodeStage,
+            ResizeStage,
+        )
+
+        rng = np.random.default_rng(7)
+        imgs = [
+            rng.integers(0, 256, (40, 30, 3)).astype(np.uint8),
+            rng.integers(0, 256, (20, 50)).astype(np.uint8),
+        ]
+        t = pa.table(
+            {
+                "media_ref": pa.array(["a.png", "b.png"]),
+                "media_type": pa.array(["image", "image"]),
+                "payload": pa.array(
+                    [C.encode_png(i) for i in imgs], type=pa.binary()
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = (
+            ds.map_batches(
+                DecodeStage(strict=True),
+                batch_size=2,
+                concurrency=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("media_ref")
+        )
+        assert list(out["format"]) == ["png", "png"]
+        assert list(out["width"]) == [30, 50]
+        assert list(out["height"]) == [40, 20]
+        rs = (
+            ray.data.from_arrow(t)
+            .map_batches(
+                ResizeStage(target=16, strict=True),
+                batch_size=2,
+                concurrency=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("media_ref")
+        )
+        assert list(rs["resized"]) == [True, True]
+        got = C.decode_png(rs["payload"].iloc[0])
+        assert got.shape == (16, 16, 3)
