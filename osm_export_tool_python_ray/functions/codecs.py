@@ -121,7 +121,7 @@ def decode_wav(buf):
 
 
 def sniff_media(buf):
-    """Payload magic → 'ppm' | 'wav' | 'png' | 'opaque'."""
+    """Payload magic → 'ppm' | 'wav' | 'png' | 'jpeg' | 'opaque'."""
     head = bytes(buf[:4])
     if head[:2] in (b"P6", b"P5"):
         return "ppm"
@@ -129,6 +129,8 @@ def sniff_media(buf):
         return "wav"
     if bytes(buf[:8]) == _PNG_SIG:
         return "png"
+    if head[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "opaque"
 
 
@@ -261,3 +263,11 @@ def decode_png(buf):
         out[y] = (rec & 0xFF).astype(np.uint8)
     img = out.reshape(h, w, c)
     return img[:, :, 0] if c == 1 else img
+
+
+# baseline JPEG codec lives in its own module (functions/jpeg.py);
+# re-exported here so stages dispatch through one namespace
+from osm_export_tool_python_ray.functions.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)

@@ -82,10 +82,10 @@ def make_real_media_table(refs, media_type="image"):
 class DecodeStage:
     """Actor-pool decode: ``map_batches(DecodeStage, concurrency=N,
     batch_size=small, num_cpus=1)``. Codec dispatch by payload magic:
-    PPM/PGM, PNG (pure-numpy zlib codec) and WAV decode for real
-    (functions/codecs.py); opaque payloads (JPEG/MP4) fall back to the
-    fake-header stub (or raise under strict=True — the slot an external
-    JPEG decoder would fill)."""
+    PPM/PGM, PNG, baseline JPEG (pure-numpy codecs) and WAV decode for
+    real (functions/codecs.py, functions/jpeg.py); remaining opaque
+    payloads (MP4/progressive-JPEG) fall back to the fake-header stub
+    (or raise under strict=True)."""
 
     def __init__(self, strict=False):
         self.strict = strict
@@ -111,6 +111,10 @@ class DecodeStage:
                 img = self.codec.decode_png(p)
                 h[i], w[i] = img.shape[:2]
                 fmt.append("png")
+            elif kind == "jpeg":
+                img = self.codec.decode_jpeg(p)
+                h[i], w[i] = img.shape[:2]
+                fmt.append("jpeg")
             elif kind == "wav":
                 r, _ch, samples = self.codec.decode_wav(p)
                 rate[i] = r
@@ -209,20 +213,21 @@ class ResizeStage:
         resized = []
         for p in payloads:
             kind = codecs.sniff_media(p)
-            if kind in ("ppm", "png"):
-                img = (
-                    codecs.decode_ppm(p)
-                    if kind == "ppm"
-                    else codecs.decode_png(p)
-                )
+            if kind in ("ppm", "png", "jpeg"):
+                dec = {
+                    "ppm": codecs.decode_ppm,
+                    "png": codecs.decode_png,
+                    "jpeg": codecs.decode_jpeg,
+                }[kind]
+                enc = {
+                    "ppm": codecs.encode_ppm,
+                    "png": codecs.encode_png,
+                    "jpeg": codecs.encode_jpeg,
+                }[kind]
+                img = dec(p)
                 th = min(self.target, img.shape[0])
                 tw = min(self.target, img.shape[1])
-                small = codecs.resize_box(img, tw, th)
-                out.append(
-                    codecs.encode_ppm(small)
-                    if kind == "ppm"
-                    else codecs.encode_png(small)
-                )
+                out.append(enc(codecs.resize_box(img, tw, th)))
                 resized.append(True)
             elif self.strict:
                 raise NotImplementedError("resize of this container needs an external codec")

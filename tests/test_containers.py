@@ -448,3 +448,169 @@ class TestPngCodec:
         assert list(rs["resized"]) == [True, True]
         got = C.decode_png(rs["payload"].iloc[0])
         assert got.shape == (16, 16, 3)
+
+
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG (functions/jpeg.py): bounded-error
+    round-trips, hand-crafted 4:2:0 and restart-marker streams (the
+    encoder emits neither, so the decoder features are exercised from
+    first principles), unsupported-process rejection, media-stage
+    integration."""
+
+    def _smooth(self, h, w, rgb=True):
+        yy, xx = np.mgrid[0:h, 0:w]
+        if not rgb:
+            return ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = ((xx + yy) * 255 // max(w + h - 2, 1)).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    def test_roundtrip_bounded_error(self):
+        from osm_export_tool_python_ray.functions import jpeg as J
+
+        for shape_rgb in [(24, 40, True), (16, 16, True), (9, 13, True),
+                          (24, 40, False), (8, 8, False)]:
+            h, w, rgb = shape_rgb
+            img = self._smooth(h, w, rgb)
+            dec = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 3.0 and err.max() <= 40, shape_rgb
+
+    def test_deterministic_bytes(self):
+        from osm_export_tool_python_ray.functions import jpeg as J
+
+        img = self._smooth(17, 23)
+        assert J.encode_jpeg(img) == J.encode_jpeg(img)
+
+    def test_unsupported_progressive_named(self):
+        from osm_export_tool_python_ray.functions import jpeg as J
+
+        img = self._smooth(8, 8)
+        buf = bytearray(J.encode_jpeg(img))
+        i = buf.find(b"\xff\xc0")
+        buf[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            J.decode_jpeg(bytes(buf))
+
+    def _dc_only_block(self, bw, dc_diff, enc_dc, enc_ac):
+        from osm_export_tool_python_ray.functions import jpeg as J
+
+        t, mag = J._mag_bits(dc_diff)
+        code, ln = enc_dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(mag, t)
+        code, ln = enc_ac[0x00]  # EOB
+        bw.write(code, ln)
+
+    def test_handcrafted_420_uniform(self):
+        """16×16 uniform color through a hand-built 4:2:0 stream: one MCU
+        of 4 Y + 1 Cb + 1 Cr DC-only blocks; decode must reproduce the
+        color (exercises MCU layout, subsample upsampling, YCbCr)."""
+        import struct as _st
+
+        from osm_export_tool_python_ray.functions import jpeg as J
+
+        r, g, b = 200, 120, 40
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        # quant tables of all 1s → DC value = 8*(mean-128) exactly
+        dc_y = int(round((y - 128.0) * 8))
+        dc_cb = int(round(cb * 8))
+        dc_cr = int(round(cr * 8))
+
+        def seg(m, payload):
+            return b"\xff" + bytes([m]) + _st.pack(">H", len(payload) + 2) + payload
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+        sof = _st.pack(">BHHB", 8, 16, 16, 3)
+        sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        sof += bytes([2, 0x11, 0])
+        sof += bytes([3, 0x11, 0])
+        out += seg(0xC0, sof)
+        for tid, ht in ((0x00, J.HT_DC_LUMA), (0x10, J.HT_AC_LUMA)):
+            out += seg(0xC4, bytes([tid]) + bytes(ht[0]) + bytes(ht[1]))
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+        bw = J._BitWriter()
+        enc_dc = J._build_encode_table(*J.HT_DC_LUMA)
+        enc_ac = J._build_encode_table(*J.HT_AC_LUMA)
+        # 4 Y blocks (first carries the DC, rest diff 0), then Cb, Cr
+        self._dc_only_block(bw, dc_y, enc_dc, enc_ac)
+        for _ in range(3):
+            self._dc_only_block(bw, 0, enc_dc, enc_ac)
+        self._dc_only_block(bw, dc_cb, enc_dc, enc_ac)
+        self._dc_only_block(bw, dc_cr, enc_dc, enc_ac)  # per-component DC pred
+        bw.flush()
+        out += bw.out + b"\xff\xd9"
+        img = J.decode_jpeg(bytes(out))
+        assert img.shape == (16, 16, 3)
+        # uniform within rounding of the quantized DC
+        assert np.all(np.ptp(img.reshape(-1, 3), axis=0) == 0)
+        assert np.abs(img[0, 0].astype(int) - [r, g, b]).max() <= 2
+
+    def test_handcrafted_restart_markers(self):
+        """8×24 gray (3 MCUs) with DRI=1: RST0/RST1 between MCUs, DC
+        predictor resets — each MCU carries an ABSOLUTE dc."""
+        import struct as _st
+
+        from osm_export_tool_python_ray.functions import jpeg as J
+
+        vals = [64, 128, 192]
+
+        def seg(m, payload):
+            return b"\xff" + bytes([m]) + _st.pack(">H", len(payload) + 2) + payload
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+        out += seg(0xC0, _st.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+        for tid, ht in ((0x00, J.HT_DC_LUMA), (0x10, J.HT_AC_LUMA)):
+            out += seg(0xC4, bytes([tid]) + bytes(ht[0]) + bytes(ht[1]))
+        out += seg(0xDD, _st.pack(">H", 1))  # DRI = 1 MCU
+        out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        enc_dc = J._build_encode_table(*J.HT_DC_LUMA)
+        enc_ac = J._build_encode_table(*J.HT_AC_LUMA)
+        for i, v in enumerate(vals):
+            bw = J._BitWriter()
+            self._dc_only_block(bw, (v - 128) * 8, enc_dc, enc_ac)
+            bw.flush()
+            out += bw.out
+            if i < len(vals) - 1:
+                out += bytes([0xFF, 0xD0 + i])
+        out += b"\xff\xd9"
+        img = J.decode_jpeg(bytes(out))
+        assert img.shape == (8, 24)
+        for i, v in enumerate(vals):
+            blk = img[:, i * 8 : (i + 1) * 8].astype(int)
+            assert np.all(np.abs(blk - v) <= 1), (i, v, blk[0, 0])
+
+    def test_media_stages_jpeg_strict(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from osm_export_tool_python_ray.functions import codecs as C
+        from osm_export_tool_python_ray.stages.media import DecodeStage
+
+        img = self._smooth(32, 48)
+        t = pa.table(
+            {
+                "media_ref": pa.array(["x.jpg"]),
+                "media_type": pa.array(["image"]),
+                "payload": pa.array([C.encode_jpeg(img)], type=pa.binary()),
+            }
+        )
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(
+                DecodeStage(strict=True),
+                batch_size=1,
+                concurrency=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        assert list(out["format"]) == ["jpeg"]
+        assert list(out["width"]) == [48] and list(out["height"]) == [32]
