@@ -244,25 +244,52 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Video frame-sampling stub: emits (media_ref, frame_idx) plan rows —
-    the deterministic sampling schedule is real, frame extraction is not."""
+    """Video frame-sampling plan: (media_ref, frame_idx, byte_offset,
+    byte_size) rows. For real MP4 payloads the plan comes from the ACTUAL
+    sample table (functions/mp4.py ISO BMFF parser: stsz/stsc/stco →
+    per-frame byte ranges an external H.264 decoder could seek to);
+    opaque payloads keep the deterministic fake-frame-count stub with
+    byte_offset/byte_size = -1. Frame pixel DECODE stays the declared
+    external-codec slot."""
 
     def __init__(self, every_n=30):
         self.every_n = every_n
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from osm_export_tool_python_ray.functions import mp4 as mp4mod
+
         refs = t.column("media_ref").to_pylist()
-        nb = [len(p) for p in t.column("payload").to_pylist()]
-        out_ref, out_idx = [], []
-        for r, n in zip(refs, nb):
-            frames = max(1, n // 4)  # fake frame count from payload size
+        payloads = t.column("payload").to_pylist()
+        out_ref, out_idx, out_off, out_sz = [], [], [], []
+        for r, p in zip(refs, payloads):
+            if mp4mod.sniff_mp4(p):
+                info = mp4mod.parse_mp4(p)
+                vid = next(
+                    (tr for tr in info["tracks"] if tr["kind"] == "video"),
+                    None,
+                )
+                if vid is not None and vid["n_samples"]:
+                    idxs = list(range(0, vid["n_samples"], self.every_n)) or [0]
+                    offs = vid["sample_offsets"]
+                    szs = vid["sample_sizes"]
+                    for i in idxs:
+                        out_ref.append(r)
+                        out_idx.append(i)
+                        out_off.append(offs[i] if i < len(offs) else -1)
+                        out_sz.append(szs[i] if i < len(szs) else -1)
+                    continue
+            frames = max(1, len(p) // 4)  # fake frame count (opaque stub)
             idxs = list(range(0, frames, self.every_n)) or [0]
             out_ref.extend([r] * len(idxs))
             out_idx.extend(idxs)
+            out_off.extend([-1] * len(idxs))
+            out_sz.extend([-1] * len(idxs))
         return pa.table(
             {
                 "media_ref": pa.array(out_ref, type=pa.string()),
                 "frame_idx": pa.array(np.array(out_idx, dtype=np.int32)),
+                "byte_offset": pa.array(np.array(out_off, dtype=np.int64)),
+                "byte_size": pa.array(np.array(out_sz, dtype=np.int64)),
             }
         )
 

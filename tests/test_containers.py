@@ -614,3 +614,69 @@ class TestJpegCodec:
         )
         assert list(out["format"]) == ["jpeg"]
         assert list(out["width"]) == [48] and list(out["height"]) == [32]
+
+
+class TestMp4Container:
+    """ISO BMFF parser (functions/mp4.py): the video slot's frame plan
+    now reads the REAL sample table; codec decode remains external."""
+
+    def test_parse_roundtrip(self):
+        from osm_export_tool_python_ray.functions.mp4 import (
+            build_mp4,
+            parse_mp4,
+            sniff_mp4,
+        )
+
+        sizes = [100, 250, 80, 99, 1]
+        buf = build_mp4(sizes, timescale=25)
+        assert sniff_mp4(buf)
+        info = parse_mp4(buf)
+        assert info["timescale"] == 25
+        t = info["tracks"][0]
+        assert t["kind"] == "video" and t["codec"] == "avc1"
+        assert t["n_samples"] == 5 and t["sample_sizes"] == sizes
+        offs = t["sample_offsets"]
+        # consecutive samples in one chunk: offsets advance by size
+        assert [b - a for a, b in zip(offs, offs[1:])] == sizes[:-1]
+        # offsets point inside the mdat payload
+        assert buf[offs[0] - 8 - sum(()) - 0 : offs[0]].endswith(b"mdat")
+
+    def test_non_mp4_rejected(self):
+        import pytest as _pytest
+
+        from osm_export_tool_python_ray.functions.mp4 import parse_mp4
+
+        with _pytest.raises(ValueError, match="ftyp"):
+            parse_mp4(b"\x00\x00\x00\x08freeXXXX")
+
+    def test_frame_sample_stage_real_plan(self):
+        import pyarrow as pa
+
+        from osm_export_tool_python_ray.functions.mp4 import build_mp4
+        from osm_export_tool_python_ray.stages.media import FrameSampleStage
+
+        sizes = list(range(10, 110, 10))  # 10 frames
+        t = pa.table(
+            {
+                "media_ref": pa.array(["clip.mp4", "blob.bin"]),
+                "payload": pa.array(
+                    [build_mp4(sizes), b"\x07" * 40], type=pa.binary()
+                ),
+            }
+        )
+        out = FrameSampleStage(every_n=4)(t)
+        rows = list(
+            zip(
+                out.column("media_ref").to_pylist(),
+                out.column("frame_idx").to_pylist(),
+                out.column("byte_offset").to_pylist(),
+                out.column("byte_size").to_pylist(),
+            )
+        )
+        mp4_rows = [r for r in rows if r[0] == "clip.mp4"]
+        # real plan: frames 0,4,8 with true byte ranges
+        assert [r[1] for r in mp4_rows] == [0, 4, 8]
+        assert [r[3] for r in mp4_rows] == [10, 50, 90]
+        assert all(r[2] > 0 for r in mp4_rows)
+        fake_rows = [r for r in rows if r[0] == "blob.bin"]
+        assert all(r[2] == -1 and r[3] == -1 for r in fake_rows)
