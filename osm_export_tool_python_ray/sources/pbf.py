@@ -511,19 +511,39 @@ def decode_file(path):
 
 
 def read_osm_pbf(path, blobs_per_task=4):
-    """``.osm.pbf`` → Ray Dataset of elements (ELEMENT_SCHEMA + ekey).
+    """``.osm.pbf`` path, glob, or list of paths → Ray Dataset of
+    elements (ELEMENT_SCHEMA + ekey).
 
     The driver reads only blob headers; decode fans out one task per
-    ``blobs_per_task`` blobs (a planet file yields thousands of units).
+    ``blobs_per_task`` blobs (a planet file yields thousands of units;
+    a sharded planet — many part files — fans out across files too).
     Feed the result to ``pipelines.export.run_export(elements_ds=...)``."""
+    import glob as _glob
+
     import ray.data
 
-    check_header(path)
-    metas = [
-        {"path": path, "offset": off, "datasize": size, "blob_idx": i}
-        for i, (btype, off, size) in enumerate(scan_blob_ranges(path))
-        if btype == "OSMData"
-    ]
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif any(ch in str(path) for ch in "*?["):
+        paths = sorted(_glob.glob(str(path)))
+        if not paths:
+            raise FileNotFoundError("no .pbf files match %r" % path)
+    else:
+        paths = [path]
+    metas = []
+    for fi, p in enumerate(paths):
+        check_header(p)
+        for i, (btype, off, size) in enumerate(scan_blob_ranges(p)):
+            if btype == "OSMData":
+                metas.append(
+                    {
+                        "path": p,
+                        "offset": off,
+                        "datasize": size,
+                        "blob_idx": fi * 1_000_000 + i,
+                    }
+                )
+    path = paths[0]
 
     def decode_rows(t: pa.Table) -> pa.Table:
         tables = []
@@ -738,3 +758,30 @@ def _table_rows(t):
             e["members"] = members[i] or []
         rows.append(e)
     return rows
+
+
+def write_osm_pbf_parts(elements_ds, out_dir, max_group=8000):
+    """Distributed .osm.pbf sink: each element block encodes to its own
+    ``part-NNNNN.osm.pbf`` under ``out_dir`` (staged name + atomic
+    rename, so a re-run can skip finished parts) — the resumable
+    partitioned-output posture of the parquet sinks applied to the
+    native format. Returns the part paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode_block(t: pa.Table) -> pa.Table:
+        # deterministic per-part name from the part's min ekey
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        name = "part-%016x.osm.pbf" % (int(ek.min()) & 0xFFFFFFFFFFFFFFFF)
+        dst = os.path.join(out_dir, name)
+        if not os.path.exists(dst):
+            tmp = dst + ".tmp"
+            write_osm_pbf(tmp, t, max_group=max_group)
+            os.replace(tmp, dst)
+        return pa.table({"path": pa.array([dst], type=pa.string()),
+                         "n_elements": pa.array([t.num_rows], type=pa.int64())})
+
+    return elements_ds.map_batches(
+        encode_block, batch_format="pyarrow", batch_size=max_group
+    )

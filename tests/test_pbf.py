@@ -383,3 +383,51 @@ class TestCodecsAndHeader:
         p = str(tmp_path / "ok.pbf")
         write_osm_pbf(p, _els())
         assert sorted(check_header(p)) == ["DenseNodes", "OsmSchema-V0.6"]
+
+
+class TestMultiFileAndSink:
+    def test_read_glob_and_list(self, ray_session, tmp_path):
+        from osm_export_tool_python_ray.sources.pbf import read_osm_pbf
+
+        els = _els()
+        p1 = str(tmp_path / "part-0.osm.pbf")
+        p2 = str(tmp_path / "part-1.osm.pbf")
+        write_osm_pbf(p1, [e for e in els if e["type"] == "node"])
+        write_osm_pbf(p2, [e for e in els if e["type"] != "node"])
+        for src in (str(tmp_path / "part-*.osm.pbf"), [p1, p2]):
+            ds = read_osm_pbf(src)
+            got = sorted(
+                pa.concat_tables(
+                    list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+                )
+                .column("element_id")
+                .to_pylist()
+            )
+            assert got == sorted(e["id"] for e in els)
+        with pytest.raises(FileNotFoundError):
+            read_osm_pbf(str(tmp_path / "nope-*.pbf"))
+
+    def test_partitioned_sink_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from osm_export_tool_python_ray.sources.pbf import (
+            decode_file,
+            read_osm_pbf,
+            write_osm_pbf_parts,
+        )
+
+        src = str(tmp_path / "src.osm.pbf")
+        els = [
+            {"type": "node", "id": i + 1, "lon": (i % 9) * 0.01,
+             "lat": (i // 9) * 0.01, "tags": {"n": str(i)}}
+            for i in range(200)
+        ]
+        write_osm_pbf(src, els)
+        elements = read_osm_pbf(src)
+        out_dir = str(tmp_path / "parts")
+        res = write_osm_pbf_parts(elements, out_dir, max_group=64).to_pandas()
+        assert res["n_elements"].sum() == 200
+        back = []
+        for pth in sorted(res["path"]):
+            back.extend(decode_file(pth).column("element_id").to_pylist())
+        assert sorted(back) == list(range(1, 201))
