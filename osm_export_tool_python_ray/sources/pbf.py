@@ -517,7 +517,10 @@ def read_osm_pbf(path, blobs_per_task=4):
     The driver reads only blob headers; decode fans out one task per
     ``blobs_per_task`` blobs (a planet file yields thousands of units;
     a sharded planet — many part files — fans out across files too).
-    Feed the result to ``pipelines.export.run_export(elements_ds=...)``."""
+    Paths must be CLUSTER-VISIBLE (shared filesystem / object store) —
+    each decode task opens its own byte range, the same contract as
+    ``ray.data.read_parquet``. Feed the result to
+    ``pipelines.export.run_export(elements_ds=...)``."""
     import glob as _glob
 
     import ray.data
