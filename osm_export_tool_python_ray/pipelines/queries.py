@@ -9416,10 +9416,35 @@ wn AS (
   FROM w JOIN ssq0 USING (doc_id) WHERE s0 > 0
 ),
 s2 AS (SELECT doc_id, sum(wn * wn) AS ssq FROM wn GROUP BY 1),
+-- prefix flags re-derived per (doc, term): inclusive-suffix norm in the
+-- global (df asc, term asc) feature order still reaches the threshold —
+-- the Bayardo prefix condition, identical int64 arithmetic to
+-- stages/simjoin.py doc_vectors
+pref AS (
+  SELECT w2.doc_id, w2.term, w2.wn,
+         25 * sum(w2.wn * w2.wn) OVER (
+             PARTITION BY w2.doc_id ORDER BY d2.df, w2.term
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           >= 16 * s.ssq AS pref
+  FROM wn w2 JOIN df d2 USING (term) JOIN s2 s USING (doc_id)
+),
+posting AS (SELECT term, count(*) AS np FROM pref GROUP BY term),
+-- candidate model = the ENGINE's capped generation, exactly: a pair is
+-- a candidate iff some shared term's FULL posting is within the
+-- max_group cap and at least one side holds the term in its prefix
+-- (pref×pref + pref×nonpref; hot postings are skipped ENTIRELY, the
+-- counted approximation — so this oracle is exact at EVERY scale, the
+-- sf0.1 hot-posting regime included, not just below the cap)
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b USING (term) JOIN posting p USING (term)
+  WHERE a.doc_id < b.doc_id AND p.np <= 500 AND (a.pref OR b.pref)
+),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(sum(a.wn * b.wn) AS BIGINT) AS dot
   FROM wn a JOIN wn b USING (term)
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

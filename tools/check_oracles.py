@@ -73,7 +73,8 @@ def main():
     # to pass — fail loudly instead (ADVICE r4: link_scores undercount).
     UNMODELED_CAPS = (
         "link_wedge_truncated",
-        "tfidf_cosine_hot_terms_skipped",
+        # tfidf_cosine_hot_terms_skipped is MODELED since round 5: the
+        # oracle reproduces the capped candidate generation exactly
         "triangle_wedge_truncated",
     )
 
