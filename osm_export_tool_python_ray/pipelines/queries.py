@@ -6550,11 +6550,20 @@ WITH p AS (
     ON a.cx = b.cx AND a.cy = b.cy AND a.hr = b.hr AND a.user_id < b.user_id
   GROUP BY a.user_id, b.user_id
   HAVING count(*) >= 2
+), e0c AS (
+  -- the ENGINE's wedge cap, modeled: wedges expand from the smallest
+  -- node of each edge with the adjacency truncated to the 512 smallest
+  -- neighbors per center (stages/graph.py colocation_triangles);
+  -- closure still probes the FULL edge set
+  SELECT ua, ub FROM (
+    SELECT ua, ub, row_number() OVER (PARTITION BY ua ORDER BY ub) AS rk
+    FROM e0
+  ) WHERE rk <= 512
 ), tri AS (
-  SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
-  FROM e0 e1
-  JOIN e0 e2 ON e2.ua = e1.ub
-  JOIN e0 e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+  SELECT x.ua AS a, x.ub AS b, y.ub AS c
+  FROM e0c x
+  JOIN e0c y ON y.ua = x.ua AND x.ub < y.ub
+  JOIN e0 e3 ON e3.ua = x.ub AND e3.ub = y.ub
 ), m AS (
   SELECT a AS user_id FROM tri
   UNION ALL SELECT b FROM tri
@@ -8815,9 +8824,18 @@ WITH p AS (
   SELECT ua AS c, ub AS n FROM e0 UNION ALL SELECT ub, ua FROM e0
 ), deg AS (
   SELECT c AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY c
+), adjc AS (
+  -- the ENGINE's wedge cap, modeled: per center keep the 512 smallest
+  -- neighbor ids (stages wedge expansion truncates at CAP=512 in
+  -- (center, neighbor-asc) order) — identical below the cap, exact in
+  -- any denser regime too
+  SELECT c, n FROM (
+    SELECT c, n, row_number() OVER (PARTITION BY c ORDER BY n) AS rk
+    FROM adj
+  ) WHERE rk <= 512
 ), wp AS (
   SELECT x.n AS v, y.n AS w
-  FROM adj x JOIN adj y ON y.c = x.c AND x.n < y.n
+  FROM adjc x JOIN adjc y ON y.c = x.c AND x.n < y.n
 ), nc AS (
   SELECT v, w, CAST(count(*) AS BIGINT) AS n_common FROM wp GROUP BY v, w
 )

@@ -71,12 +71,32 @@ def main():
     # during an oracle run, the engine result is approximate while the
     # SQL is exact, so the row is a latent mismatch even when it happens
     # to pass — fail loudly instead (ADVICE r4: link_scores undercount).
-    UNMODELED_CAPS = (
+    # Every generation cap with an oracle twin is MODELED in its SQL
+    # since round 5 (tfidf hot postings, link/triangle wedge caps) — the
+    # gate stays for any future cap that is not; names are matched by
+    # prefix so e.g. a new *_truncated cap fails closed until modeled.
+    UNMODELED_CAPS = ()
+    # caps whose truncation IS reproduced by the oracle SQL (or whose
+    # query has no oracle) — exempt from the fail-closed rule
+    MODELED_CAPS = {
+        "tfidf_cosine_hot_terms_skipped",
         "link_wedge_truncated",
-        # tfidf_cosine_hot_terms_skipped is MODELED since round 5: the
-        # oracle reproduces the capped candidate generation exactly
         "triangle_wedge_truncated",
-    )
+        # group caps asserted/modeled in their oracles since r3/r4:
+        "encounter_group_truncated",
+        "minhash_hot_band_groups_skipped",
+        "simhash_hot_band_groups_skipped",
+        "embedding_hot_bucket_groups_skipped",
+        "ngram_degenerate_grams_skipped",
+        "editdist_variant_group_truncated",
+        "hausdorff_bucket_truncated",
+        "crossing_cell_truncated",
+        "source_overlap_token_truncated",
+        "gap_fill_span_truncated",
+        "interval_epoch_truncated",
+        "rect_width_truncated",
+        "spatial_join_hot_cells_skipped",
+    }
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -92,7 +112,13 @@ def main():
             failures.append(name)
             continue
         caps = snapshot_caps(reset=True)
-        hit = {k: v for k, v in caps.items() if k in UNMODELED_CAPS}
+        hit = {
+            k: v
+            for k, v in caps.items()
+            if k in UNMODELED_CAPS
+            or (k.endswith("_truncated") and k not in MODELED_CAPS)
+            or (k.endswith("_skipped") and k not in MODELED_CAPS)
+        }
         if hit:
             print("%-24s CAP-HIT (oracle not exact): %r" % (name, hit))
             failures.append(name)
