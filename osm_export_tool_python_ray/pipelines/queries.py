@@ -2371,22 +2371,61 @@ SQL_WINNOW_FINGERPRINTS = _build_winnow_sql()
 
 
 # connected components over the MinHash pair graph: recursive min-label CTE
+
+
+def _cc_chain_sql(l0_body, steps=16, edges="edges"):
+    """Connected-components min-label block for oracle SQL, WITHOUT a
+    recursive CTE: ``steps`` chained MATERIALIZED rounds of
+    (own ∪ neighbor-min ∪ pointer-jump) label relaxation. Pointer
+    jumping (take the label OF my label) doubles propagation reach per
+    round, so 16 rounds cover any component this side of 2^15 diameter —
+    while the old ``walk`` recursion enumerated label-carrying PATHS and
+    went quasi-quadratic on sf0.1's large near-dup clusters (observed:
+    80+ CPU-minutes in DuckDB; this form runs in seconds). Returns
+    (cte_sql, final_name); SELECT node, label FROM <final_name>."""
+    # materialize the edge list ONCE: DuckDB inlines plain CTEs per
+    # reference, so 16 chain steps would otherwise re-run the (possibly
+    # expensive) upstream pair derivation 16 times
+    parts = [
+        "ccedges AS MATERIALIZED (SELECT a, b FROM %s)" % edges,
+        "l0 AS MATERIALIZED (%s)" % l0_body,
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            "l%d AS MATERIALIZED (SELECT node, min(label) AS label FROM ("
+            "SELECT node, label FROM l%d"
+            " UNION ALL SELECT e.b AS node, l.label FROM ccedges e"
+            " JOIN l%d l ON l.node = e.a"
+            " UNION ALL SELECT l2.node AS node, l3.label FROM l%d l2"
+            " JOIN l%d l3 ON l3.node = l2.label"
+            ") GROUP BY node)" % (k, k - 1, k - 1, k - 1, k - 1)
+        )
+    return ",\n".join(parts), "l%d" % steps
+
+
+_CC_CHAIN, _CC_FINAL = _cc_chain_sql(
+    "SELECT DISTINCT a AS node, a AS label FROM ccedges"
+)
+# grid-cell variant: seed labels from the CORE table so isolated cells
+# (no 4-neighbors) still carry their singleton cluster label
+_CC_CHAIN_CORE, _CC_FINAL_CORE = _cc_chain_sql(
+    "SELECT cell AS node, cell AS label FROM core"
+)
+
+
 SQL_DEDUP_CLUSTERS = (
-    "WITH RECURSIVE "
+    "WITH "
     + _build_minhash_pair_ctes()
     + r""",
 mh_pairs AS (
   SELECT doc_a, doc_b FROM mh_cand WHERE (%s) / 64.0 >= 0.5
 ),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
-walk(node, label) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node WHERE walk.label < e.b
-)
-SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 """
     % _MH_MATCHES
+    + _CC_CHAIN
+    + "\nSELECT node AS doc_id, label AS cluster_id FROM "
+    + _CC_FINAL
 )
 
 
@@ -2600,7 +2639,7 @@ def q_ngram_clusters(sf_dir):
 
 
 SQL_NGRAM_CLUSTERS = (
-    "WITH RECURSIVE "
+    "WITH "
     + _NGRAM_PAIR_CTES
     + r""",
 pairs AS (
@@ -2609,13 +2648,10 @@ pairs AS (
   WHERE c.inter * 1.0 / (sa.sz + sb.sz - c.inter) >= 0.4
 ),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-walk(node, label) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node WHERE walk.label < e.b
-)
-SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 """
+    + _CC_CHAIN
+    + "\nSELECT node AS doc_id, label AS cluster_id FROM "
+    + _CC_FINAL
 )
 
 
@@ -4573,8 +4609,8 @@ def q_grid_clusters(sf_dir):
 # recursive min-label walk = connected components (the ngram_clusters
 # oracle pattern); 4-adjacency in packed space is +1 (iy) / +2^29 (ix),
 # overflow-free at res 8 (iy < 2^16)
-SQL_GRID_CLUSTERS = """
-WITH RECURSIVE pts AS (
+SQL_GRID_CLUSTERS = ("""
+WITH pts AS (
   SELECT (c_custkey % 100) * 0.01 AS lon,
          (CAST(floor(c_custkey / 7.0) AS BIGINT) % 100) * 0.01 AS lat
   FROM customer
@@ -4593,18 +4629,13 @@ WITH RECURSIVE pts AS (
   UNION ALL
   SELECT b.cell, a.cell FROM core a JOIN core b
     ON b.cell = a.cell + 1 OR b.cell = a.cell + 536870912
-), walk(node, label) AS (
-  SELECT cell, cell FROM core
-  UNION
-  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node
-  WHERE walk.label < e.b
-), lab AS (
-  SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+), """ + _CC_CHAIN_CORE + """, lab AS (
+  SELECT node, label AS cluster_id FROM """ + _CC_FINAL_CORE + """
 )
 SELECT lab.cluster_id, count(*) AS n_cells, CAST(sum(core.n) AS BIGINT) AS n_points
 FROM core JOIN lab ON lab.node = core.cell
 GROUP BY lab.cluster_id
-""".format(min_pts=GRID_CLUSTER_MIN_PTS)
+""").format(min_pts=GRID_CLUSTER_MIN_PTS)
 
 
 def q_user_hulls(sf_dir):
@@ -9677,7 +9708,7 @@ def q_entity_clusters(sf_dir):
 
 
 SQL_ENTITY_CLUSTERS = r"""
-WITH RECURSIVE k AS (
+WITH k AS (
   SELECT doc_id,
          substr(regexp_replace(lower(coalesce(text, '')),
                                '[^a-z0-9]+', '', 'g'), 1, 12) AS bkey
@@ -9697,13 +9728,8 @@ edges AS (
   SELECT doc_a AS a, doc_b AS b FROM vp
   UNION ALL SELECT doc_b, doc_a FROM vp
 ),
-walk(node, label) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, walk.label FROM walk JOIN edges e ON e.a = walk.node
-  WHERE walk.label < e.b
-)
-SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+""" + _CC_CHAIN + """
+SELECT node AS doc_id, label AS cluster_id FROM """ + _CC_FINAL + """
 ORDER BY doc_id
 """
 
