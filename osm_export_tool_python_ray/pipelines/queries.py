@@ -9367,8 +9367,18 @@ WITH pts0 AS (
   FROM pts0
 ), pts AS (
   SELECT * FROM ranked WHERE rn <= 16
-), anchors AS (
+), anchors0 AS (
   SELECT user_id, (x // 20) * 5 + (y // 20) AS bkey FROM pts WHERE rn = 1
+), anchors AS (
+  -- the ENGINE's bucket cap, modeled: per anchor cell keep the 256
+  -- smallest user_ids (stages/analytics.py hausdorff_pairs
+  -- bucket_cap; caught by the round-5 sf0.1 sweep — rows 117,886 vs an
+  -- uncapped oracle's 280,537)
+  SELECT user_id, bkey FROM (
+    SELECT user_id, bkey,
+           row_number() OVER (PARTITION BY bkey ORDER BY user_id) AS brk
+    FROM anchors0
+  ) WHERE brk <= 256
 ), cand AS (
   SELECT a.user_id AS ua, b.user_id AS ub
   FROM anchors a JOIN anchors b
