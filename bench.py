@@ -278,6 +278,7 @@ def run_query_suite(sf_dir):
         ("bounce_rate", Q.q_bounce_rate),
         ("drift_chi2", Q.q_drift_chi2),
         ("pbf_element_stats", Q.q_pbf_element_stats),
+        ("pbf_export_theme_counts", Q.q_pbf_export_theme_counts),
     ):
         t0 = time.perf_counter()
         r = fn(sf_dir)

@@ -6984,6 +6984,34 @@ def q_pbf_element_stats(sf_dir):
     return agg.sort("kind")
 
 
+def q_pbf_export_theme_counts(sf_dir):
+    """The FULL flagship export run over NATIVE .osm.pbf input
+    (read_osm_pbf → dedup → assembly → theme routing): per-theme counts
+    must equal the SQL re-derivation from the raw corpus JSON — the
+    driver-visible twin of the pytest capstone (export-over-pbf ≡
+    export-over-parquet). Shares export_theme_counts' oracle: the pbf
+    path feeds the identical element table, so the identical SQL is the
+    proof that NOTHING was lost or altered through the binary format."""
+    import ray.data
+
+    from osm_export_tool_python_ray.pipelines.export import run_export, theme_counts
+    from osm_export_tool_python_ray.sources.pbf import read_osm_pbf
+
+    key = "pbf_export"
+    if key not in _EXPORT_CACHE:
+        mapping = _default_mapping()
+        themed = run_export(
+            None,
+            mapping,
+            elements_ds=read_osm_pbf(_pbf_path()),
+            num_partitions=4,
+            num_buckets=16,
+        ).materialize()
+        _EXPORT_CACHE[key] = (mapping, themed)
+    _mapping, themed = _EXPORT_CACHE[key]
+    return theme_counts(themed).sort(["theme", "geom_type"])
+
+
 def q_export_theme_counts(sf_dir):
     """Flagship export over the deterministic interleaved corpus (the
     input_hint shape) with the reference's default.yml: per-theme counts.
@@ -11083,6 +11111,7 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     "knn": q_knn,
     "pbf_element_stats": q_pbf_element_stats,
+    "pbf_export_theme_counts": q_pbf_export_theme_counts,
     "export_theme_counts": q_export_theme_counts,
     "tile_assignment": q_tile_assignment,
     "tile_theme_counts": q_tile_theme_counts,
@@ -11100,6 +11129,7 @@ QUERIES = {
 # consumers and the COVERAGE.md generator
 EXPORT_SURFACE_ORACLE_KEYS = (
     "pbf_element_stats",
+    "pbf_export_theme_counts",
     "export_theme_counts",
     "tile_assignment",
     "tile_theme_counts",
@@ -11145,6 +11175,9 @@ def export_surface_oracles():
         mapping = Mapping(f.read())
     out = {
         "pbf_element_stats": sql_pbf_element_stats(path),
+        # identical oracle for the pbf-ingested export — equality proves
+        # the binary path lost/altered nothing
+        "pbf_export_theme_counts": sql_export_theme_counts(path, mapping),
         "export_theme_counts": sql_export_theme_counts(path, mapping),
         "tile_assignment": sql_tile_assignment(path, mapping, zoom=12),
         "tile_theme_counts": sql_tile_theme_counts(path, mapping, zoom=12),
