@@ -626,11 +626,19 @@ def _wrap_blob(btype, payload, compress=True):
 
 
 class _StringTable:
-    """Per-block string table; index 0 is the required empty string."""
+    """Per-block string table; index 0 is the required empty string.
+
+    Index 0 doubles as the DenseNodes keys_vals DELIMITER, so a real
+    empty-string tag key/value must NOT be encoded as 0 there —
+    ``add_nonzero`` allocates a distinct (duplicate) entry for "" on
+    first use (duplicates are legal per spec). Way/relation key/val and
+    role arrays carry explicit lengths, so plain ``add`` (which may
+    return 0) stays correct — and roles commonly ARE the empty string."""
 
     def __init__(self):
         self._idx = {"": 0}
         self.strings = [""]
+        self._empty_nonzero = None
 
     def add(self, s):
         i = self._idx.get(s)
@@ -639,6 +647,14 @@ class _StringTable:
             self._idx[s] = i
             self.strings.append(s)
         return i
+
+    def add_nonzero(self, s):
+        if s != "":
+            return self.add(s)
+        if self._empty_nonzero is None:
+            self._empty_nonzero = len(self.strings)
+            self.strings.append("")
+        return self._empty_nonzero
 
     def encode(self):
         return _enc_bytes(
@@ -692,8 +708,8 @@ def write_osm_pbf(path, elements, max_group=8000, compress=True):
                 dense_lat.append(_coord_units(e["lat"]))
                 dense_lon.append(_coord_units(e["lon"]))
                 for k, v in titems:
-                    dense_kv.append(st.add(str(k)))
-                    dense_kv.append(st.add(str(v)))
+                    dense_kv.append(st.add_nonzero(str(k)))
+                    dense_kv.append(st.add_nonzero(str(v)))
                     has_dense_tags = True
                 dense_kv.append(0)
             elif kind == "way":
